@@ -1,0 +1,9 @@
+from .pairwise import squared_pairwise_distances, weighted_quadratic_pairwise
+from .median import (
+    median_exact,
+    pairwise_distance_median,
+    pairwise_distance_median_exact,
+    pairwise_distance_median_histogram,
+    kth_smallest_hist,
+)
+from .phi import phi_generic, phi_rbf, phi_rbf_blocked, rbf_kernel_matrix

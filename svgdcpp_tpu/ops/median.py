@@ -1,0 +1,188 @@
+"""Median / order-statistic selection for the RBF bandwidth heuristic.
+
+The reference computes the median of all n^2 pairwise distances (INCLUDING
+the n zero self-distances — reference GaussianRBFKernel.hpp:66) with an
+in-place ``std::nth_element`` partial sort, averaging the two middle values
+for even counts (GaussianRBFKernel.hpp:222-254).
+
+On TPU there are two regimes:
+
+  * exact     — full device sort of the n^2 values. Bit-parity with the
+                reference semantics; fine up to n of a few thousand.
+  * histogram — deterministic multi-pass histogram refinement that never
+                materializes the n^2 distance matrix (tile-streamed) and
+                needs no data-dependent control flow, so it jits and shards
+                (psum over the counts). This is the distributed-median design
+                called out in SURVEY.md §5/§7: the analog of the reference's
+                nth_element for 100k+ particles.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pairwise import squared_pairwise_distances
+
+# ----------------------------------------------------------------------
+# Exact path
+# ----------------------------------------------------------------------
+
+
+def median_exact(values: jnp.ndarray) -> jnp.ndarray:
+    """Median of a 1-D array with the reference's even/odd semantics.
+
+    Even count: average of the two middle values
+    (reference GaussianRBFKernel.hpp:224-245); odd: middle value (:246-253).
+    """
+    values = jnp.ravel(values)
+    n = values.shape[0]
+    s = jnp.sort(values)
+    if n % 2 == 0:
+        return 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return s[n // 2]
+
+
+def pairwise_distance_median_exact(coords: jnp.ndarray) -> jnp.ndarray:
+    """Exact median of all n^2 pairwise distances (self-zeros included)."""
+    sq = squared_pairwise_distances(coords)
+    return median_exact(jnp.sqrt(sq))
+
+
+# ----------------------------------------------------------------------
+# Histogram-refinement selection (scalable, jittable, shardable)
+# ----------------------------------------------------------------------
+
+
+def _count_dtype(total: int):
+    """Histogram accumulator dtype.
+
+    int64 under x64; otherwise int32 when n^2 ranks fit, else float32 (rank
+    resolution ~600 out of 1e10 at n=100k — invisible to a bandwidth median,
+    documented trade-off of the no-x64 TPU fast path).
+    """
+    if jax.config.jax_enable_x64:
+        return jnp.int64
+    if total < 2**31 - 1:
+        return jnp.int32
+    return jnp.float32
+
+
+def kth_smallest_hist(hist_fn, k, lo, hi, *, bins: int = 1024, passes: int = 3,
+                      count_dtype=None):
+    """Approximate the k-th smallest value (1-indexed rank) by histogram
+    refinement.
+
+    ``hist_fn(lo, hi) -> (bins,) counts`` must count how many values fall in
+    each of ``bins`` equal-width buckets of [lo, hi); values outside [lo, hi)
+    must not be counted. For a sharded input, ``hist_fn`` psums its local
+    counts — the refinement logic is then identical on every shard.
+
+    After ``passes`` rounds the value is localized to a bucket of width
+    (hi - lo) / bins**passes; the bucket midpoint is returned. With the
+    defaults that is a ~1e-9 relative localization — far below what the
+    bandwidth heuristic can feel.
+    """
+    if count_dtype is None:
+        count_dtype = jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
+    k = jnp.asarray(k, count_dtype)
+    lo = jnp.asarray(lo, jnp.float32 if not jax.config.jax_enable_x64 else jnp.float64)
+    hi = jnp.asarray(hi, lo.dtype)
+    for _ in range(passes):
+        counts = hist_fn(lo, hi)
+        cum = jnp.cumsum(counts)
+        # first bucket where cumulative count reaches rank k
+        b = jnp.argmax(cum >= k)
+        width = (hi - lo) / bins
+        below = jnp.where(b > 0, cum[b - 1], 0)
+        k = k - below
+        lo = lo + b.astype(lo.dtype) * width
+        hi = lo + width
+    return 0.5 * (lo + hi)
+
+
+def _pairwise_sq_hist(coords: jnp.ndarray, lo, hi, *, bins: int, row_tile: int,
+                      count_dtype=jnp.int32):
+    """Histogram of all n^2 pairwise SQUARED distances in [lo, hi).
+
+    Tile-streamed over row blocks: memory O(row_tile * n), never O(n^2)
+    (the ring-attention-shaped requirement from SURVEY.md §5).
+    """
+    n = coords.shape[0]
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    padded = jnp.pad(coords, ((0, pad), (0, 0)))
+    sq_norms = jnp.sum(coords * coords, axis=1)
+    padded_norms = jnp.pad(sq_norms, (0, pad))
+    width = (hi - lo) / bins
+
+    def body(t, hist):
+        rows = jax.lax.dynamic_slice_in_dim(padded, t * row_tile, row_tile, axis=0)
+        row_norms = jax.lax.dynamic_slice_in_dim(padded_norms, t * row_tile, row_tile)
+        gram = rows @ coords.T  # (row_tile, n) MXU matmul
+        sq = jnp.maximum(row_norms[:, None] + sq_norms[None, :] - 2.0 * gram, 0.0)
+        v = sq.ravel()
+        # mask out padded rows
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (row_tile, n), 0) + t * row_tile
+        valid = (row_ids.ravel() < n) & (v >= lo) & (v < hi)
+        idx = jnp.clip(jnp.floor((v - lo) / width), 0, bins - 1).astype(jnp.int32)
+        return hist.at[idx].add(valid.astype(count_dtype))
+
+    hist0 = jnp.zeros(bins, count_dtype)
+    return jax.lax.fori_loop(0, num_tiles, body, hist0)
+
+
+@partial(jax.jit, static_argnames=("bins", "passes", "row_tile"))
+def pairwise_distance_median_histogram(
+    coords: jnp.ndarray,
+    *,
+    bins: int = 1024,
+    passes: int = 3,
+    row_tile: int = 512,
+) -> jnp.ndarray:
+    """Scalable median of all n^2 pairwise distances (self-zeros included).
+
+    Selection runs on squared distances (monotone in distance, so order
+    statistics map 1:1); the two middle order statistics are sqrt'ed and
+    averaged exactly like the reference's even-count rule
+    (GaussianRBFKernel.hpp:224-245).
+    """
+    n = coords.shape[0]
+    total = n * n
+    cdt = _count_dtype(total)
+    sq_norms = jnp.sum(coords * coords, axis=1)
+    hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+
+    hist_fn = lambda lo, hi: _pairwise_sq_hist(
+        coords, lo, hi, bins=bins, row_tile=row_tile, count_dtype=cdt
+    )
+    if total % 2 == 0:
+        a = kth_smallest_hist(hist_fn, total // 2, 0.0, hi0, bins=bins,
+                              passes=passes, count_dtype=cdt)
+        b = kth_smallest_hist(hist_fn, total // 2 + 1, 0.0, hi0, bins=bins,
+                              passes=passes, count_dtype=cdt)
+        return 0.5 * (jnp.sqrt(a) + jnp.sqrt(b))
+    mid = kth_smallest_hist(hist_fn, (total + 1) // 2, 0.0, hi0, bins=bins,
+                            passes=passes, count_dtype=cdt)
+    return jnp.sqrt(mid)
+
+
+# ----------------------------------------------------------------------
+# Dispatch
+# ----------------------------------------------------------------------
+
+#: Above this particle count the exact full-sort median switches to the
+#: histogram path (n^2 memory/sort cost crosses ~64M elements).
+EXACT_MEDIAN_MAX_PARTICLES = 4096
+
+
+def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
+    """Median pairwise distance with automatic exact/histogram dispatch."""
+    n = coords.shape[0]
+    if method == "exact" or (method == "auto" and n <= EXACT_MEDIAN_MAX_PARTICLES):
+        return pairwise_distance_median_exact(coords)
+    if method in ("histogram", "auto"):
+        return pairwise_distance_median_histogram(coords)
+    raise ValueError(f"unknown median method: {method!r}")

@@ -1,0 +1,39 @@
+"""Pairwise distance computations (Gram-matrix identity).
+
+Mirrors the reference's squared-distance construction
+``diag + diag^T - 2 X^T X`` (reference: GaussianRBFKernel.hpp:179-183) with
+the TPU (n, m) layout: the Gram matrix ``X X^T`` is a single MXU matmul.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def squared_pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs squared Euclidean distances for (n, m) coords -> (n, n).
+
+    Uses the Gram identity ||x_i - x_j||^2 = q_i + q_j - 2 x_i.x_j
+    (reference GaussianRBFKernel.hpp:179-183). Clamped at zero: the identity
+    can go slightly negative in floating point, and the reference's
+    subsequent sqrt of an exact-arithmetic nonnegative value must not NaN.
+    """
+    gram = coords @ coords.T
+    sq_norms = jnp.diagonal(gram)
+    sq = sq_norms[:, None] + sq_norms[None, :] - 2.0 * gram
+    return jnp.maximum(sq, 0.0)
+
+
+def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
+    """All-pairs (x_i - x_j)^T P (x_i - x_j) for (n, m) coords -> (n, n).
+
+    For symmetric-part P: q_i + q_j - x_i^T (P + P^T) x_j, one MXU matmul
+    chain. Used by the anisotropic RBF kernel (Hessian bandwidth,
+    reference GaussianRBFKernel.hpp:189-210).
+    """
+    p_sym = p_matrix + p_matrix.T
+    xp = coords @ p_matrix  # (n, m)
+    q = jnp.sum(xp * coords, axis=1)  # x_i^T P x_i
+    cross = coords @ p_sym @ coords.T
+    quad = q[:, None] + q[None, :] - cross
+    return jnp.maximum(quad, 0.0)

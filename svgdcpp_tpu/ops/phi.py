@@ -1,0 +1,166 @@
+"""Stein variational gradient phi_hat.
+
+    phi(x_i) = (1/n) sum_j [ k(x_j, x_i) grad_{x_j} log p(x_j)
+                             + grad_{x_j} k(x_j, x_i) ]
+
+TPU-native redesign of the reference's O(n^2) hot loop
+(reference: SVGD.hpp:407-454). The reference evaluates n^2 kernel forwards +
+n^2 kernel Jacobians by CppAD tape replay, re-recording the tape once per
+particle per iteration (SVGD.hpp:441-442), materializes an (m n) x n gradient
+stack and contracts it with a replicated-identity indexer (SVGD.hpp:181,453).
+
+Here there are three implementations:
+
+  * ``phi_generic``     — any kernel function, via vmap + autodiff. The
+                          (m n) x n stack and the indexer trick collapse into
+                          a plain VJP reduction.
+  * ``phi_rbf``         — closed-form Gaussian-RBF path: everything becomes
+                          two fused MXU matmuls against the kernel matrix
+                          K = exp(-quad). grad_{x_j} k = -(P+P^T)(x_j-x_i) k,
+                          so  sum_j grad k = -(K X - rowsum(K) * X)(P+P^T).
+  * ``phi_rbf_blocked`` — same math, tile-streamed over row blocks so the
+                          n x n kernel matrix never materializes in HBM
+                          (100k+ particles; SURVEY.md §5 "long context"
+                          analog). A fused Pallas kernel lives in
+                          ``pallas_phi.py``.
+
+Index convention: K[i, j] = k(x_j, x_i) — row i is the target particle.
+(The reference's kernel_matrix_(j, i) transposed to match the (n, m) row
+layout; the contraction K @ S equals the reference's S_ref * K_ref.)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------
+# Generic path: arbitrary kernel_fn(x, params, location)
+# ----------------------------------------------------------------------
+
+
+def phi_generic(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    kernel_fn: Callable,
+    kernel_params,
+) -> jnp.ndarray:
+    """phi for an arbitrary composed/user kernel.
+
+    coords: (n, m) particles; scores: (n, m) grad log p per particle.
+    Computes, per target i: K_row = k(X, x_i) and the summed kernel gradient
+    via one VJP (the reference's kernel_grad_indexer_ contraction,
+    SVGD.hpp:453, is exactly a ones-cotangent VJP).
+    """
+    n = coords.shape[0]
+
+    def per_target(x_i):
+        def k_all(all_coords):
+            return jax.vmap(lambda x_j: kernel_fn(x_j, kernel_params, x_i))(all_coords)
+
+        k_row, vjp = jax.vjp(k_all, coords)
+        (grad_sum,) = vjp(jnp.ones_like(k_row))  # (n, m): rows are grad_{x_j} k
+        return k_row @ scores + jnp.sum(grad_sum, axis=0)
+
+    return jax.vmap(per_target)(coords) / n
+
+
+def kernel_matrix_and_grad(
+    coords: jnp.ndarray, kernel_fn: Callable, kernel_params
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full K (n, n) and grad stack G (n, n, m) for debug logging.
+
+    K[i, j] = k(x_j, x_i); G[i, j] = grad_{x_j} k(x_j, x_i). This is the
+    reference's kernel_matrix_ / kernel_grad_matrix_ pair (SVGD.hpp:500-502)
+    in (n, m) layout — only used by the intermediate-matrix debug dump.
+    """
+
+    def pair(x_j, x_i):
+        return kernel_fn(x_j, kernel_params, x_i)
+
+    k = jax.vmap(lambda xi: jax.vmap(lambda xj: pair(xj, xi))(coords))(coords)
+    g = jax.vmap(lambda xi: jax.vmap(lambda xj: jax.grad(pair, 0)(xj, xi))(coords))(
+        coords
+    )
+    return k, g
+
+
+# ----------------------------------------------------------------------
+# Gaussian-RBF closed form: dense XLA path
+# ----------------------------------------------------------------------
+
+
+def rbf_kernel_matrix(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
+    """K[i, j] = exp(-(x_j - x_i)^T P (x_j - x_i)) via the Gram identity."""
+    p_sym = p_matrix + p_matrix.T
+    xp = coords @ p_matrix
+    q = jnp.sum(xp * coords, axis=1)
+    cross = coords @ p_sym @ coords.T
+    quad = jnp.maximum(q[:, None] + q[None, :] - cross, 0.0)
+    return jnp.exp(-quad)
+
+
+def phi_rbf(coords: jnp.ndarray, scores: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form RBF phi: two MXU matmuls against K.
+
+    phi = (K S - (K X - rowsum(K) * X)(P + P^T)) / n
+    """
+    n = coords.shape[0]
+    k = rbf_kernel_matrix(coords, p_matrix)
+    p_sym = p_matrix + p_matrix.T
+    ks = k @ scores
+    kx = k @ coords
+    rowsum = jnp.sum(k, axis=1)
+    return (ks - (kx - rowsum[:, None] * coords) @ p_sym) / n
+
+
+# ----------------------------------------------------------------------
+# Gaussian-RBF closed form: tile-streamed (no n x n materialization)
+# ----------------------------------------------------------------------
+
+
+def phi_rbf_blocked(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    row_tile: int = 1024,
+) -> jnp.ndarray:
+    """Streaming RBF phi over row tiles; memory O(row_tile * n).
+
+    Per target tile: build the K tile from Gram pieces, then one matmul
+    against B = [S | X | 1] gives K S, K X and rowsum(K) simultaneously —
+    K never round-trips to HBM.
+    """
+    n, m = coords.shape
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    p_sym = p_matrix + p_matrix.T
+    xp = coords @ p_matrix
+    q = jnp.sum(xp * coords, axis=1)  # (n,)
+    xps = coords @ p_sym  # (n, m): rows x_j^T (P+P^T)
+    b = jnp.concatenate(
+        [scores, coords, jnp.ones((n, 1), coords.dtype)], axis=1
+    )  # (n, 2m+1)
+
+    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
+    q_pad = jnp.pad(q, (0, pad))
+
+    def tile_body(t, acc):
+        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
+        cross = rows @ xps.T  # (row_tile, n) MXU
+        quad = jnp.maximum(q_rows[:, None] + q[None, :] - cross, 0.0)
+        k_tile = jnp.exp(-quad)
+        a_tile = k_tile @ b  # (row_tile, 2m+1) MXU
+        return jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
+
+    a0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
+    a = jax.lax.fori_loop(0, num_tiles, tile_body, a0)[:n]
+
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    return (ks - (kx - rowsum[:, None] * coords) @ p_sym) / n

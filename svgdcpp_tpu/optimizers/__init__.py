@@ -1,0 +1,4 @@
+from .base import Optimizer
+from .adam import Adam
+from .adagrad import AdaGrad
+from .rmsprop import RMSProp

@@ -1,0 +1,372 @@
+"""SVGD driver.
+
+TPU-native redesign of the reference SVGD class (reference:
+include/SVGDCpp/SVGD.hpp). The construction/validation surface, options
+struct, Initialize/Run lifecycle, bounds clamping, parameter hot-swap and
+intermediate-matrix logging all mirror the reference; the execution model
+does not: instead of a Python/C++ loop around per-pair tape evaluations, the
+whole iteration — bandwidth adaptation, scores, phi, optimizer, clamp —
+compiles into ONE ``lax.scan`` under ``jit``, so a full Run() is a single
+device program.
+
+The reference's ``Parallel`` flag (OpenMP threads + per-thread kernel tape
+clones, SVGD.hpp:239-249) has no analog: the TPU path is always data
+parallel over particles, and multi-chip scaling is provided by ``mesh``
+sharding instead (see svgdcpp_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .core.exceptions import DimensionMismatchError, SVGD_LOG_PREFIX
+from .core.types import ParticleStore, as_store
+from .kernels.gaussian_rbf import GaussianRBFKernel, rbf_kernel_fn
+from .kernels.kernel import Kernel
+from .models.model import Model
+from .optimizers.base import Optimizer
+from .ops.phi import (
+    kernel_matrix_and_grad,
+    phi_generic,
+    phi_rbf,
+    phi_rbf_blocked,
+)
+from .utils.logging import write_intermediate_matrices
+
+#: Above this particle count the dense n x n phi switches to the
+#: tile-streamed implementation.
+DENSE_PHI_MAX_PARTICLES = 8192
+
+
+@dataclasses.dataclass
+class SVGDOptions:
+    """Options struct (reference SVGDOptions, SVGD.hpp:27-52).
+
+    ``lower_bound=None`` / ``upper_bound=None`` disable bound checking — the
+    reference's +/-inf sentinel (SVGD.hpp:41-43, 184-190).
+    """
+
+    dimension: int = 0
+    num_iterations: int = 0
+    coordinate_matrix: Any = None  # (n, m) array or ParticleStore
+    kernel: Optional[Kernel] = None
+    model: Optional[Model] = None
+    optimizer: Optional[Optimizer] = None
+    lower_bound: Any = None
+    upper_bound: Any = None
+    intermediate_matrices_output_path: str = "log.txt"
+    parallel: bool = True  # accepted for parity; TPU path is always parallel
+    log_intermediate_matrices: bool = False
+    # --- TPU-native extensions ---
+    phi_impl: str = "auto"  # 'auto' | 'dense' | 'blocked' | 'pallas' | 'generic'
+    row_tile: int = 1024
+    mesh: Any = None  # jax.sharding.Mesh to shard the particle axis over
+
+
+def _prepare_bound(bound, dimension, name) -> Optional[jnp.ndarray]:
+    """Validate/broadcast a bound to shape (m,) (reference SVGD.hpp:193-216)."""
+    if bound is None:
+        return None
+    b = jnp.reshape(jnp.asarray(bound, jnp.result_type(float)), (-1,))
+    if b.shape[0] == 1:
+        b = jnp.broadcast_to(b, (dimension,))
+    elif b.shape[0] != dimension:
+        raise DimensionMismatchError(
+            f"The provided {name} bounds have incorrect dimensions."
+        )
+    return b
+
+
+class SVGD:
+    """Main driver (reference SVGD class, SVGD.hpp:84-511)."""
+
+    def __init__(self, *args, **kwargs):
+        # Ctor parity: SVGD(options) or
+        # SVGD(dim, iter, coords, kernel, model, optimizer, [lower, upper, ...])
+        # (reference SVGD.hpp:93-250).
+        if len(args) == 1 and isinstance(args[0], SVGDOptions) and not kwargs:
+            opts = args[0]
+        else:
+            names = [
+                "dimension",
+                "num_iterations",
+                "coordinate_matrix",
+                "kernel",
+                "model",
+                "optimizer",
+                "lower_bound",
+                "upper_bound",
+                "parallel",
+                "log_intermediate_matrices",
+                "intermediate_matrices_output_path",
+            ]
+            merged = dict(zip(names, args))
+            merged.update(kwargs)
+            opts = SVGDOptions(**merged)
+
+        self.options = opts
+        self.store: ParticleStore = as_store(opts.coordinate_matrix)
+        self.dimension = self.store.dimension
+        self.num_particles = self.store.num_particles
+        self.num_iterations = int(opts.num_iterations)
+
+        # Dimension check (reference SVGD.hpp:169-173).
+        if self.dimension != int(opts.dimension):
+            raise DimensionMismatchError(
+                "Specified dimension does not match the particle coordinate matrix."
+            )
+
+        # Null-component validation (reference SVGD.hpp:223-236).
+        if opts.kernel is None:
+            raise ValueError(SVGD_LOG_PREFIX + "[Argument Error] Invalid Kernel object.")
+        if opts.model is None:
+            raise ValueError(SVGD_LOG_PREFIX + "[Argument Error] Invalid Model object.")
+        if opts.optimizer is None:
+            raise ValueError(
+                SVGD_LOG_PREFIX + "[Argument Error] Invalid Optimizer object."
+            )
+        self.kernel: Kernel = opts.kernel
+        self.model: Model = opts.model
+        self.optimizer: Optimizer = opts.optimizer
+
+        # Share the particle store with the kernel — the reference's
+        # shared-pointer contract (SVGD.hpp:176, GaussianRBFKernel.hpp:52):
+        # the kernel sees updated particle positions without explicit data
+        # flow.
+        if hasattr(self.kernel, "store"):
+            self.kernel.store = self.store
+
+        self.lower_bound = _prepare_bound(opts.lower_bound, self.dimension, "lower")
+        self.upper_bound = _prepare_bound(opts.upper_bound, self.dimension, "upper")
+        self.check_bounds = self.lower_bound is not None or self.upper_bound is not None
+        if self.check_bounds:
+            print(SVGD_LOG_PREFIX + "Bound checking enabled.")
+
+        self.log_intermediate_matrices = bool(opts.log_intermediate_matrices)
+        self.intermediate_matrices_output_path = opts.intermediate_matrices_output_path
+        self.mesh = opts.mesh
+        self._initialized = False
+
+    # ------------------------------------------------------------------
+    # Lifecycle
+    # ------------------------------------------------------------------
+    def initialize(self):
+        """Initialize components and compile the step (reference SVGD.hpp:268-296)."""
+        self.model.initialize()
+        self.kernel.initialize()
+        coords = self.store.value
+        self._opt_state = self.optimizer.init(coords.dtype)
+        self._select_impl()
+        self._build_step()
+        self._intermediate_logs = None
+        self._initialized = True
+        return self
+
+    def _select_impl(self):
+        opts = self.options
+        self._is_rbf = (
+            isinstance(self.kernel, GaussianRBFKernel)
+            and self.kernel._kernel_fn is rbf_kernel_fn
+        )
+        self._adaptive_rbf = self._is_rbf and self.kernel.adaptive
+        impl = opts.phi_impl
+        if self.log_intermediate_matrices:
+            # The debug dump needs the explicit K / grad-K stacks, which only
+            # the generic path materializes (reference logs them too,
+            # SVGD.hpp:346-358).
+            impl = "generic"
+        elif impl == "auto":
+            if not self._is_rbf:
+                impl = "generic"
+            elif self.num_particles <= DENSE_PHI_MAX_PARTICLES:
+                impl = "dense"
+            else:
+                impl = "blocked"
+        if impl in ("dense", "blocked", "pallas") and not self._is_rbf:
+            raise ValueError(
+                f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
+            )
+        self._phi_impl = impl
+
+    # Hooks: a custom (user-overridden) per-step hook cannot run inside the
+    # jitted scan; fall back to an eager per-iteration loop, mirroring the
+    # reference's hook-then-phi step order (SVGD.hpp:373-400).
+    def _has_custom_hooks(self) -> bool:
+        model_hook = type(self.model).step is not Model.step
+        kernel_hook = type(self.kernel).step not in (
+            Kernel.step,
+            GaussianRBFKernel.step,
+        )
+        return model_hook or kernel_hook
+
+    # ------------------------------------------------------------------
+    # Pure step construction
+    # ------------------------------------------------------------------
+    def _phi(self, coords, scores, kparams):
+        if self._phi_impl == "generic":
+            return phi_generic(coords, scores, self.kernel.kernel_pure, kparams)
+        if self._phi_impl == "dense":
+            return phi_rbf(coords, scores, kparams[0])
+        if self._phi_impl == "blocked":
+            return phi_rbf_blocked(coords, scores, kparams[0], self.options.row_tile)
+        if self._phi_impl == "pallas":
+            from .ops.pallas_phi import phi_rbf_pallas
+
+            return phi_rbf_pallas(coords, scores, kparams[0])
+        raise ValueError(f"unknown phi_impl {self._phi_impl!r}")
+
+    def _scale_params(self, coords, mparams, kparams):
+        """In-graph bandwidth adaptation (reference kernel Step(),
+        GaussianRBFKernel.hpp:141-156)."""
+        if not self._adaptive_rbf:
+            return kparams
+        if self.kernel.target_model is self.model:
+            scale = self.kernel.compute_scale_pure(coords, mparams)
+        else:
+            scale = self.kernel.compute_scale_pure(coords)
+        return tuple(scale for _ in kparams)
+
+    def build_step_fn(self):
+        """Return the pure step: state -> (state, debug|None).
+
+        state = {coords, opt_state, kernel_params, model_params}. This is the
+        function the scan rolls; it is also the graft/bench entry surface.
+        """
+        collect_debug = self.log_intermediate_matrices
+
+        def step_fn(state, _=None):
+            coords = state["coords"]
+            mparams = state["model_params"]
+            kparams = self._scale_params(coords, mparams, state["kernel_params"])
+            scores = jax.vmap(
+                lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
+            )(coords)
+            phi = self._phi(coords, scores, kparams)
+            opt_state, inc = self.optimizer.step(state["opt_state"], phi)
+            new_coords = coords + inc
+            if self.lower_bound is not None:
+                new_coords = jnp.maximum(new_coords, self.lower_bound)
+            if self.upper_bound is not None:
+                new_coords = jnp.minimum(new_coords, self.upper_bound)
+            new_state = {
+                "coords": new_coords,
+                "opt_state": opt_state,
+                "kernel_params": kparams,
+                "model_params": mparams,
+            }
+            if collect_debug:
+                k_mat, k_grad = kernel_matrix_and_grad(
+                    coords, self.kernel.kernel_pure, kparams
+                )
+                debug = {
+                    "log_model_grad": scores,
+                    "kernel": k_mat,
+                    "kernel_grad": k_grad,
+                    "coords": new_coords,
+                }
+            else:
+                debug = 0.0  # scan needs a pytree output; keep it trivial
+            return new_state, debug
+
+        return step_fn
+
+    def _build_step(self):
+        step_fn = self.build_step_fn()
+        self._jit_step = jax.jit(lambda s: step_fn(s)[0])
+
+        def run_n(state, num_steps):
+            return jax.lax.scan(step_fn, state, None, length=num_steps)
+
+        self._jit_run = jax.jit(run_n, static_argnums=1)
+
+    def make_state(self):
+        """Assemble the state pytree from current component parameters."""
+        coords = self.store.value
+        state = {
+            "coords": coords,
+            "opt_state": self._opt_state,
+            "kernel_params": tuple(self.kernel.parameters),
+            "model_params": tuple(self.model.parameters),
+        }
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = self.mesh.axis_names[0]
+            sharding = NamedSharding(self.mesh, P(axis, None))
+            state["coords"] = jax.device_put(state["coords"], sharding)
+            state["opt_state"] = jax.tree.map(
+                lambda x: jax.device_put(x, sharding)
+                if getattr(x, "ndim", 0) == 2
+                else x,
+                state["opt_state"],
+            )
+        return state
+
+    def _absorb_state(self, state):
+        self.store.value = state["coords"]
+        self._opt_state = state["opt_state"]
+        self.kernel.update_parameters(state["kernel_params"])
+
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    def step(self):
+        """Execute one SVGD step (reference SVGD::Step, SVGD.hpp:373-400)."""
+        self._require_init()
+        if self._has_custom_hooks():
+            self._eager_hooks()
+        state = self.make_state()
+        self._absorb_state(self._jit_step(state))
+
+    def run(self):
+        """Execute num_iterations steps (reference SVGD::Run, SVGD.hpp:338-366)."""
+        self._require_init()
+        if self._has_custom_hooks():
+            # Eager fallback: hooks are host-side Python, one jitted step per
+            # iteration.
+            for _ in range(self.num_iterations):
+                self.step()
+        else:
+            state = self.make_state()
+            final_state, debug = self._jit_run(state, self.num_iterations)
+            self._absorb_state(final_state)
+            if self.log_intermediate_matrices:
+                self._intermediate_logs = jax.tree.map(jax.device_get, debug)
+                write_intermediate_matrices(
+                    self.intermediate_matrices_output_path, self._intermediate_logs
+                )
+        return self.store.value
+
+    def _eager_hooks(self):
+        self.model.step()
+        self.kernel.step()
+
+    def _require_init(self):
+        if not self._initialized:
+            raise RuntimeError(
+                SVGD_LOG_PREFIX + "Initialize() must be called before stepping."
+            )
+
+    # ------------------------------------------------------------------
+    # Parameter hot-swap (reference SVGD.hpp:304-332)
+    # ------------------------------------------------------------------
+    def update_kernel_parameters(self, params):
+        self.kernel.update_parameters(params)
+        self.kernel.initialize()
+
+    def update_model_parameters(self, params):
+        self.model.update_parameters(params)
+        self.model.initialize()
+
+    # ------------------------------------------------------------------
+    # CamelCase aliases
+    # ------------------------------------------------------------------
+    Initialize = initialize
+    Run = run
+    Step = step
+    UpdateKernelParameters = update_kernel_parameters
+    UpdateModelParameters = update_model_parameters

@@ -1,0 +1,45 @@
+"""Example-workload convergence tests — the correctness anchors.
+
+BASELINE.md: posterior moments on the reference's MVN and GMM example
+configs must match the target distribution within Monte-Carlo error
+(reference examples/multivariate_normal/mvn_example.cpp and
+examples/gaussian_mixture_model/gmm_example.cpp).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
+
+import gmm_example  # noqa: E402
+import mvn_example  # noqa: E402
+
+
+def test_mvn_example_converges():
+    x0, final, mean, cov = mvn_example.run(verbose=False)
+    assert final.shape == x0.shape
+    # With 10 particles the empirical mean carries MC error ~ sqrt(var/10);
+    # allow 2x that slack per coordinate.
+    tol = 2.0 * np.sqrt(np.diag(cov) / x0.shape[0])
+    err = np.abs(final.mean(axis=0) - mean)
+    assert np.all(err < tol), f"mean error {err} vs tol {tol}"
+    # Particles spread (not collapsed onto the mode)
+    assert np.all(final.std(axis=0) > 0.3 * np.sqrt(np.diag(cov)))
+
+
+def test_gmm_example_covers_both_modes():
+    x0, final, (mean1, cov1), (mean2, cov2) = gmm_example.run(verbose=False)
+    d1 = np.linalg.norm(final - mean1, axis=1)
+    d2 = np.linalg.norm(final - mean2, axis=1)
+    near1 = (d1 < d2).sum()
+    near2 = (d2 <= d1).sum()
+    # Both modes populated (visual-regression analog of the reference
+    # notebooks, examples/README.md:3-14)
+    assert near1 >= 3 and near2 >= 3
+    # Each cluster's mean is near its mode
+    c1 = final[d1 < d2].mean(axis=0)
+    c2 = final[d2 <= d1].mean(axis=0)
+    assert np.linalg.norm(c1 - mean1) < 1.5
+    assert np.linalg.norm(c2 - mean2) < 1.5

@@ -1,0 +1,115 @@
+"""Median / bandwidth tests.
+
+Validates the reference parity details: median over ALL n^2 pairwise
+distances including the n self-zeros (GaussianRBFKernel.hpp:66), even-count
+averaging (:224-245), the log(n)/median^2 scale (:187), the Hessian scale
+(:199-209), and the scalable histogram selection against the exact sort.
+"""
+
+import numpy as np
+import pytest
+
+from svgdcpp_tpu import GaussianRBFKernel, MultivariateNormal, ScaleMethod, UnsetError
+from svgdcpp_tpu.kernels.gaussian_rbf import hessian_scale, median_scale
+from svgdcpp_tpu.ops.median import (
+    median_exact,
+    pairwise_distance_median_exact,
+    pairwise_distance_median_histogram,
+)
+
+
+def np_pairwise_median(coords):
+    """NumPy oracle: reference ComputeScale median path (incl. self-zeros)."""
+    n = coords.shape[0]
+    d = np.sqrt(
+        np.maximum(
+            ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1), 0.0
+        )
+    ).ravel()
+    d.sort()
+    total = n * n
+    if total % 2 == 0:
+        return 0.5 * (d[total // 2 - 1] + d[total // 2])
+    return d[total // 2]
+
+
+def test_median_exact_even_odd():
+    np.testing.assert_allclose(float(median_exact(np.array([3.0, 1.0, 2.0]))), 2.0)
+    np.testing.assert_allclose(
+        float(median_exact(np.array([4.0, 1.0, 3.0, 2.0]))), 2.5
+    )
+
+
+@pytest.mark.parametrize("n", [4, 5, 10, 33])
+def test_pairwise_median_vs_oracle(rng, n):
+    coords = rng.normal(size=(n, 3))
+    np.testing.assert_allclose(
+        float(pairwise_distance_median_exact(coords)),
+        np_pairwise_median(coords),
+        rtol=1e-12,
+    )
+
+
+@pytest.mark.parametrize("n", [10, 100, 257])
+def test_histogram_median_matches_exact(rng, n):
+    coords = rng.normal(size=(n, 4))
+    exact = float(pairwise_distance_median_exact(coords))
+    approx = float(
+        pairwise_distance_median_histogram(coords, bins=512, passes=3, row_tile=64)
+    )
+    assert abs(approx - exact) <= 1e-6 * max(exact, 1.0)
+
+
+def test_median_scale_formula(rng):
+    coords = rng.normal(size=(12, 2))
+    med = np_pairwise_median(coords)
+    p = np.asarray(median_scale(coords, "exact"))
+    np.testing.assert_allclose(p, np.log(12) / med**2 * np.eye(2), rtol=1e-10)
+
+
+def test_hessian_scale_formula(rng):
+    mean = np.array([0.5, -0.5])
+    cov = np.array([[1.0, 0.3], [0.3, 2.0]])
+    mvn = MultivariateNormal(mean, cov)
+    coords = rng.normal(size=(7, 2))
+    p = np.asarray(hessian_scale(coords, mvn.log_density_pure, mvn.parameters))
+    # -hess log p = inv(cov) per particle; sum = n * inv(cov);
+    # P = 1/(2 d n) * sum (reference GaussianRBFKernel.hpp:199-209)
+    expected = 7 * np.linalg.inv(cov) / (2.0 * 2 * 7)
+    np.testing.assert_allclose(p, expected, rtol=1e-10)
+
+
+def test_rbf_kernel_initial_scale(rng):
+    # The RBF kernel computes its initial bandwidth at construction
+    # (reference GaussianRBFKernel.hpp:84).
+    coords = rng.normal(size=(9, 2))
+    k = GaussianRBFKernel(coords, ScaleMethod.MEDIAN)
+    med = np_pairwise_median(coords)
+    np.testing.assert_allclose(
+        np.asarray(k.parameters[0]), np.log(9) / med**2 * np.eye(2), rtol=1e-10
+    )
+
+
+def test_rbf_kernel_value(rng):
+    coords = rng.normal(size=(6, 2))
+    k = GaussianRBFKernel(coords, ScaleMethod.MEDIAN)
+    p = np.asarray(k.parameters[0])
+    loc = rng.normal(size=2)
+    x = rng.normal(size=2)
+    k.update_location(loc)
+    diff = x - loc
+    assert np.isclose(float(k.evaluate_kernel(x)), np.exp(-diff @ p @ diff))
+
+
+def test_hessian_method_requires_model(rng):
+    with pytest.raises(UnsetError):
+        GaussianRBFKernel(rng.normal(size=(5, 2)), ScaleMethod.HESSIAN)
+
+
+def test_constant_scale(rng):
+    p0 = np.array([[2.0, 0.0], [0.0, 3.0]])
+    k = GaussianRBFKernel(
+        rng.normal(size=(5, 2)), ScaleMethod.CONSTANT, constant_scale=p0
+    )
+    assert not k.adaptive
+    np.testing.assert_array_equal(np.asarray(k.parameters[0]), p0)
