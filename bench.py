@@ -1,0 +1,151 @@
+"""Benchmark: particle-updates/sec/chip (BASELINE.json primary metric).
+
+Workload: N=10k particles, d=2, Gaussian-RBF kernel with per-step median
+bandwidth, AdaGrad lr=0.1 — the reference's mvn_example configuration
+(reference examples/multivariate_normal/mvn_example.cpp:19-35) scaled to the
+BASELINE.json measurement size.
+
+Baseline: the C++ reference cannot be built in this image (no Eigen/CppAD),
+and it publishes no numbers (BASELINE.md). The stand-in baseline is a
+best-case *vectorized NumPy float64* implementation of the reference
+algorithm — same per-step math: Gram-identity pairwise distances, full
+n^2 median including self-zeros, closed-form RBF phi, AdaGrad update. This
+is generous to the reference: its actual CppAD tape-replay per-pair loop
+(SVGD.hpp:435-450) is orders of magnitude slower than vectorized NumPy.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particle-updates/s/chip", "vs_baseline": R}
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+# ----------------------------------------------------------------------
+# NumPy reference-equivalent baseline (vectorized, f64)
+# ----------------------------------------------------------------------
+
+
+def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
+    """One SVGD step exactly as the reference computes it, vectorized."""
+    n = x.shape[0]
+    # median bandwidth (GaussianRBFKernel.hpp:164-187): n^2 dists incl. zeros
+    sq_norms = (x * x).sum(1)
+    sq = np.maximum(sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T), 0.0)
+    d = np.sqrt(sq.ravel())
+    half = d.size // 2
+    part = np.partition(d, [half - 1, half])
+    med = 0.5 * (part[half - 1] + part[half])
+    gamma = np.log(n) / med**2
+    # phi (SVGD.hpp:407-454), closed-form RBF
+    k = np.exp(-gamma * sq)
+    scores = -(x - mean) @ cov_inv.T
+    ks = k @ scores
+    kx = k @ x
+    rowsum = k.sum(1)
+    phi = (ks - 2.0 * gamma * (kx - rowsum[:, None] * x)) / n
+    # AdaGrad (AdaGrad.hpp:60-65)
+    s_accum += phi * phi
+    x = x + lr * phi / (eps + np.sqrt(s_accum))
+    return x, s_accum
+
+
+def bench_numpy_baseline(x0, mean, cov, iters):
+    cov_inv = np.linalg.inv(cov)
+    x = x0.astype(np.float64).copy()
+    s = np.zeros_like(x)
+    # warmup
+    x, s = numpy_reference_step(x, s, mean, cov_inv)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x, s = numpy_reference_step(x, s, mean, cov_inv)
+    dt = time.perf_counter() - t0
+    return x0.shape[0] * iters / dt
+
+
+# ----------------------------------------------------------------------
+# TPU path
+# ----------------------------------------------------------------------
+
+
+def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
+    import jax
+
+    import svgdcpp_tpu as sv
+
+    n, dim = x0.shape
+    model = sv.MultivariateNormal(mean.astype(np.float32), cov.astype(np.float32))
+    kernel = sv.GaussianRBFKernel(
+        x0.astype(np.float32), sv.ScaleMethod.MEDIAN, model
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim,
+            num_iterations=steps_per_call,
+            coordinate_matrix=x0.astype(np.float32),
+            kernel=kernel,
+            model=model,
+            optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl=phi_impl,
+        )
+    )
+    svgd.initialize()
+    state = svgd.make_state()
+
+    # warmup/compile
+    out = svgd._jit_run(state, steps_per_call)
+    jax.block_until_ready(out)
+
+    calls = max(1, iters // steps_per_call)
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(calls):
+        st, _ = svgd._jit_run(st, steps_per_call)
+    jax.block_until_ready(st)
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(st["coords"])).all()
+    return n * calls * steps_per_call / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--particles", type=int, default=10_000)
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--baseline-iters", type=int, default=3)
+    ap.add_argument("--impl", default="auto")
+    ap.add_argument("--quick", action="store_true", help="small fast run")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.particles, args.iters, args.baseline_iters = 2048, 20, 2
+
+    dim = 2
+    mean = np.array([-0.6871, 0.8010])
+    cov = 5.0 * np.array([[0.2260, 0.1652], [0.1652, 0.6779]])
+    rng = np.random.default_rng(0)
+    x0 = 3.0 * rng.uniform(-1, 1, (args.particles, dim))
+
+    tpu_rate = bench_tpu(x0, mean, cov, args.iters, args.impl)
+    base_rate = bench_numpy_baseline(x0, mean, cov, args.baseline_iters)
+
+    print(
+        json.dumps(
+            {
+                "metric": f"particle-updates/sec/chip (N={args.particles}, d={dim}, RBF-median, AdaGrad)",
+                "value": round(tpu_rate, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(tpu_rate / base_rate, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

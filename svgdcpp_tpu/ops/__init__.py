@@ -5,5 +5,8 @@ from .median import (
     pairwise_distance_median_exact,
     pairwise_distance_median_histogram,
     kth_smallest_hist,
+    kth_smallest_bisect,
+    count_le_cross,
+    pairwise_distance_median_bisect,
 )
 from .phi import phi_generic, phi_rbf, phi_rbf_blocked, rbf_kernel_matrix

@@ -122,45 +122,66 @@ def phi_rbf(coords: jnp.ndarray, scores: jnp.ndarray, p_matrix: jnp.ndarray) -> 
 # ----------------------------------------------------------------------
 
 
+def phi_rbf_cross(
+    targets: jnp.ndarray,
+    sources: jnp.ndarray,
+    source_scores: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    row_tile: int = 1024,
+    axis_name=None,
+) -> jnp.ndarray:
+    """Streaming RBF phi for ``targets`` rows against global ``sources``.
+
+    phi_i = (1/n_src) sum_j [ k(s_j, t_i) score_j + grad_{s_j} k(s_j, t_i) ]
+
+    Tile-streamed over target rows; memory O(row_tile * n_src). Per tile:
+    build the K tile from Gram pieces, then one matmul against
+    B = [S | X | 1] gives K S, K X and rowsum(K) simultaneously — K never
+    round-trips to HBM. The cross form is the building block of the sharded
+    multi-chip phi (local targets x all-gathered sources, SURVEY.md §7).
+    """
+    n_t, m = targets.shape
+    n_s = sources.shape[0]
+    num_tiles = -(-n_t // row_tile)
+    pad = num_tiles * row_tile - n_t
+    p_sym = p_matrix + p_matrix.T
+    q_src = jnp.sum((sources @ p_matrix) * sources, axis=1)  # (n_s,)
+    q_tgt = jnp.sum((targets @ p_matrix) * targets, axis=1)  # (n_t,)
+    src_ps = sources @ p_sym  # (n_s, m): rows s_j^T (P+P^T)
+    b = jnp.concatenate(
+        [source_scores, sources, jnp.ones((n_s, 1), sources.dtype)], axis=1
+    )  # (n_s, 2m+1)
+
+    targets_pad = jnp.pad(targets, ((0, pad), (0, 0)))
+    q_tgt_pad = jnp.pad(q_tgt, (0, pad))
+
+    def tile_body(t, acc):
+        rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
+        cross = rows @ src_ps.T  # (row_tile, n_s) MXU
+        quad = jnp.maximum(q_rows[:, None] + q_src[None, :] - cross, 0.0)
+        k_tile = jnp.exp(-quad)
+        a_tile = k_tile @ b  # (row_tile, 2m+1) MXU
+        return jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
+
+    a0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), targets.dtype)
+    if axis_name is not None:
+        # shard_map VMA rules: the fori carry must match the body's
+        # device-varying type; mark the zero init as varying.
+        a0 = jax.lax.pcast(a0, (axis_name,), to="varying")
+    a = jax.lax.fori_loop(0, num_tiles, tile_body, a0)[:n_t]
+
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    return (ks - (kx - rowsum[:, None] * targets) @ p_sym) / n_s
+
+
 def phi_rbf_blocked(
     coords: jnp.ndarray,
     scores: jnp.ndarray,
     p_matrix: jnp.ndarray,
     row_tile: int = 1024,
 ) -> jnp.ndarray:
-    """Streaming RBF phi over row tiles; memory O(row_tile * n).
-
-    Per target tile: build the K tile from Gram pieces, then one matmul
-    against B = [S | X | 1] gives K S, K X and rowsum(K) simultaneously —
-    K never round-trips to HBM.
-    """
-    n, m = coords.shape
-    num_tiles = -(-n // row_tile)
-    pad = num_tiles * row_tile - n
-    p_sym = p_matrix + p_matrix.T
-    xp = coords @ p_matrix
-    q = jnp.sum(xp * coords, axis=1)  # (n,)
-    xps = coords @ p_sym  # (n, m): rows x_j^T (P+P^T)
-    b = jnp.concatenate(
-        [scores, coords, jnp.ones((n, 1), coords.dtype)], axis=1
-    )  # (n, 2m+1)
-
-    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
-    q_pad = jnp.pad(q, (0, pad))
-
-    def tile_body(t, acc):
-        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
-        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
-        cross = rows @ xps.T  # (row_tile, n) MXU
-        quad = jnp.maximum(q_rows[:, None] + q[None, :] - cross, 0.0)
-        k_tile = jnp.exp(-quad)
-        a_tile = k_tile @ b  # (row_tile, 2m+1) MXU
-        return jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
-
-    a0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
-    a = jax.lax.fori_loop(0, num_tiles, tile_body, a0)[:n]
-
-    ks = a[:, :m]
-    kx = a[:, m : 2 * m]
-    rowsum = a[:, 2 * m]
-    return (ks - (kx - rowsum[:, None] * coords) @ p_sym) / n
+    """Streaming RBF phi over row tiles; memory O(row_tile * n)."""
+    return phi_rbf_cross(coords, coords, scores, p_matrix, row_tile)

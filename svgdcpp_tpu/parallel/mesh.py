@@ -1,0 +1,38 @@
+"""Device-mesh helpers for particle-axis sharding.
+
+The reference's only parallelism is OpenMP shared-memory threading over
+particles (reference SVGD.hpp:276-285, 380-390, 418-431; Core.hpp:83-106).
+The TPU generalization (SURVEY.md §2) is particle-axis sharding over a 1-D
+``jax.sharding.Mesh``: each chip owns a contiguous block of particles and
+the globally-coupled computations (n x n kernel blocks, the pairwise-distance
+median) run over collectives on the ICI — see ``sharded.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+PARTICLE_AXIS = "particles"
+
+
+def make_particle_mesh(
+    devices: Optional[Sequence] = None, axis_name: str = PARTICLE_AXIS
+) -> Mesh:
+    """A 1-D mesh over all (or the given) devices, named for particles."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def particle_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-sharded (n, m) placement: particles split, coordinates replicated."""
+    return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())

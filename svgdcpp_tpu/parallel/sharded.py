@@ -1,0 +1,273 @@
+"""Multi-chip SVGD: explicit shard_map over the particle axis.
+
+This is the TPU generalization of the reference's OpenMP-over-particles
+parallel mode (reference SVGD.hpp:239-249, 418-431; SURVEY.md §2 parallelism
+accounting). Each device owns an n/D block of particles; the two globally
+coupled computations are realized with collectives over the mesh axis:
+
+  1. the cross-shard kernel blocks of phi — local target rows against
+     all-gathered global sources (reference's dense nested loop,
+     SVGD.hpp:426-430, 445-449), tile-streamed so the n x n matrix never
+     materializes;
+  2. the global pairwise-distance median for the RBF bandwidth — per-shard
+     histogram counts psum'ed, then an identical deterministic bisection on
+     every shard (reference's std::nth_element, GaussianRBFKernel.hpp:222-254).
+
+Scores, optimizer state and the position update are purely local (embarrassing
+data parallelism, like the reference's per-thread loop body).
+
+Everything here is expressed with ``jax.shard_map`` + named collectives
+(all_gather / psum / pmax) so XLA schedules the transfers on ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.exceptions import DimensionMismatchError
+from ..kernels.gaussian_rbf import ScaleMethod
+from ..ops.median import count_le_cross, kth_smallest_bisect
+from ..ops.phi import phi_rbf_cross
+from .mesh import make_particle_mesh
+
+
+# ----------------------------------------------------------------------
+# Collective building blocks (run INSIDE shard_map)
+# ----------------------------------------------------------------------
+
+
+def sharded_pairwise_median(
+    coords_local: jnp.ndarray,
+    sources_global: jnp.ndarray,
+    axis_name: str,
+    *,
+    bins: int = 1024,
+    passes: int = 3,
+    row_tile: int = 512,
+) -> jnp.ndarray:
+    """Global median of all n^2 pairwise distances, from inside shard_map.
+
+    ``coords_local`` is this shard's row block; ``sources_global`` the
+    all-gathered coordinates (shared with the phi computation, so the gather
+    is paid once per step). Counts are psum'ed; the refinement is identical
+    on every shard, so the result is replicated with zero extra traffic.
+    Even-count semantics match the reference (GaussianRBFKernel.hpp:224-245).
+    """
+    n = sources_global.shape[0]
+    total = n * n
+
+    # pmax of the LOCAL max (not max of the all-gather output): the psum/pmax
+    # family yields a replication-typed value, which keeps the whole
+    # refinement — and hence the returned median — statically replicated.
+    local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+    hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
+
+    def count_fn(thresholds):
+        local = count_le_cross(
+            coords_local, sources_global, thresholds,
+            row_tile=row_tile, axis_name=axis_name,
+        )
+        return jax.lax.psum(local, axis_name)
+
+    ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
+    mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
+    return jnp.mean(jnp.sqrt(mids))
+
+
+def sharded_median_scale(
+    coords_local, sources_global, axis_name, **kwargs
+) -> jnp.ndarray:
+    """P = log(n)/median^2 * I with a distributed median."""
+    n, m = sources_global.shape
+    med = sharded_pairwise_median(coords_local, sources_global, axis_name, **kwargs)
+    return (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=coords_local.dtype)
+
+
+def sharded_hessian_scale(
+    coords_local: jnp.ndarray,
+    log_density_fn: Callable,
+    model_params,
+    axis_name: str,
+    n_global: int,
+) -> jnp.ndarray:
+    """P = 1/(2 d n) * sum_i -hess log p(x_i), psum over shards.
+
+    (reference GaussianRBFKernel.hpp:199-209)
+    """
+    m = coords_local.shape[1]
+    local_sum = jnp.sum(
+        jax.vmap(lambda x: jax.hessian(log_density_fn)(x, model_params))(coords_local),
+        axis=0,
+    )
+    total = jax.lax.psum(local_sum, axis_name)
+    return -total / (2.0 * m * n_global)
+
+
+# ----------------------------------------------------------------------
+# Full sharded training step
+# ----------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardedSVGDConfig:
+    """Config for the explicit multi-chip step."""
+
+    scale_method: ScaleMethod = ScaleMethod.MEDIAN
+    constant_scale: Any = None  # (m, m) for ScaleMethod.CONSTANT
+    lower_bound: Any = None
+    upper_bound: Any = None
+    median_bins: int = 16
+    median_passes: int = 6
+    row_tile: int = 1024
+
+
+class ShardedSVGD:
+    """Explicit shard_map SVGD for the Gaussian-RBF kernel.
+
+    The flagship scale-out path: coords/optimizer state live row-sharded over
+    a 1-D particle mesh; ``step``/``run`` are jitted device programs whose
+    only cross-chip traffic is one coords all-gather, one scores all-gather,
+    psum'ed median histograms, and (for Hessian scale) one m x m psum.
+
+    For arbitrary composed kernels use the single-chip driver or GSPMD
+    auto-sharding (SVGDOptions.mesh); this class trades generality for the
+    optimal collective schedule on the dominant use case.
+    """
+
+    def __init__(
+        self,
+        model,
+        optimizer,
+        num_particles: int,
+        dimension: int,
+        mesh: Optional[Mesh] = None,
+        config: Optional[ShardedSVGDConfig] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.mesh = mesh if mesh is not None else make_particle_mesh()
+        self.config = config or ShardedSVGDConfig()
+        self.axis = self.mesh.axis_names[0]
+        self.num_particles = int(num_particles)
+        self.dimension = int(dimension)
+        n_dev = self.mesh.devices.size
+        if self.num_particles % n_dev != 0:
+            raise DimensionMismatchError(
+                f"num_particles ({self.num_particles}) must divide evenly over "
+                f"{n_dev} devices; pad the particle set."
+            )
+        self._build()
+
+    # ------------------------------------------------------------------
+    def _scale(self, coords_local, sources_global, model_params):
+        cfg = self.config
+        if cfg.scale_method == ScaleMethod.MEDIAN:
+            return sharded_median_scale(
+                coords_local,
+                sources_global,
+                self.axis,
+                bins=cfg.median_bins,
+                passes=cfg.median_passes,
+                row_tile=cfg.row_tile,
+            )
+        if cfg.scale_method == ScaleMethod.HESSIAN:
+            return sharded_hessian_scale(
+                coords_local,
+                self.model.log_density_pure,
+                model_params,
+                self.axis,
+                self.num_particles,
+            )
+        return jnp.asarray(cfg.constant_scale)
+
+    def _build(self):
+        axis = self.axis
+        cfg = self.config
+        model = self.model
+        optimizer = self.optimizer
+        lower = (
+            None if cfg.lower_bound is None else jnp.asarray(cfg.lower_bound)
+        )
+        upper = (
+            None if cfg.upper_bound is None else jnp.asarray(cfg.upper_bound)
+        )
+
+        def local_step(coords_local, opt_state_local, model_params):
+            # One gather shared by bandwidth + phi.
+            sources = jax.lax.all_gather(coords_local, axis, tiled=True)
+            p_matrix = self._scale(coords_local, sources, model_params)
+            scores_local = jax.vmap(
+                lambda x: jax.grad(model.log_density_pure)(x, model_params)
+            )(coords_local)
+            scores = jax.lax.all_gather(scores_local, axis, tiled=True)
+            phi_local = phi_rbf_cross(
+                coords_local, sources, scores, p_matrix, cfg.row_tile,
+                axis_name=axis,
+            )
+            opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
+            new_coords = coords_local + inc
+            if lower is not None:
+                new_coords = jnp.maximum(new_coords, lower)
+            if upper is not None:
+                new_coords = jnp.minimum(new_coords, upper)
+            return new_coords, opt_state_local, p_matrix
+
+        shard_spec = P(axis, None)
+        sharded = jax.shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(shard_spec, shard_spec, P()),
+            out_specs=(shard_spec, shard_spec, P()),
+        )
+
+        def step_fn(state):
+            coords, opt_state, scale = sharded(
+                state["coords"], state["opt_state"], state["model_params"]
+            )
+            return {
+                "coords": coords,
+                "opt_state": opt_state,
+                "model_params": state["model_params"],
+                "scale": scale,
+            }
+
+        self.step_fn = jax.jit(step_fn)
+
+        def run_fn(state, num_steps):
+            def body(s, _):
+                return step_fn(s), None
+
+            final, _ = jax.lax.scan(body, state, None, length=num_steps)
+            return final
+
+        self.run_fn = jax.jit(run_fn, static_argnums=1)
+
+    # ------------------------------------------------------------------
+    def init_state(self, coords):
+        coords = jnp.asarray(coords)
+        if coords.shape != (self.num_particles, self.dimension):
+            raise DimensionMismatchError(
+                f"coords must be ({self.num_particles}, {self.dimension})."
+            )
+        sharding = NamedSharding(self.mesh, P(self.axis, None))
+        coords = jax.device_put(coords, sharding)
+        opt_state = jax.tree.map(
+            lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) == 2 else x,
+            self.optimizer.init(coords.dtype),
+        )
+        return {
+            "coords": coords,
+            "opt_state": opt_state,
+            "model_params": tuple(self.model.parameters),
+            "scale": jnp.eye(self.dimension, dtype=coords.dtype),
+        }
+
+    def run(self, coords, num_iterations: int):
+        state = self.init_state(coords)
+        return self.run_fn(state, int(num_iterations))["coords"]
