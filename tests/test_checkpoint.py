@@ -1,0 +1,61 @@
+"""Checkpoint/resume tests (SURVEY.md §5: aux subsystem the reference lacks)."""
+
+import numpy as np
+
+import svgdcpp_tpu as sv
+from svgdcpp_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def build(x0, iters):
+    n, dim = x0.shape
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    return sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim,
+            num_iterations=iters,
+            coordinate_matrix=x0.copy(),
+            kernel=kernel,
+            model=model,
+            optimizer=sv.Adam(dim, n, 0.1, 0.9, 0.999),
+        )
+    )
+
+
+def test_checkpoint_roundtrip_resumes_exactly(tmp_path, rng):
+    x0 = rng.normal(size=(12, 2))
+
+    # Uninterrupted 10-step run
+    s_full = build(x0, 10)
+    s_full.initialize()
+    full = np.asarray(s_full.run())
+
+    # 5 steps -> checkpoint -> restore -> 5 more steps
+    s_a = build(x0, 5)
+    s_a.initialize()
+    s_a.run()
+    state = s_a.make_state()
+    ckpt = save_checkpoint(tmp_path / "ck", state, step=5)
+
+    s_b = build(x0, 5)
+    s_b.initialize()
+    restored, step = restore_checkpoint(tmp_path / "ck", s_b.make_state())
+    assert step == 5
+    s_b._absorb_state(restored)
+    resumed = np.asarray(s_b.run())
+
+    np.testing.assert_allclose(resumed, full, rtol=1e-12, atol=1e-15)
+    assert ckpt.endswith(".npz")
+
+
+def test_checkpoint_missing_key_raises(tmp_path, rng):
+    x0 = rng.normal(size=(8, 2))
+    s = build(x0, 1)
+    s.initialize()
+    state = s.make_state()
+    save_checkpoint(tmp_path / "ck", {"coords": state["coords"]}, step=0)
+    try:
+        restore_checkpoint(tmp_path / "ck", state)
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass

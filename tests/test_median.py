@@ -113,3 +113,36 @@ def test_constant_scale(rng):
     )
     assert not k.adaptive
     np.testing.assert_array_equal(np.asarray(k.parameters[0]), p0)
+
+
+@pytest.mark.parametrize("n", [300, 1111])
+def test_hybrid_median_matches_exact(rng, n):
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_hybrid
+
+    coords = rng.normal(size=(n, 3))
+    exact = float(pairwise_distance_median_exact(coords))
+    approx = float(
+        pairwise_distance_median_hybrid(
+            coords, num_samples=1 << 14, passes=3, row_tile=128
+        )
+    )
+    assert abs(approx - exact) <= 1e-4 * max(exact, 1.0)
+
+
+def test_hybrid_fallback_on_bad_bracket(rng):
+    """Force the bracket check to fail and confirm the bisect fallback."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import (
+        _refine_pair_in_bracket,
+        count_le_cross,
+        pairwise_distance_median_exact,
+    )
+
+    coords = rng.normal(size=(64, 2))
+    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=16)
+    # Bracket far below the true median: validity flag must be False
+    _, _, valid = _refine_pair_in_bracket(
+        count_fn, 64 * 64 // 2, 64 * 64 // 2 + 1,
+        jnp.asarray(1e-8), jnp.asarray(2e-8), bins=16, passes=1,
+    )
+    assert not bool(valid)
