@@ -99,19 +99,65 @@ def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
     svgd.initialize()
     state = svgd.make_state()
 
-    # warmup/compile
+    # warmup/compile; sync via host transfer — this transport's
+    # block_until_ready can return before remote execution completes
     out = svgd._jit_run(state, steps_per_call)
-    jax.block_until_ready(out)
+    np.asarray(out[0]["coords"])
 
     calls = max(1, iters // steps_per_call)
     t0 = time.perf_counter()
     st = state
     for _ in range(calls):
         st, _ = svgd._jit_run(st, steps_per_call)
-    jax.block_until_ready(st)
+    np.asarray(st["coords"])  # full sync
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(st["coords"])).all()
     return n * calls * steps_per_call / dt
+
+
+def bench_blr(particles, iters, dim=50, n_data=1024, hierarchical=False):
+    """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
+    import jax
+
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.models.bayesian_logistic_regression import (
+        make_synthetic_classification,
+    )
+
+    rng = np.random.default_rng(0)
+    features, labels, _ = make_synthetic_classification(rng, n_data=n_data, dim=dim)
+    if hierarchical:
+        model = sv.HierarchicalBayesianLogisticRegression(features, labels)
+        full_dim = dim + 1
+    else:
+        model = sv.BayesianLogisticRegression(features, labels, 0.1)
+        full_dim = dim
+    x0 = rng.normal(size=(particles, full_dim)).astype(np.float32)
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    if hierarchical:
+        kernel = kernel + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(full_dim, dtype=np.float32),
+        )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=full_dim, num_iterations=10, coordinate_matrix=x0,
+            kernel=kernel, model=model,
+            optimizer=sv.Adam(full_dim, particles, 5e-2, 0.9, 0.999),
+        )
+    )
+    svgd.initialize()
+    state = svgd.make_state()
+    out = svgd._jit_run(state, 10)
+    np.asarray(out[0]["coords"])  # sync (block_until_ready unreliable here)
+    calls = max(1, iters // 10)
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(calls):
+        st, _ = svgd._jit_run(st, 10)
+    np.asarray(st["coords"])  # full sync
+    dt = time.perf_counter() - t0
+    return particles * calls * 10 / dt
 
 
 def main():
@@ -121,10 +167,31 @@ def main():
     ap.add_argument("--baseline-iters", type=int, default=3)
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--quick", action="store_true", help="small fast run")
+    ap.add_argument(
+        "--config",
+        default="mvn",
+        choices=["mvn", "blr", "hier"],
+        help="mvn = primary metric (default); blr / hier = BASELINE configs 3-4",
+    )
     args = ap.parse_args()
 
     if args.quick:
         args.particles, args.iters, args.baseline_iters = 2048, 20, 2
+
+    if args.config == "blr":
+        rate = bench_blr(1000, args.iters)
+        print(json.dumps({
+            "metric": "particle-updates/sec/chip (BLR d=50, N=1000, RBF-median, Adam)",
+            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
+        }))
+        return
+    if args.config == "hier":
+        rate = bench_blr(200, args.iters, dim=10, hierarchical=True)
+        print(json.dumps({
+            "metric": "particle-updates/sec/chip (hierarchical BLR, composed adaptive kernel, N=200)",
+            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
+        }))
+        return
 
     dim = 2
     mean = np.array([-0.6871, 0.8010])

@@ -18,6 +18,10 @@ from .core.exceptions import (
 from .core.types import ParticleStore, PrecisionPolicy, as_coords
 from .kernels.gaussian_rbf import GaussianRBFKernel, ScaleMethod
 from .kernels.kernel import Kernel
+from .models.bayesian_logistic_regression import (
+    BayesianLogisticRegression,
+    HierarchicalBayesianLogisticRegression,
+)
 from .models.binomial_likelihood import BinomialLikelihood
 from .models.model import Model, mixture
 from .models.multivariate_normal import MultivariateNormal
@@ -36,6 +40,8 @@ __all__ = [
     "mixture",
     "MultivariateNormal",
     "BinomialLikelihood",
+    "BayesianLogisticRegression",
+    "HierarchicalBayesianLogisticRegression",
     "Kernel",
     "GaussianRBFKernel",
     "ScaleMethod",

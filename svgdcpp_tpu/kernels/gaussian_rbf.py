@@ -108,6 +108,12 @@ class GaussianRBFKernel(Kernel):
         """True when the bandwidth must be recomputed each SVGD step."""
         return self.scale_method in (ScaleMethod.MEDIAN, ScaleMethod.HESSIAN)
 
+    def adaptive_slots(self):
+        """This kernel owns one inverse-scale slot (reference :71)."""
+        if not self.adaptive:
+            return []
+        return [(0, self)]
+
     def compute_scale_pure(self, coords: jnp.ndarray, model_params=None) -> jnp.ndarray:
         """Pure inverse-scale computation — the jit/scan-safe hot path.
 

@@ -99,6 +99,18 @@ class Kernel:
     def step(self, coords: Optional[jnp.ndarray] = None):
         """Per-iteration hook; default no-op (reference Kernel.hpp:356)."""
 
+    def adaptive_slots(self):
+        """[(param_slot_index, scale_fn)] for per-step bandwidth adaptation.
+
+        ``scale_fn(coords, model_params) -> (m, m)`` recomputes that slot's
+        inverse-scale each SVGD step inside the jitted scan. Base kernels
+        adapt nothing; GaussianRBFKernel contributes its slot; composed
+        kernels concatenate children's slots with offsets — the general form
+        of the reference's "assign the scale to every parameter slot"
+        behavior (reference GaussianRBFKernel.hpp:143-153).
+        """
+        return list(getattr(self, "_composed_adaptive_slots", []))
+
     def clone(self) -> "Kernel":
         """Deep copy (reference CloneUnique/SharedPointer, Kernel.hpp:244-257).
 
@@ -164,11 +176,15 @@ class Kernel:
                 f2(x, tuple(params[n1:]), location),
             )
 
-        return Kernel(
+        composed = Kernel(
             self.dimension,
             kernel_fn=fn,
             parameters=self.parameters + other.parameters,
         )
+        composed._composed_adaptive_slots = list(self.adaptive_slots()) + [
+            (idx + n1, fn_) for idx, fn_ in other.adaptive_slots()
+        ]
+        return composed
 
     def __add__(self, other):
         return self._compose(other, lambda a, b: a + b, "added")

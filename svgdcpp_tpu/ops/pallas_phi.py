@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernels for the O(n^2) hot ops.
+
+Two kernels, both tiled over the n x n pair space so nothing O(n^2) ever
+touches HBM (the ring-attention-shaped requirement, SURVEY.md §5):
+
+  * ``phi_rbf_pallas``  — the phi contraction: per (i, j) tile, build the
+    quadratic-form tile from Gram pieces (MXU), exponentiate in VMEM (VPU),
+    and immediately contract against B = [S | X | 1] (MXU). This is the
+    fused replacement for the reference's n^2 CppAD kernel evaluations +
+    (m n) x n gradient stack + indexer matmul (reference SVGD.hpp:407-454).
+
+  * ``count_le_pallas`` — the median-selection count pass: per tile, build
+    the squared-distance tile and accumulate, for each of T thresholds, how
+    many entries are <= it. Replaces an XLA path that materializes a
+    T-times-larger broadcast intermediate in HBM.
+
+Both kernels accept pre-padded inputs from their wrappers; padded rows carry
+q = +inf so they contribute exp(-inf) = 0 / count 0 with no masks in the
+inner loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pad_rows(arr, multiple, value=0.0):
+    n = arr.shape[0]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    width = ((0, pad),) + ((0, 0),) * (arr.ndim - 1)
+    return jnp.pad(arr, width, constant_values=value)
+
+
+# ----------------------------------------------------------------------
+# phi kernel
+# ----------------------------------------------------------------------
+
+
+def _phi_kernel(x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cross = jnp.dot(x_ref[:], xps_ref[:].T, preferred_element_type=jnp.float32)
+    quad = qi_ref[:] + qj_ref[:].T - cross  # (TI, TJ)
+    k_tile = jnp.exp(-jnp.maximum(quad, 0.0))
+    out_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
+
+
+def _default_interpret() -> bool:
+    # Compiled Mosaic kernels need real TPU hardware; anywhere else (the
+    # 8-device CPU test mesh, debugging) fall back to the interpreter.
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret")
+)
+def _phi_rbf_pallas_impl(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    tile_i: int,
+    tile_j: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    """Fused RBF phi: phi = (K S - (K X - rowsum(K) X) (P+P^T)) / n.
+
+    K = exp(-quad) is produced tile-wise in VMEM and contracted on the spot;
+    the (n, n) matrix never exists. f32 with f32 MXU accumulation.
+    """
+    n, m = coords.shape
+    p_sym = (p_matrix + p_matrix.T).astype(jnp.float32)
+    coords32 = coords.astype(jnp.float32)
+    q = jnp.sum((coords32 @ p_matrix.astype(jnp.float32)) * coords32, axis=1)
+    xps = coords32 @ p_sym
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_i)
+    qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk rows
+    xps_p = _pad_rows(xps, tile_j)
+    qj_p = _pad_rows(q[:, None], tile_j, value=big)  # padded sources: K -> 0
+    b_p = _pad_rows(b, tile_j)
+    n_i = x_p.shape[0]
+    n_j = xps_p.shape[0]
+    bw = 2 * m + 1
+
+    grid = (n_i // tile_i, n_j // tile_j)
+    out = pl.pallas_call(
+        _phi_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, bw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_i, bw), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_i * n_j * (m + bw),
+            bytes_accessed=4 * (n_i * (2 * m + 1 + bw) + n_j * (2 * m + 1 + bw)),
+            transcendentals=n_i * n_j,
+        ),
+        interpret=interpret,
+    )(x_p, qi_p, xps_p, qj_p, b_p)
+
+    a = out[:n]
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    phi = (ks - (kx - rowsum[:, None] * coords32) @ p_sym) / n
+    return phi.astype(coords.dtype)
+
+
+def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
+                   tile_j: int = 1024, interpret=None):
+    if interpret is None:
+        interpret = _default_interpret()
+    return _phi_rbf_pallas_impl(coords, scores, p_matrix, tile_i, tile_j,
+                                bool(interpret))
+
+
+# ----------------------------------------------------------------------
+# count kernel (median selection)
+# ----------------------------------------------------------------------
+
+
+def _count_kernel(thr_ref, x_ref, qi_ref, xj_ref, qj_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
+    num_t = out_ref.shape[1]
+    # T sequential compare+reduce passes over the VMEM-resident tile
+    # (a (TI, TJ, T) broadcast would blow VMEM; scalars stack instead).
+    counts = jnp.stack(
+        [
+            jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32))
+            for t in range(num_t)
+        ]
+    )
+    out_ref[:] += counts.reshape(1, num_t)
+
+
+def count_le_pallas(
+    rows_coords: jnp.ndarray,
+    cols_coords: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    *,
+    num_thresholds: int,
+    tile_i: int = 512,
+    tile_j: int = 1024,
+    interpret=None,
+) -> jnp.ndarray:
+    """Counts of ||r_i - c_j||^2 <= t for each threshold, fused on-chip.
+
+    ``num_thresholds`` must be static (the kernel unrolls over it). Padded
+    rows get q = +inf so sq = +inf and never counts.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    rows32 = rows_coords.astype(jnp.float32)
+    cols32 = cols_coords.astype(jnp.float32)
+    q_r = jnp.sum(rows32 * rows32, axis=1)
+    q_c = jnp.sum(cols32 * cols32, axis=1)
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(rows32, tile_i)
+    qi_p = _pad_rows(q_r[:, None], tile_i, value=big)
+    xj_p = _pad_rows(cols32, tile_j)
+    qj_p = _pad_rows(q_c[:, None], tile_j, value=big)
+    m = rows32.shape[1]
+    n_i = x_p.shape[0]
+    n_j = xj_p.shape[0]
+    thr = jnp.reshape(thresholds.astype(jnp.float32), (1, num_thresholds))
+
+    grid = (n_i // tile_i, n_j // tile_j)
+    out = pl.pallas_call(
+        _count_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, num_thresholds), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_i * n_j * (m + num_thresholds),
+            bytes_accessed=4 * (n_i + n_j) * (m + 1),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(thr, x_p, qi_p, xj_p, qj_p)
+    return out[0]

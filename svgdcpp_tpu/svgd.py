@@ -172,7 +172,9 @@ class SVGD:
             isinstance(self.kernel, GaussianRBFKernel)
             and self.kernel._kernel_fn is rbf_kernel_fn
         )
-        self._adaptive_rbf = self._is_rbf and self.kernel.adaptive
+        # (slot_index, owning kernel) pairs whose inverse-scale parameter is
+        # recomputed in-graph each step (incl. composed kernels' RBF slots).
+        self._adaptive_slots = self.kernel.adaptive_slots()
         impl = opts.phi_impl
         if self.log_intermediate_matrices:
             # The debug dump needs the explicit K / grad-K stacks, which only
@@ -221,14 +223,18 @@ class SVGD:
 
     def _scale_params(self, coords, mparams, kparams):
         """In-graph bandwidth adaptation (reference kernel Step(),
-        GaussianRBFKernel.hpp:141-156)."""
-        if not self._adaptive_rbf:
+        GaussianRBFKernel.hpp:141-156), generalized to composed kernels:
+        each adaptive slot is refilled from its owning kernel's pure scale
+        function."""
+        if not self._adaptive_slots:
             return kparams
-        if self.kernel.target_model is self.model:
-            scale = self.kernel.compute_scale_pure(coords, mparams)
-        else:
-            scale = self.kernel.compute_scale_pure(coords)
-        return tuple(scale for _ in kparams)
+        kparams = list(kparams)
+        for idx, owner in self._adaptive_slots:
+            if owner.target_model is self.model:
+                kparams[idx] = owner.compute_scale_pure(coords, mparams)
+            else:
+                kparams[idx] = owner.compute_scale_pure(coords)
+        return tuple(kparams)
 
     def build_step_fn(self):
         """Return the pure step: state -> (state, debug|None).

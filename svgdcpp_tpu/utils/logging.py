@@ -36,6 +36,24 @@ def write_intermediate_matrices(path: str, logs: dict):
     num_steps = lmg.shape[0]
     n, m = lmg.shape[1], lmg.shape[2]
 
+    # Fast path: the native C++ writer (utils/native.py); identical format.
+    from .native import write_intermediate_log_native
+
+    try:
+        wrote = write_intermediate_log_native(
+            path,
+            lmg.transpose(0, 2, 1),
+            ker.transpose(0, 2, 1),
+            kgrad.transpose(0, 2, 3, 1).reshape(num_steps, n * m, n),
+            coords.transpose(0, 2, 1),
+        )
+    except RuntimeError as e:
+        raise RuntimeError(
+            SVGD_LOG_PREFIX + f"[Runtime Error] Cannot open {path} for writing."
+        ) from e
+    if wrote:
+        return
+
     try:
         out = open(path, "w")
     except OSError as e:

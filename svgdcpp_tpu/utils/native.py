@@ -1,0 +1,125 @@
+"""ctypes bindings for the native host helpers (native/svgd_host.cpp).
+
+The shared library is built lazily on first use (g++ is in the image;
+pybind11 is not, hence plain-C ABI + ctypes). Every entry point has a pure
+NumPy fallback so the package works even without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libsvgd_host.so"
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        try:
+            if not _LIB_PATH.exists():
+                subprocess.run(
+                    ["make", "-s", "-C", str(_NATIVE_DIR)],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            lib = ctypes.CDLL(str(_LIB_PATH))
+            lib.svgd_kth_element_f64.restype = ctypes.c_double
+            lib.svgd_kth_element_f64.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ]
+            lib.svgd_median_f64.restype = ctypes.c_double
+            lib.svgd_median_f64.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ]
+            lib.svgd_write_intermediate_log.restype = ctypes.c_int
+            lib.svgd_write_intermediate_log.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ] + [ctypes.POINTER(ctypes.c_double)] * 4
+            _lib = lib
+        except Exception:
+            _load_failed = True
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _as_f64_buffer(arr) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(arr, dtype=np.float64))
+
+
+def kth_element(values, k: int) -> float:
+    """k-th smallest (0-indexed) via std::nth_element; NumPy fallback."""
+    buf = _as_f64_buffer(values).ravel().copy()
+    lib = _load()
+    if lib is None:
+        return float(np.partition(buf, k)[k])
+    return float(
+        lib.svgd_kth_element_f64(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            buf.size,
+            int(k),
+        )
+    )
+
+
+def host_median(values) -> float:
+    """Reference-semantics median (even-count averaging) on the host."""
+    buf = _as_f64_buffer(values).ravel().copy()
+    lib = _load()
+    if lib is None:
+        n = buf.size
+        s = np.sort(buf)
+        if n % 2 == 0:
+            return float(0.5 * (s[n // 2 - 1] + s[n // 2]))
+        return float(s[n // 2])
+    return float(
+        lib.svgd_median_f64(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), buf.size
+        )
+    )
+
+
+def write_intermediate_log_native(path: str, lmg_ref, ker_ref, kgrad_ref,
+                                  coords_ref) -> bool:
+    """Write the debug log via the native writer.
+
+    Inputs already in REFERENCE orientation: lmg/coords (T, m, n),
+    ker (T, n, n), kgrad (T, m*n, n). Returns False if the native library is
+    unavailable (caller falls back to the Python writer).
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    lmg = _as_f64_buffer(lmg_ref)
+    ker = _as_f64_buffer(ker_ref)
+    kgrad = _as_f64_buffer(kgrad_ref)
+    coords = _as_f64_buffer(coords_ref)
+    steps, m, n = lmg.shape
+    rc = lib.svgd_write_intermediate_log(
+        str(path).encode(),
+        steps,
+        n,
+        m,
+        lmg.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ker.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        kgrad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native log writer failed with code {rc} for {path}")
+    return True

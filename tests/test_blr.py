@@ -1,0 +1,165 @@
+"""Bayesian logistic regression + hierarchical/composed-kernel tests.
+
+BASELINE.md configs 3-4. Closed-form gradient checks mirror the reference's
+test pattern (AD vs hand-derived forms); the composed-kernel oracle test
+validates per-step bandwidth adaptation on a composed kernel end-to-end
+against a NumPy per-pair loop.
+"""
+
+import numpy as np
+import pytest
+
+import svgdcpp_tpu as sv
+from svgdcpp_tpu.models.bayesian_logistic_regression import (
+    make_synthetic_classification,
+)
+
+
+def sigmoid(z):
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+class TestBLR:
+    def setup_method(self, _):
+        rng = np.random.default_rng(7)
+        self.X = rng.normal(size=(40, 5))
+        self.y = np.where(rng.uniform(size=40) < 0.5, 1.0, -1.0)
+        self.alpha = 0.1
+        self.model = sv.BayesianLogisticRegression(self.X, self.y, self.alpha)
+
+    def np_log_density(self, w):
+        z = self.y * (self.X @ w)
+        return np.sum(np.log(sigmoid(z))) - 0.5 * self.alpha * w @ w
+
+    def np_grad(self, w):
+        z = self.y * (self.X @ w)
+        return (self.y * sigmoid(-z)) @ self.X - self.alpha * w
+
+    def test_log_density(self, rng):
+        w = rng.normal(size=5)
+        assert np.isclose(
+            float(self.model.evaluate_log_model(w)), self.np_log_density(w)
+        )
+
+    def test_score(self, rng):
+        w = rng.normal(size=5)
+        np.testing.assert_allclose(
+            np.asarray(self.model.evaluate_log_model_grad(w)),
+            self.np_grad(w),
+            rtol=1e-10,
+        )
+
+    def test_svgd_recovers_weights(self, rng):
+        features, labels, true_w = make_synthetic_classification(
+            rng, n_data=400, dim=5
+        )
+        model = sv.BayesianLogisticRegression(features, labels, 0.1)
+        n = 50
+        x0 = rng.normal(size=(n, 5))
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=5, num_iterations=300, coordinate_matrix=x0,
+                kernel=kernel, model=model,
+                optimizer=sv.Adam(5, n, 0.05, 0.9, 0.999),
+            )
+        )
+        svgd.initialize()
+        post_mean = np.asarray(svgd.run()).mean(axis=0)
+        # posterior mean should classify like the true weights
+        agreement = np.mean(
+            np.sign(np.asarray(features) @ post_mean)
+            == np.sign(np.asarray(features) @ np.asarray(true_w))
+        )
+        assert agreement > 0.9
+
+
+class TestHierarchicalBLR:
+    def test_score_matches_finite_difference(self, rng):
+        X = rng.normal(size=(30, 4))
+        y = np.where(rng.uniform(size=30) < 0.5, 1.0, -1.0)
+        model = sv.HierarchicalBayesianLogisticRegression(X, y, a0=1.0, b0=0.01)
+        x = np.concatenate([rng.normal(size=4), [0.3]])
+        g = np.asarray(model.evaluate_log_model_grad(x))
+        eps = 1e-6
+        for k in range(5):
+            xp, xm = x.copy(), x.copy()
+            xp[k] += eps
+            xm[k] -= eps
+            fd = (
+                float(model.evaluate_log_model(xp))
+                - float(model.evaluate_log_model(xm))
+            ) / (2 * eps)
+            assert np.isclose(g[k], fd, rtol=1e-4), (k, g[k], fd)
+
+    def test_dimension_is_d_plus_one(self, rng):
+        X = rng.normal(size=(10, 7))
+        y = np.ones(10)
+        model = sv.HierarchicalBayesianLogisticRegression(X, y)
+        assert model.dimension == 8
+
+
+class TestComposedAdaptiveKernel:
+    """Composed kernel with a per-step adaptive RBF slot (BASELINE config 4)."""
+
+    def test_adaptive_slots_exposed(self, rng):
+        x0 = rng.normal(size=(10, 3))
+        model = sv.MultivariateNormal(np.zeros(3), np.eye(3))
+        k_ad = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        k_fix = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT, constant_scale=0.5 * np.eye(3)
+        )
+        comp = k_ad + k_fix
+        assert len(comp.parameters) == 2
+        slots = comp.adaptive_slots()
+        assert len(slots) == 1 and slots[0][0] == 0 and slots[0][1] is k_ad
+
+    def test_composed_adaptive_matches_manual_loop(self, rng):
+        n, dim, iters = 8, 2, 4
+        mean = np.array([0.3, -0.5])
+        cov = np.array([[1.0, 0.2], [0.2, 0.7]])
+        cov_inv = np.linalg.inv(cov)
+        p0 = np.array([[0.4, 0.0], [0.0, 0.6]])
+        x0 = rng.normal(size=(n, dim))
+
+        model = sv.MultivariateNormal(mean, cov)
+        k_ad = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model, median_method="exact"
+        )
+        k_fix = sv.GaussianRBFKernel(x0, sv.ScaleMethod.CONSTANT, constant_scale=p0)
+        comp = k_ad + k_fix
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+                kernel=comp, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            )
+        )
+        svgd.initialize()
+        result = np.asarray(svgd.run())
+
+        # NumPy oracle: k = exp(-g||d||^2) + exp(-d^T P0 d), g from median
+        def np_median_gamma(x):
+            d = np.sqrt(((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)).ravel()
+            d.sort()
+            t = d.size
+            med = 0.5 * (d[t // 2 - 1] + d[t // 2]) if t % 2 == 0 else d[t // 2]
+            return np.log(n) / med**2
+
+        x = x0.copy()
+        s_accum = np.zeros_like(x)
+        for _ in range(iters):
+            g = np_median_gamma(x)
+            phi = np.zeros_like(x)
+            for i in range(n):
+                for j in range(n):
+                    d = x[j] - x[i]
+                    k1 = np.exp(-g * d @ d)
+                    k2 = np.exp(-d @ p0 @ d)
+                    score = -cov_inv @ (x[j] - mean)
+                    grad_k = -2.0 * g * d * k1 - (p0 + p0.T) @ d * k2
+                    phi[i] += (k1 + k2) * score + grad_k
+            phi /= n
+            s_accum += phi * phi
+            x = x + 0.1 * phi / (1e-8 + np.sqrt(s_accum))
+
+        np.testing.assert_allclose(result, x, rtol=1e-8, atol=1e-12)

@@ -59,3 +59,46 @@ def test_checkpoint_missing_key_raises(tmp_path, rng):
         raise AssertionError("expected KeyError")
     except KeyError:
         pass
+
+
+def test_native_host_helpers(rng):
+    """Native nth_element/median vs NumPy (utils/native.py)."""
+    from svgdcpp_tpu.utils.native import host_median, kth_element
+
+    v = rng.normal(size=10001)
+    assert np.isclose(kth_element(v, 123), np.partition(v.copy(), 123)[123])
+    s = np.sort(v)
+    assert np.isclose(host_median(v), s[5000])
+    v2 = rng.normal(size=10000)
+    s2 = np.sort(v2)
+    assert np.isclose(host_median(v2), 0.5 * (s2[4999] + s2[5000]))
+
+
+def test_native_log_writer_matches_python(tmp_path, rng):
+    """Native and Python debug-log writers produce identical text."""
+    from svgdcpp_tpu.utils import logging as svlog
+    from svgdcpp_tpu.utils.native import native_available
+
+    T, n, m = 2, 3, 2
+    logs = {
+        "log_model_grad": rng.normal(size=(T, n, m)),
+        "kernel": rng.normal(size=(T, n, n)),
+        "kernel_grad": rng.normal(size=(T, n, n, m)),
+        "coords": rng.normal(size=(T, n, m)),
+    }
+    p_native = tmp_path / "native.txt"
+    p_python = tmp_path / "python.txt"
+    svlog.write_intermediate_matrices(str(p_native), logs)
+
+    # Force the pure-Python path
+    import svgdcpp_tpu.utils.native as nat
+
+    orig = nat.write_intermediate_log_native
+    nat.write_intermediate_log_native = lambda *a, **k: False
+    try:
+        svlog.write_intermediate_matrices(str(p_python), logs)
+    finally:
+        nat.write_intermediate_log_native = orig
+
+    if native_available():
+        assert p_native.read_text() == p_python.read_text()
