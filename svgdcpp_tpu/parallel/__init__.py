@@ -6,3 +6,9 @@ from .sharded import (
     sharded_median_scale,
     sharded_hessian_scale,
 )
+from .ring import (
+    ring_phi_rbf,
+    ring_count_le,
+    ring_pairwise_median,
+    ring_median_scale,
+)

@@ -1,0 +1,136 @@
+"""Ring (ppermute) multi-chip SVGD primitives — gather-free scale-out.
+
+The gather-based sharded step (sharded.py) all-gathers the (n, m) coords and
+scores once per step: fine up to millions of particles, but its per-device
+memory is O(n m). The ring mode never materializes the global particle set:
+each device's source block rotates around the mesh axis with
+``jax.lax.ppermute`` while every device accumulates its local targets'
+contributions — the ring-attention-shaped schedule for the O(n^2) kernel
+sum (SURVEY.md §5), with per-device memory O((n/D) m) and the same total
+ICI traffic as the all-gather, overlapped with compute by XLA.
+
+Used by ShardedSVGD when ``phi_mode='ring'``. The median in ring mode uses
+pure count-bisection (no pair-sampling bracket — sampling needs global
+random access, which is exactly what ring mode avoids).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.median import kth_smallest_bisect
+
+
+def _rotate(x, axis_name):
+    """Send to the next device on the ring (cyclic ppermute)."""
+    size = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % size) for i in range(size)]
+    return jax.lax.ppermute(x, axis_name, perm)
+
+
+def ring_phi_rbf(
+    coords_local: jnp.ndarray,
+    scores_local: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    axis_name: str,
+    n_global: int,
+) -> jnp.ndarray:
+    """phi for local targets with sources streamed around the ring.
+
+    Per rotation: one (n_loc x n_loc) kernel block built from Gram pieces
+    and contracted against the rotating B = [S | X | 1] block. D rotations
+    cover all sources exactly once.
+    """
+    n_loc, m = coords_local.shape
+    size = jax.lax.axis_size(axis_name)
+    p_sym = p_matrix + p_matrix.T
+    q_tgt = jnp.sum((coords_local @ p_matrix) * coords_local, axis=1)  # (n_loc,)
+
+    # Rotating source-block state, derived once locally then streamed.
+    src_ps0 = coords_local @ p_sym  # rows s_j^T (P+P^T)
+    q_src0 = q_tgt  # same quadratic form values
+    b0 = jnp.concatenate(
+        [scores_local, coords_local, jnp.ones((n_loc, 1), coords_local.dtype)],
+        axis=1,
+    )
+
+    def body(_, carry):
+        src_ps, q_src, b, acc = carry
+        cross = coords_local @ src_ps.T  # (n_loc, n_loc) MXU
+        quad = jnp.maximum(q_tgt[:, None] + q_src[None, :] - cross, 0.0)
+        k_block = jnp.exp(-quad)
+        acc = acc + jnp.dot(k_block, b, preferred_element_type=acc.dtype)
+        return (_rotate(src_ps, axis_name), _rotate(q_src, axis_name),
+                _rotate(b, axis_name), acc)
+
+    acc0 = jnp.zeros((n_loc, 2 * m + 1), coords_local.dtype)
+    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+    _, _, _, acc = jax.lax.fori_loop(0, size, body, (src_ps0, q_src0, b0, acc0))
+
+    ks = acc[:, :m]
+    kx = acc[:, m : 2 * m]
+    rowsum = acc[:, 2 * m]
+    return (ks - (kx - rowsum[:, None] * coords_local) @ p_sym) / n_global
+
+
+def ring_count_le(
+    coords_local: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    axis_name: str,
+) -> jnp.ndarray:
+    """Global pair counts (sq dist <= t per threshold) via ring rotations.
+
+    Each device counts its local rows against every rotating column block
+    (covering its disjoint row-band of the global n x n pair matrix), then a
+    psum totals the bands.
+    """
+    q_loc = jnp.sum(coords_local * coords_local, axis=1)
+    num_t = thresholds.shape[0]
+
+    def body(_, carry):
+        cols, q_cols, acc = carry
+        cross = coords_local @ cols.T
+        sq = jnp.maximum(q_loc[:, None] + q_cols[None, :] - 2.0 * cross, 0.0)
+        c = jnp.sum(
+            (sq[None, :, :] <= thresholds[:, None, None]).astype(jnp.float32),
+            axis=(1, 2),
+        )
+        return _rotate(cols, axis_name), _rotate(q_cols, axis_name), acc + c
+
+    size = jax.lax.axis_size(axis_name)
+    acc0 = jax.lax.pcast(
+        jnp.zeros(num_t, jnp.float32), (axis_name,), to="varying"
+    )
+    _, _, local_counts = jax.lax.fori_loop(
+        0, size, body, (coords_local, q_loc, acc0)
+    )
+    return jax.lax.psum(local_counts, axis_name)
+
+
+def ring_pairwise_median(
+    coords_local: jnp.ndarray,
+    axis_name: str,
+    n_global: int,
+    *,
+    bins: int = 16,
+    passes: int = 6,
+) -> jnp.ndarray:
+    """Gather-free global median of all n^2 pairwise distances."""
+    total = n_global * n_global
+    local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+    hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
+
+    count_fn = lambda thr: ring_count_le(coords_local, thr, axis_name)
+    ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
+    mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
+    return jnp.mean(jnp.sqrt(mids))
+
+
+def ring_median_scale(coords_local, axis_name, n_global, **kwargs):
+    """P = log(n)/median^2 * I with the ring median."""
+    m = coords_local.shape[1]
+    med = ring_pairwise_median(coords_local, axis_name, n_global, **kwargs)
+    return (jnp.log(float(n_global)) / (med * med)) * jnp.eye(
+        m, dtype=coords_local.dtype
+    )

@@ -125,6 +125,9 @@ class ShardedSVGDConfig:
     median_bins: int = 16
     median_passes: int = 6
     row_tile: int = 1024
+    #: 'gather' = one all-gather/step, O(n m) per-device memory;
+    #: 'ring'   = ppermute streaming, O(n m / D) per-device memory (ring.py)
+    phi_mode: str = "gather"
 
 
 class ShardedSVGD:
@@ -199,17 +202,33 @@ class ShardedSVGD:
         )
 
         def local_step(coords_local, opt_state_local, model_params):
-            # One gather shared by bandwidth + phi.
-            sources = jax.lax.all_gather(coords_local, axis, tiled=True)
-            p_matrix = self._scale(coords_local, sources, model_params)
             scores_local = jax.vmap(
                 lambda x: jax.grad(model.log_density_pure)(x, model_params)
             )(coords_local)
-            scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-            phi_local = phi_rbf_cross(
-                coords_local, sources, scores, p_matrix, cfg.row_tile,
-                axis_name=axis,
-            )
+            if cfg.phi_mode == "ring":
+                # Gather-free: bandwidth + phi via ppermute rotations.
+                from .ring import ring_median_scale, ring_phi_rbf
+
+                if cfg.scale_method == ScaleMethod.MEDIAN:
+                    p_matrix = ring_median_scale(
+                        coords_local, axis, self.num_particles,
+                        bins=cfg.median_bins, passes=cfg.median_passes,
+                    )
+                else:
+                    p_matrix = self._scale(coords_local, None, model_params)
+                phi_local = ring_phi_rbf(
+                    coords_local, scores_local, p_matrix, axis,
+                    self.num_particles,
+                )
+            else:
+                # One gather shared by bandwidth + phi.
+                sources = jax.lax.all_gather(coords_local, axis, tiled=True)
+                p_matrix = self._scale(coords_local, sources, model_params)
+                scores = jax.lax.all_gather(scores_local, axis, tiled=True)
+                phi_local = phi_rbf_cross(
+                    coords_local, sources, scores, p_matrix, cfg.row_tile,
+                    axis_name=axis,
+                )
             opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
             new_coords = coords_local + inc
             if lower is not None:

@@ -177,3 +177,58 @@ def test_gspmd_mesh_option(mesh, rng):
     s2.initialize()
     r2 = np.asarray(s2.run())
     np.testing.assert_allclose(r1, r2, rtol=1e-9, atol=1e-12)
+
+
+def test_ring_phi_matches_dense(mesh, rng):
+    from svgdcpp_tpu.parallel.ring import ring_phi_rbf
+
+    n, m = 40, 3
+    coords = jnp.asarray(rng.normal(size=(n, m)))
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    p_mat = jnp.asarray(np.eye(m) * 0.7 + 0.1)
+    axis = mesh.axis_names[0]
+
+    out = jax.jit(
+        jax.shard_map(
+            lambda c, s: ring_phi_rbf(c, s, p_mat, axis, n),
+            mesh=mesh, in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+    )(coords, scores)
+    dense = phi_rbf(coords, scores, p_mat)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), rtol=1e-10)
+
+
+def test_ring_median_matches_exact(mesh, rng):
+    from svgdcpp_tpu.parallel.ring import ring_pairwise_median
+
+    coords = jnp.asarray(rng.normal(size=(64, 3)))
+    axis = mesh.axis_names[0]
+    out = jax.jit(
+        jax.shard_map(
+            lambda c: ring_pairwise_median(c, axis, 64, bins=16, passes=8),
+            mesh=mesh, in_specs=P(axis, None), out_specs=P(),
+        )
+    )(coords)
+    exact = float(pairwise_distance_median_exact(coords))
+    assert abs(float(out) - exact) <= 1e-5 * exact
+
+
+def test_ring_mode_full_run_matches_gather(mesh, rng):
+    n, dim, iters = 32, 2, 8
+    x0 = rng.normal(size=(n, dim)) * 2
+    mean, cov = np.zeros(dim), np.eye(dim)
+
+    results = []
+    for mode in ("gather", "ring"):
+        model = sv.MultivariateNormal(mean, cov)
+        sharded = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+            mesh=mesh,
+            config=ShardedSVGDConfig(
+                scale_method=sv.ScaleMethod.MEDIAN,
+                median_bins=16, median_passes=10, row_tile=4, phi_mode=mode,
+            ),
+        )
+        results.append(np.asarray(sharded.run(x0.copy(), iters)))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6, atol=1e-9)
