@@ -200,7 +200,11 @@ def main():
     x0 = 3.0 * rng.uniform(-1, 1, (args.particles, dim))
 
     tpu_rate = bench_tpu(x0, mean, cov, args.iters, args.impl)
-    base_rate = bench_numpy_baseline(x0, mean, cov, args.baseline_iters)
+    if args.baseline_iters > 0:
+        base_rate = bench_numpy_baseline(x0, mean, cov, args.baseline_iters)
+        vs = round(tpu_rate / base_rate, 2)
+    else:
+        vs = None  # the NumPy O(n^2) baseline is infeasible at this size
 
     print(
         json.dumps(
@@ -208,7 +212,7 @@ def main():
                 "metric": f"particle-updates/sec/chip (N={args.particles}, d={dim}, RBF-median, AdaGrad)",
                 "value": round(tpu_rate, 1),
                 "unit": "updates/s",
-                "vs_baseline": round(tpu_rate / base_rate, 2),
+                "vs_baseline": vs,
             }
         )
     )

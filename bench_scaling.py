@@ -1,0 +1,109 @@
+"""Weak-scaling efficiency harness for the sharded SVGD step.
+
+BASELINE.md scaling target: >=80% efficiency in particle-updates/s from 1
+to N workers. Real multi-chip hardware is not available in this image, so
+this harness runs on the simulated host-platform device mesh
+(xla_force_host_platform_device_count): collectives execute for real
+(as memcpys), giving an upper bound on orchestration overhead and a
+regression guard on the collective schedule. On a real pod slice the same
+script runs unchanged with JAX_PLATFORMS unset.
+
+Weak scaling: per-device particle count is fixed; ideal step time is
+constant as devices grow (the O((n/D) * n) local work grows linearly with
+D in weak scaling — so the meaningful ideal here is t(D) ~ D * t(1) for
+total work, i.e. updates/s/device constant). We report
+updates/s/device(D) / updates/s/device(1).
+
+Prints one JSON line per device count.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+N_PER_DEVICE = 512
+ITERS = 3
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax  # noqa: E402
+
+# Platform must be chosen BEFORE any device query — the first query pins the
+# backend list for the process. Default to the simulated CPU mesh; set
+# BENCH_SCALING_REAL=1 on an actual multi-chip slice.
+if os.environ.get("BENCH_SCALING_REAL") != "1":
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+import svgdcpp_tpu as sv  # noqa: E402
+from svgdcpp_tpu.parallel import (  # noqa: E402
+    ShardedSVGD,
+    ShardedSVGDConfig,
+    make_particle_mesh,
+)
+
+
+def measure(n_devices: int, phi_mode: str = "gather") -> float:
+    devices = jax.devices()[:n_devices]
+    mesh = make_particle_mesh(devices)
+    n = N_PER_DEVICE * n_devices
+    dim = 2
+    rng = np.random.default_rng(0)
+    x0 = (3 * rng.uniform(-1, 1, (n, dim))).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.array([-0.6871, 0.8010], np.float32),
+        (5 * np.array([[0.2260, 0.1652], [0.1652, 0.6779]])).astype(np.float32),
+    )
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(
+            scale_method=sv.ScaleMethod.MEDIAN, phi_mode=phi_mode,
+            median_bins=16, median_passes=3, row_tile=256,
+        ),
+    )
+    state = sharded.init_state(x0)
+    out = sharded.run_fn(state, ITERS)
+    np.asarray(out["coords"])  # sync
+    t0 = time.perf_counter()
+    out = sharded.run_fn(state, ITERS)
+    np.asarray(out["coords"])
+    dt = time.perf_counter() - t0
+    return n * ITERS / dt  # updates/s
+
+
+def main():
+    phi_mode = sys.argv[1] if len(sys.argv) > 1 else "gather"
+    max_d = len(jax.devices())
+    rates = {}
+    for d in [1, 2, 4, 8]:
+        if d > max_d:
+            break
+        rates[d] = measure(d, phi_mode)
+    # In weak scaling the per-device work grows with the GLOBAL particle
+    # count (each local row interacts with all n columns), so the
+    # scale-invariant rate is pair-interactions/s: updates/s * n_global.
+    # Efficiency = pairrate(D) / (D * pairrate(1)) — on real hardware;
+    # on the simulated mesh all "devices" share the host's physical cores,
+    # so treat these numbers as collective-overhead regression data only.
+    pair_1 = rates[1] * (N_PER_DEVICE * 1)
+    for d, rate in rates.items():
+        pair_rate = rate * (N_PER_DEVICE * d)
+        eff = pair_rate / (d * pair_1)
+        print(json.dumps({
+            "metric": f"weak-scaling pair-interactions/s ({phi_mode}, {d} devices, {N_PER_DEVICE}/dev)",
+            "value": round(pair_rate, 1),
+            "unit": "pair-interactions/s",
+            "vs_baseline": round(eff, 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

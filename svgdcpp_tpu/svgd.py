@@ -295,7 +295,12 @@ class SVGD:
         state = {
             "coords": coords,
             "opt_state": self._opt_state,
-            "kernel_params": tuple(self.kernel.parameters),
+            # Kernel params (inverse-scale matrices) follow the coords dtype:
+            # adaptive slots are REPLACED in-graph by values derived from
+            # coords, and a dtype mismatch would break the scan carry.
+            "kernel_params": tuple(
+                jnp.asarray(p, coords.dtype) for p in self.kernel.parameters
+            ),
             "model_params": tuple(self.model.parameters),
         }
         if self.mesh is not None:

@@ -1,0 +1,117 @@
+"""Driver execution-path tests: eager hook fallback, pallas phi_impl,
+RMSProp end-to-end, ctor overloads."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svgdcpp_tpu as sv
+
+
+def build(x0, model, kernel, opt, **extra):
+    n, dim = x0.shape
+    return sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=5, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=opt, **extra,
+        )
+    )
+
+
+def mvn_parts(rng, n=10, dim=2):
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    return x0, model, kernel
+
+
+class CountingModel(sv.MultivariateNormal):
+    """Model with a custom per-step hook — forces the eager path."""
+
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.hook_calls = 0
+
+    def step(self):
+        self.hook_calls += 1
+
+
+def test_custom_model_hook_runs_eagerly(rng):
+    dim, n = 2, 10
+    model = CountingModel(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = build(x0, model, kernel, sv.AdaGrad(dim, n, 0.1))
+    svgd.initialize()
+    assert svgd._has_custom_hooks()
+    svgd.run()
+    assert model.hook_calls == 5  # hook fired once per iteration
+
+    # A no-op hook must not change the trajectory vs the scan path
+    x0b = x0.copy()
+    model2 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel2 = sv.GaussianRBFKernel(x0b, sv.ScaleMethod.MEDIAN, model2)
+    svgd2 = build(x0b, model2, kernel2, sv.AdaGrad(dim, n, 0.1))
+    svgd2.initialize()
+    assert not svgd2._has_custom_hooks()
+    np.testing.assert_allclose(
+        np.asarray(svgd.store.value), np.asarray(svgd2.run()), rtol=1e-12
+    )
+
+
+def test_pallas_phi_impl_through_driver(rng):
+    """phi_impl='pallas' (interpreter on CPU) matches the dense path."""
+    x0, model, kernel = mvn_parts(rng, n=24)
+    svgd_p = build(
+        np.asarray(x0, np.float32), model, kernel, sv.AdaGrad(2, 24, 0.1),
+        phi_impl="pallas",
+    )
+    svgd_p.initialize()
+    res_p = np.asarray(svgd_p.run())
+
+    model2 = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+    kernel2 = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model2)
+    svgd_d = build(
+        np.asarray(x0, np.float32), model2, kernel2, sv.AdaGrad(2, 24, 0.1),
+        phi_impl="dense",
+    )
+    svgd_d.initialize()
+    res_d = np.asarray(svgd_d.run())
+    np.testing.assert_allclose(res_p, res_d, rtol=2e-4, atol=1e-5)
+
+
+def test_rmsprop_end_to_end(rng):
+    x0, model, kernel = mvn_parts(rng)
+    svgd = build(x0, model, kernel, sv.RMSProp(2, 10, 0.1, 0.9))
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, x0)
+
+
+def test_positional_ctor_overload(rng):
+    """Reference-style positional ctor (SVGD.hpp:118-134)."""
+    x0, model, kernel = mvn_parts(rng)
+    svgd = sv.SVGD(2, 5, x0.copy(), kernel, model, sv.AdaGrad(2, 10, 0.1))
+    svgd.Initialize()
+    out = np.asarray(svgd.Run())
+    assert out.shape == x0.shape
+
+
+def test_scalar_bound_broadcast(rng):
+    """Scalar (1-element) bounds broadcast to all dims (SVGD.hpp:193-216)."""
+    x0, model, kernel = mvn_parts(rng)
+    svgd = build(
+        x0 * 10, model, kernel, sv.AdaGrad(2, 10, 0.1),
+        lower_bound=-1.5, upper_bound=1.5,
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.abs(out).max() <= 1.5 + 1e-12
+
+
+def test_bad_bound_dimension_raises(rng):
+    x0, model, kernel = mvn_parts(rng)
+    with pytest.raises(sv.DimensionMismatchError):
+        build(x0, model, kernel, sv.AdaGrad(2, 10, 0.1),
+              lower_bound=np.zeros(3))
