@@ -114,6 +114,43 @@ class GaussianRBFKernel(Kernel):
             return []
         return [(0, self)]
 
+    # -- warm-started median (temporal coherence across SVGD steps) -----
+    def init_scale_aux(self, coords):
+        """Aux state for warm-started bandwidth selection, or None.
+
+        Only the scalable median path benefits (the exact path sorts
+        anyway). The aux carries the previous step's distance bracket and
+        the max particle displacement of the last update.
+        """
+        from ..ops.median import EXACT_MEDIAN_MAX_PARTICLES
+
+        n = coords.shape[0]
+        if (
+            self.scale_method != ScaleMethod.MEDIAN
+            or self.median_method not in ("auto", "hybrid", "warm")
+            or n <= EXACT_MEDIAN_MAX_PARTICLES
+        ):
+            return None
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        return {
+            "lo": jnp.asarray(0.0, fdt),
+            "hi": jnp.asarray(-1.0, fdt),  # hi < lo => cold start
+            "disp": jnp.asarray(0.0, fdt),
+        }
+
+    def compute_scale_with_aux(self, coords, model_params=None, aux=None):
+        """Scale computation threading warm-start aux through the scan."""
+        if aux is None:
+            return self.compute_scale_pure(coords, model_params), None
+        from ..ops.median import pairwise_distance_median_warm
+
+        n, m = coords.shape
+        med, lo, hi = pairwise_distance_median_warm(
+            coords, aux["lo"], aux["hi"], aux["disp"]
+        )
+        scale = (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=coords.dtype)
+        return scale, {"lo": lo, "hi": hi, "disp": aux["disp"]}
+
     def compute_scale_pure(self, coords: jnp.ndarray, model_params=None) -> jnp.ndarray:
         """Pure inverse-scale computation — the jit/scan-safe hot path.
 

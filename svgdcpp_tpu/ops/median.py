@@ -314,6 +314,7 @@ def _sampled_pair_sq_dists(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray
     Index pairs follow two coprime golden-ratio strides mod n — cheap,
     reproducible, and shard-replicable (no RNG state).
     """
+    coords = jnp.asarray(coords)
     n = coords.shape[0]
     ks = jnp.arange(num_samples, dtype=jnp.uint32)
     stride_i = jnp.uint32(int(n * 0.6180339887498949) | 1)
@@ -349,14 +350,15 @@ def _refine_pair_in_bracket(count_fn, k1, k2, lo, hi, *, bins: int, passes: int)
     buckets are read off the same cumulative counts and the interval shrinks
     to the hull of the two buckets (>= bins/2 shrink per pass; bins when the
     ranks share a bucket, the common case). Returns (value_k1, value_k2,
-    bracket_valid) where bracket_valid confirms both ranks were inside the
-    initial bracket.
+    bracket_valid, (final_lo, final_hi)) where bracket_valid confirms both
+    ranks were inside the initial bracket and the final hull still contains
+    both order statistics (seed for warm-started selection next step).
     """
     fdt = lo.dtype
     k1 = jnp.asarray(k1, jnp.float32)
     k2 = jnp.asarray(k2, jnp.float32)
     edges01 = jnp.arange(0, bins + 1, dtype=fdt)
-    valid = None
+    valid = hi > lo  # degenerate/uninitialized brackets are invalid
     v1 = v2 = None
     for p in range(passes):
         width = (hi - lo) / bins
@@ -364,7 +366,7 @@ def _refine_pair_in_bracket(count_fn, k1, k2, lo, hi, *, bins: int, passes: int)
         cum = count_fn(thresholds)
         if p == 0:
             # bracket verification: k-th values must lie inside (lo, hi]
-            valid = (cum[0] < k1) & (cum[-1] >= k2)
+            valid = valid & (cum[0] < k1) & (cum[-1] >= k2)
         b1 = jnp.argmax(cum[1:] >= k1)  # bucket of k1 among bins buckets
         b2 = jnp.argmax(cum[1:] >= k2)
         v1 = lo + (b1.astype(fdt) + 0.5) * width
@@ -372,7 +374,7 @@ def _refine_pair_in_bracket(count_fn, k1, k2, lo, hi, *, bins: int, passes: int)
         new_lo = lo + b1.astype(fdt) * width
         new_hi = lo + (b2.astype(fdt) + 1.0) * width
         lo, hi = new_lo, new_hi
-    return v1, v2, valid
+    return v1, v2, valid, (lo, hi)
 
 
 def pairwise_distance_median_hybrid(
@@ -402,7 +404,7 @@ def pairwise_distance_median_hybrid(
     lo_s = lo_s.astype(fdt)
     hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
 
-    v1, v2, valid = _refine_pair_in_bracket(
+    v1, v2, valid, _ = _refine_pair_in_bracket(
         count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
     )
     fast = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
@@ -417,6 +419,87 @@ def pairwise_distance_median_hybrid(
         return jnp.mean(jnp.sqrt(mids))
 
     return jax.lax.cond(valid, lambda _: fast, fallback, operand=None)
+
+
+# ----------------------------------------------------------------------
+# Warm-started selection (temporal coherence across SVGD steps)
+# ----------------------------------------------------------------------
+
+
+def pairwise_distance_median_warm(
+    coords: jnp.ndarray,
+    bracket_lo_d: jnp.ndarray,
+    bracket_hi_d: jnp.ndarray,
+    max_disp: jnp.ndarray,
+    *,
+    num_samples: int = 1 << 16,
+    bins: int = 16,
+    passes: int = 2,
+    warm_passes: int = 1,
+    row_tile: int = 2048,
+):
+    """Median with a warm-started bracket carried across SVGD steps.
+
+    Between consecutive steps every particle moves by at most ``max_disp``,
+    so every pairwise DISTANCE — and hence every order statistic, including
+    the median — changes by at most 2 * max_disp. Expanding the previous
+    step's localization interval by that guaranteed bound gives a tight,
+    deterministic bracket with no per-step pair sampling or sorting; the
+    count pass itself verifies containment, chaining to the sample-bracket
+    and then the full bisection on (rare) failure.
+
+    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d); brackets
+    live in DISTANCE space (the movement bound is additive there). Pass an
+    empty bracket (hi < lo, e.g. (0, -1)) on the first step.
+    """
+    coords = jnp.asarray(coords)
+    n = coords.shape[0]
+    total = n * n
+    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
+    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
+
+    pad = 2.0 * max_disp + 1e-12
+    lo_d = jnp.maximum(bracket_lo_d - pad, 0.0).astype(fdt)
+    hi_d = (bracket_hi_d + pad).astype(fdt)
+    # The warm bracket is only a few displacement-bounds wide, so a single
+    # refinement pass already localizes to ~(bracket/bins); the cold branch
+    # (sample bracket ~1e-3 of range) keeps the deeper refinement.
+    v1, v2, warm_valid, (flo, fhi) = _refine_pair_in_bracket(
+        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=bins,
+        passes=warm_passes,
+    )
+
+    def cold(_):
+        lo_s, hi_s = median_sq_bracket_from_sample(coords, min(num_samples, total))
+        lo_s = lo_s.astype(fdt)
+        hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
+        c_v1, c_v2, c_valid, (c_lo, c_hi) = _refine_pair_in_bracket(
+            count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
+        )
+
+        def full(_):
+            sq_norms = jnp.sum(coords * coords, axis=1)
+            hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+            mids = kth_smallest_bisect(
+                count_fn, (k1, k2), 0.0, hi0, bins=16, passes=6
+            )
+            med = jnp.mean(jnp.sqrt(mids))
+            return med, jnp.sqrt(mids[0]), jnp.sqrt(mids[-1])
+
+        def ok(_):
+            med = 0.5 * (jnp.sqrt(c_v1) + jnp.sqrt(c_v2))
+            return med, jnp.sqrt(jnp.maximum(c_lo, 0.0)), jnp.sqrt(c_hi)
+
+        return jax.lax.cond(c_valid, ok, full, operand=None)
+
+    def warm(_):
+        med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
+        return med, jnp.sqrt(jnp.maximum(flo, 0.0)), jnp.sqrt(fhi)
+
+    return jax.lax.cond(warm_valid, warm, cold, operand=None)
 
 
 # ----------------------------------------------------------------------

@@ -221,20 +221,27 @@ class SVGD:
             return phi_rbf_pallas(coords, scores, kparams[0])
         raise ValueError(f"unknown phi_impl {self._phi_impl!r}")
 
-    def _scale_params(self, coords, mparams, kparams):
+    def _scale_params(self, coords, mparams, kparams, scale_aux):
         """In-graph bandwidth adaptation (reference kernel Step(),
         GaussianRBFKernel.hpp:141-156), generalized to composed kernels:
         each adaptive slot is refilled from its owning kernel's pure scale
-        function."""
+        function. ``scale_aux`` threads per-slot warm-start state (previous
+        median bracket) through the scan."""
         if not self._adaptive_slots:
-            return kparams
+            return kparams, scale_aux
         kparams = list(kparams)
-        for idx, owner in self._adaptive_slots:
-            if owner.target_model is self.model:
-                kparams[idx] = owner.compute_scale_pure(coords, mparams)
+        new_aux = list(scale_aux)
+        for i, (idx, owner) in enumerate(self._adaptive_slots):
+            mp = mparams if owner.target_model is self.model else None
+            if scale_aux[i] is not None and hasattr(owner, "compute_scale_with_aux"):
+                kparams[idx], new_aux[i] = owner.compute_scale_with_aux(
+                    coords, mp, scale_aux[i]
+                )
+            elif mp is not None:
+                kparams[idx] = owner.compute_scale_pure(coords, mp)
             else:
                 kparams[idx] = owner.compute_scale_pure(coords)
-        return tuple(kparams)
+        return tuple(kparams), tuple(new_aux)
 
     def build_step_fn(self):
         """Return the pure step: state -> (state, debug|None).
@@ -247,7 +254,9 @@ class SVGD:
         def step_fn(state, _=None):
             coords = state["coords"]
             mparams = state["model_params"]
-            kparams = self._scale_params(coords, mparams, state["kernel_params"])
+            kparams, scale_aux = self._scale_params(
+                coords, mparams, state["kernel_params"], state["scale_aux"]
+            )
             scores = jax.vmap(
                 lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
             )(coords)
@@ -258,11 +267,24 @@ class SVGD:
                 new_coords = jnp.maximum(new_coords, self.lower_bound)
             if self.upper_bound is not None:
                 new_coords = jnp.minimum(new_coords, self.upper_bound)
+            if any(a is not None for a in scale_aux):
+                # Max particle displacement of THIS update (bounds clamp
+                # included) — next step's warm bracket expands by 2x this.
+                disp = jnp.sqrt(
+                    jnp.max(jnp.sum((new_coords - coords) ** 2, axis=1))
+                )
+                scale_aux = tuple(
+                    {**a, "disp": disp.astype(a["disp"].dtype)}
+                    if a is not None
+                    else None
+                    for a in scale_aux
+                )
             new_state = {
                 "coords": new_coords,
                 "opt_state": opt_state,
                 "kernel_params": kparams,
                 "model_params": mparams,
+                "scale_aux": scale_aux,
             }
             if collect_debug:
                 k_mat, k_grad = kernel_matrix_and_grad(
@@ -302,6 +324,7 @@ class SVGD:
                 jnp.asarray(p, coords.dtype) for p in self.kernel.parameters
             ),
             "model_params": tuple(self.model.parameters),
+            "scale_aux": self._current_scale_aux(coords),
         }
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -317,9 +340,22 @@ class SVGD:
             )
         return state
 
+    def _current_scale_aux(self, coords):
+        """Per-adaptive-slot warm-start aux (carried across run() calls)."""
+        stored = getattr(self, "_scale_aux", None)
+        if stored is not None:
+            return stored
+        return tuple(
+            owner.init_scale_aux(coords)
+            if hasattr(owner, "init_scale_aux")
+            else None
+            for _, owner in self._adaptive_slots
+        )
+
     def _absorb_state(self, state):
         self.store.value = state["coords"]
         self._opt_state = state["opt_state"]
+        self._scale_aux = state["scale_aux"]
         self.kernel.update_parameters(state["kernel_params"])
 
     # ------------------------------------------------------------------

@@ -141,8 +141,51 @@ def test_hybrid_fallback_on_bad_bracket(rng):
     coords = rng.normal(size=(64, 2))
     count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=16)
     # Bracket far below the true median: validity flag must be False
-    _, _, valid = _refine_pair_in_bracket(
+    _, _, valid, _ = _refine_pair_in_bracket(
         count_fn, 64 * 64 // 2, 64 * 64 // 2 + 1,
         jnp.asarray(1e-8), jnp.asarray(2e-8), bins=16, passes=1,
     )
     assert not bool(valid)
+
+
+def test_warm_median_tracks_moving_particles(rng):
+    """Warm-started selection stays exact across simulated SVGD steps."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
+
+    n = 256
+    coords = rng.normal(size=(n, 3))
+    lo, hi = jnp.asarray(0.0), jnp.asarray(-1.0)  # cold start
+    disp = jnp.asarray(0.0)
+    for step in range(5):
+        med, lo, hi = pairwise_distance_median_warm(
+            coords, lo, hi, disp, num_samples=1 << 12, passes=2, row_tile=64
+        )
+        exact = np_pairwise_median(coords)
+        # Warm single-pass error bound: (bracket width + 4*disp) / bins,
+        # i.e. <= (hi-lo of previous localization + movement slack) / 16;
+        # cold start (step 0) localizes to ~1e-4.
+        bound = max(2e-4 * exact, float((4.0 * disp + 1e-6)) / 16 * 2)
+        err = abs(float(med) - exact)
+        assert err <= bound, (step, err, bound)
+        # the returned bracket must genuinely contain the exact median
+        assert float(lo) - 1e-9 <= exact <= float(hi) + 1e-9
+        # move particles like an SVGD update would
+        delta = 0.02 * rng.normal(size=(n, 3))
+        coords = coords + delta
+        disp = jnp.asarray(np.sqrt((delta**2).sum(1)).max())
+
+
+def test_warm_median_fallback_when_bracket_stale(rng):
+    """A wildly wrong bracket with zero claimed displacement must still
+    produce the right answer (containment check -> cold path)."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
+
+    coords = rng.normal(size=(128, 2))
+    med, _, _ = pairwise_distance_median_warm(
+        coords, jnp.asarray(95.0), jnp.asarray(100.0), jnp.asarray(0.0),
+        num_samples=1 << 12, row_tile=64,
+    )
+    exact = np_pairwise_median(coords)
+    assert abs(float(med) - exact) <= 2e-4 * exact
