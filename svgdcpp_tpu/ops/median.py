@@ -436,6 +436,7 @@ def pairwise_distance_median_warm(
     bins: int = 16,
     passes: int = 2,
     warm_passes: int = 1,
+    warm_bins: int = 8,
     row_tile: int = 2048,
 ):
     """Median with a warm-started bracket carried across SVGD steps.
@@ -468,7 +469,7 @@ def pairwise_distance_median_warm(
     # refinement pass already localizes to ~(bracket/bins); the cold branch
     # (sample bracket ~1e-3 of range) keeps the deeper refinement.
     v1, v2, warm_valid, (flo, fhi) = _refine_pair_in_bracket(
-        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=bins,
+        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=warm_bins,
         passes=warm_passes,
     )
 

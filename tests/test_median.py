@@ -162,10 +162,10 @@ def test_warm_median_tracks_moving_particles(rng):
             coords, lo, hi, disp, num_samples=1 << 12, passes=2, row_tile=64
         )
         exact = np_pairwise_median(coords)
-        # Warm single-pass error bound: (bracket width + 4*disp) / bins,
-        # i.e. <= (hi-lo of previous localization + movement slack) / 16;
-        # cold start (step 0) localizes to ~1e-4.
-        bound = max(2e-4 * exact, float((4.0 * disp + 1e-6)) / 16 * 2)
+        # Warm single-pass error bound: (bracket width + 4*disp) /
+        # warm_bins (=8), with 2x safety; cold start (step 0) ~1e-4.
+        width = max(float(hi - lo), 0.0)
+        bound = max(2e-4 * exact, (width + 4.0 * float(disp) + 1e-6) / 8 * 2)
         err = abs(float(med) - exact)
         assert err <= bound, (step, err, bound)
         # the returned bracket must genuinely contain the exact median
