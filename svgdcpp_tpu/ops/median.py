@@ -426,6 +426,84 @@ def pairwise_distance_median_hybrid(
 # ----------------------------------------------------------------------
 
 
+def warm_median_select(
+    count_fn,
+    total: int,
+    hi0,
+    bracket_lo_d,
+    bracket_hi_d,
+    max_disp,
+    *,
+    sample_bracket_fn=None,
+    bins: int = 16,
+    passes: int = 2,
+    warm_bins: int = 8,
+    warm_passes: int = 1,
+):
+    """count_fn-generic warm-started median selection.
+
+    Between consecutive steps every particle moves by at most ``max_disp``,
+    so every pairwise DISTANCE — and hence every order statistic, including
+    the median — changes by at most 2 * max_disp. Expanding the previous
+    step's localization interval by that guaranteed bound gives a tight,
+    deterministic bracket with no per-step pair sampling or sorting; the
+    count pass itself verifies containment, chaining to the sample bracket
+    (when ``sample_bracket_fn`` is given) and then the full [0, hi0]
+    bisection on (rare) failure. ``count_fn`` may psum over a mesh axis —
+    the selection is then replicated on every shard.
+
+    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d); brackets
+    live in DISTANCE space (the movement bound is additive there). Pass an
+    empty bracket (hi < lo, e.g. (0, -1)) on the first step.
+    """
+    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
+    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+    pad = 2.0 * max_disp + 1e-12
+    lo_d = jnp.maximum(bracket_lo_d - pad, 0.0).astype(fdt)
+    hi_d = (bracket_hi_d + pad).astype(fdt)
+    # The warm bracket is only a few displacement-bounds wide, so a single
+    # refinement pass already localizes to ~(bracket/bins); the cold branch
+    # (sample bracket ~1e-3 of range) keeps the deeper refinement.
+    v1, v2, warm_valid, (flo, fhi) = _refine_pair_in_bracket(
+        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=warm_bins,
+        passes=warm_passes,
+    )
+
+    def full(_):
+        mids = kth_smallest_bisect(
+            count_fn, (k1, k2), 0.0, hi0, bins=16, passes=6
+        )
+        med = jnp.mean(jnp.sqrt(mids))
+        return med, jnp.sqrt(mids[0]), jnp.sqrt(mids[-1])
+
+    if sample_bracket_fn is not None:
+
+        def cold(_):
+            lo_s, hi_s = sample_bracket_fn()
+            lo_s = lo_s.astype(fdt)
+            hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
+            c_v1, c_v2, c_valid, (c_lo, c_hi) = _refine_pair_in_bracket(
+                count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
+            )
+
+            def ok(_):
+                med = 0.5 * (jnp.sqrt(c_v1) + jnp.sqrt(c_v2))
+                return med, jnp.sqrt(jnp.maximum(c_lo, 0.0)), jnp.sqrt(c_hi)
+
+            return jax.lax.cond(c_valid, ok, full, operand=None)
+
+    else:
+        cold = full
+
+    def warm(_):
+        med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
+        return med, jnp.sqrt(jnp.maximum(flo, 0.0)), jnp.sqrt(fhi)
+
+    return jax.lax.cond(warm_valid, warm, cold, operand=None)
+
+
 def pairwise_distance_median_warm(
     coords: jnp.ndarray,
     bracket_lo_d: jnp.ndarray,
@@ -439,68 +517,23 @@ def pairwise_distance_median_warm(
     warm_bins: int = 8,
     row_tile: int = 2048,
 ):
-    """Median with a warm-started bracket carried across SVGD steps.
-
-    Between consecutive steps every particle moves by at most ``max_disp``,
-    so every pairwise DISTANCE — and hence every order statistic, including
-    the median — changes by at most 2 * max_disp. Expanding the previous
-    step's localization interval by that guaranteed bound gives a tight,
-    deterministic bracket with no per-step pair sampling or sorting; the
-    count pass itself verifies containment, chaining to the sample-bracket
-    and then the full bisection on (rare) failure.
-
-    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d); brackets
-    live in DISTANCE space (the movement bound is additive there). Pass an
-    empty bracket (hi < lo, e.g. (0, -1)) on the first step.
-    """
+    """Single-device warm-started pairwise-distance median (see
+    :func:`warm_median_select`)."""
     coords = jnp.asarray(coords)
     n = coords.shape[0]
     total = n * n
-    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
-    k2 = total // 2 + 1 if total % 2 == 0 else k1
-    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
-
-    pad = 2.0 * max_disp + 1e-12
-    lo_d = jnp.maximum(bracket_lo_d - pad, 0.0).astype(fdt)
-    hi_d = (bracket_hi_d + pad).astype(fdt)
-    # The warm bracket is only a few displacement-bounds wide, so a single
-    # refinement pass already localizes to ~(bracket/bins); the cold branch
-    # (sample bracket ~1e-3 of range) keeps the deeper refinement.
-    v1, v2, warm_valid, (flo, fhi) = _refine_pair_in_bracket(
-        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=warm_bins,
-        passes=warm_passes,
+    sq_norms = jnp.sum(coords * coords, axis=1)
+    hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+    sample_bracket_fn = lambda: median_sq_bracket_from_sample(
+        coords, min(num_samples, total)
     )
-
-    def cold(_):
-        lo_s, hi_s = median_sq_bracket_from_sample(coords, min(num_samples, total))
-        lo_s = lo_s.astype(fdt)
-        hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
-        c_v1, c_v2, c_valid, (c_lo, c_hi) = _refine_pair_in_bracket(
-            count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
-        )
-
-        def full(_):
-            sq_norms = jnp.sum(coords * coords, axis=1)
-            hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
-            mids = kth_smallest_bisect(
-                count_fn, (k1, k2), 0.0, hi0, bins=16, passes=6
-            )
-            med = jnp.mean(jnp.sqrt(mids))
-            return med, jnp.sqrt(mids[0]), jnp.sqrt(mids[-1])
-
-        def ok(_):
-            med = 0.5 * (jnp.sqrt(c_v1) + jnp.sqrt(c_v2))
-            return med, jnp.sqrt(jnp.maximum(c_lo, 0.0)), jnp.sqrt(c_hi)
-
-        return jax.lax.cond(c_valid, ok, full, operand=None)
-
-    def warm(_):
-        med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
-        return med, jnp.sqrt(jnp.maximum(flo, 0.0)), jnp.sqrt(fhi)
-
-    return jax.lax.cond(warm_valid, warm, cold, operand=None)
+    return warm_median_select(
+        count_fn, total, hi0, bracket_lo_d, bracket_hi_d, max_disp,
+        sample_bracket_fn=sample_bracket_fn,
+        bins=bins, passes=passes, warm_bins=warm_bins, warm_passes=warm_passes,
+    )
 
 
 # ----------------------------------------------------------------------

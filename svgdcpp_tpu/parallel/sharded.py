@@ -128,6 +128,9 @@ class ShardedSVGDConfig:
     #: 'gather' = one all-gather/step, O(n m) per-device memory;
     #: 'ring'   = ppermute streaming, O(n m / D) per-device memory (ring.py)
     phi_mode: str = "gather"
+    #: carry the median bracket across steps (one verified count pass per
+    #: step instead of a full bisection; see ops/median.warm_median_select)
+    warm_start: bool = True
 
 
 class ShardedSVGD:
@@ -201,7 +204,59 @@ class ShardedSVGD:
             None if cfg.upper_bound is None else jnp.asarray(cfg.upper_bound)
         )
 
-        def local_step(coords_local, opt_state_local, model_params):
+        warm = cfg.warm_start and cfg.scale_method == ScaleMethod.MEDIAN
+        n_global = self.num_particles
+        total = n_global * n_global
+
+        def _median_scale_warm(coords_local, sources, scale_aux):
+            """Warm-started distributed median (gather or ring counts)."""
+            from ..ops.median import (
+                median_sq_bracket_from_sample,
+                warm_median_select,
+            )
+
+            lo_d, hi_d, disp = scale_aux
+            local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+            hi0 = 4.0 * jax.lax.pmax(local_max, axis) * (1.0 + 1e-6) + 1e-30
+
+            if cfg.phi_mode == "ring":
+                from .ring import ring_count_le
+
+                count_fn = lambda thr: ring_count_le(coords_local, thr, axis)
+                sample_fn = None  # ring mode has no global random access
+            else:
+                count_fn = lambda thr: jax.lax.psum(
+                    count_le_cross(
+                        coords_local, sources, thr,
+                        row_tile=cfg.row_tile, axis_name=axis,
+                    ),
+                    axis,
+                )
+
+                def sample_fn():
+                    # The sample is computed from the (device-varying-typed)
+                    # gathered sources; values are identical on every shard,
+                    # and a scalar pmax stamps them replication-typed.
+                    lo_s, hi_s = median_sq_bracket_from_sample(
+                        sources, min(1 << 16, total)
+                    )
+                    return (
+                        jax.lax.pmax(lo_s, axis),
+                        jax.lax.pmax(hi_s, axis),
+                    )
+
+            med, new_lo, new_hi = warm_median_select(
+                count_fn, total, hi0, lo_d, hi_d, disp,
+                sample_bracket_fn=sample_fn,
+                bins=cfg.median_bins, passes=cfg.median_passes,
+            )
+            m = coords_local.shape[1]
+            scale = (jnp.log(float(n_global)) / (med * med)) * jnp.eye(
+                m, dtype=coords_local.dtype
+            )
+            return scale, (new_lo, new_hi, disp)
+
+        def local_step(coords_local, opt_state_local, model_params, scale_aux):
             scores_local = jax.vmap(
                 lambda x: jax.grad(model.log_density_pure)(x, model_params)
             )(coords_local)
@@ -209,7 +264,11 @@ class ShardedSVGD:
                 # Gather-free: bandwidth + phi via ppermute rotations.
                 from .ring import ring_median_scale, ring_phi_rbf
 
-                if cfg.scale_method == ScaleMethod.MEDIAN:
+                if warm:
+                    p_matrix, scale_aux = _median_scale_warm(
+                        coords_local, None, scale_aux
+                    )
+                elif cfg.scale_method == ScaleMethod.MEDIAN:
                     p_matrix = ring_median_scale(
                         coords_local, axis, self.num_particles,
                         bins=cfg.median_bins, passes=cfg.median_passes,
@@ -223,7 +282,12 @@ class ShardedSVGD:
             else:
                 # One gather shared by bandwidth + phi.
                 sources = jax.lax.all_gather(coords_local, axis, tiled=True)
-                p_matrix = self._scale(coords_local, sources, model_params)
+                if warm:
+                    p_matrix, scale_aux = _median_scale_warm(
+                        coords_local, sources, scale_aux
+                    )
+                else:
+                    p_matrix = self._scale(coords_local, sources, model_params)
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
                 phi_local = phi_rbf_cross(
                     coords_local, sources, scores, p_matrix, cfg.row_tile,
@@ -235,25 +299,38 @@ class ShardedSVGD:
                 new_coords = jnp.maximum(new_coords, lower)
             if upper is not None:
                 new_coords = jnp.minimum(new_coords, upper)
-            return new_coords, opt_state_local, p_matrix
+            if warm:
+                # Max displacement across ALL shards -> next warm bracket.
+                local_disp_sq = jnp.max(
+                    jnp.sum((new_coords - coords_local) ** 2, axis=1)
+                )
+                disp = jnp.sqrt(jax.lax.pmax(local_disp_sq, axis))
+                scale_aux = (
+                    scale_aux[0],
+                    scale_aux[1],
+                    disp.astype(scale_aux[2].dtype),
+                )
+            return new_coords, opt_state_local, p_matrix, scale_aux
 
         shard_spec = P(axis, None)
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(shard_spec, shard_spec, P()),
-            out_specs=(shard_spec, shard_spec, P()),
+            in_specs=(shard_spec, shard_spec, P(), P()),
+            out_specs=(shard_spec, shard_spec, P(), P()),
         )
 
         def step_fn(state):
-            coords, opt_state, scale = sharded(
-                state["coords"], state["opt_state"], state["model_params"]
+            coords, opt_state, scale, scale_aux = sharded(
+                state["coords"], state["opt_state"], state["model_params"],
+                state["scale_aux"],
             )
             return {
                 "coords": coords,
                 "opt_state": opt_state,
                 "model_params": state["model_params"],
                 "scale": scale,
+                "scale_aux": scale_aux,
             }
 
         self.step_fn = jax.jit(step_fn)
@@ -280,11 +357,19 @@ class ShardedSVGD:
             lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) == 2 else x,
             self.optimizer.init(coords.dtype),
         )
+        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         return {
             "coords": coords,
             "opt_state": opt_state,
             "model_params": tuple(self.model.parameters),
             "scale": jnp.eye(self.dimension, dtype=coords.dtype),
+            # warm-start median aux: (bracket_lo_d, bracket_hi_d, max_disp);
+            # hi < lo marks a cold start
+            "scale_aux": (
+                jnp.asarray(0.0, fdt),
+                jnp.asarray(-1.0, fdt),
+                jnp.asarray(0.0, fdt),
+            ),
         }
 
     def run(self, coords, num_iterations: int):

@@ -110,6 +110,7 @@ def test_sharded_run_matches_single_device(mesh, rng, method):
             median_bins=1024,
             median_passes=4,
             row_tile=4,
+            warm_start=False,  # pin the cold selection for exact comparison
         ),
     )
     out = np.asarray(sharded.run(x0.copy(), iters))
@@ -228,7 +229,37 @@ def test_ring_mode_full_run_matches_gather(mesh, rng):
             config=ShardedSVGDConfig(
                 scale_method=sv.ScaleMethod.MEDIAN,
                 median_bins=16, median_passes=10, row_tile=4, phi_mode=mode,
+                warm_start=False,
             ),
         )
         results.append(np.asarray(sharded.run(x0.copy(), iters)))
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6, atol=1e-9)
+
+
+@pytest.mark.parametrize("mode", ["gather", "ring"])
+def test_warm_start_sharded_converges(mesh, rng, mode):
+    """Warm-started sharded runs: deterministic, finite, and posterior-close
+    to the cold-selection run (bandwidth-level differences only)."""
+    n, dim, iters = 32, 2, 15
+    x0 = rng.normal(size=(n, dim)) * 2
+    mean, cov = np.zeros(dim), np.eye(dim)
+
+    def run(warm):
+        model = sv.MultivariateNormal(mean, cov)
+        sharded = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+            mesh=mesh,
+            config=ShardedSVGDConfig(
+                scale_method=sv.ScaleMethod.MEDIAN, phi_mode=mode,
+                median_bins=16, median_passes=4, row_tile=4, warm_start=warm,
+            ),
+        )
+        return np.asarray(sharded.run(x0.copy(), iters))
+
+    warm_a = run(True)
+    warm_b = run(True)
+    np.testing.assert_array_equal(warm_a, warm_b)  # deterministic
+    cold = run(False)
+    assert np.isfinite(warm_a).all()
+    # bandwidth-level deviation only: posterior positions stay close
+    assert np.abs(warm_a - cold).max() < 5e-2
