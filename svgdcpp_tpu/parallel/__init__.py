@@ -1,4 +1,10 @@
-from .mesh import make_particle_mesh, particle_sharding, replicated, PARTICLE_AXIS
+from .mesh import (
+    make_particle_mesh,
+    particle_sharding,
+    replicated,
+    initialize_distributed,
+    PARTICLE_AXIS,
+)
 from .sharded import (
     ShardedSVGD,
     ShardedSVGDConfig,

@@ -29,6 +29,28 @@ def make_particle_mesh(
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host initialization for real pod slices.
+
+    Thin wrapper over ``jax.distributed.initialize`` (no-op if already
+    initialized or single-process): call once per host before building a
+    mesh; afterwards ``jax.devices()`` spans the whole slice and
+    :func:`make_particle_mesh` shards particles across hosts — collectives
+    ride ICI within a slice and DCN across slices, scheduled by XLA.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return jax.devices()
+
+
 def particle_sharding(mesh: Mesh) -> NamedSharding:
     """Row-sharded (n, m) placement: particles split, coordinates replicated."""
     return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
