@@ -23,7 +23,7 @@ Everything here is expressed with ``jax.shard_map`` + named collectives
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 from typing import Any, Callable, Optional
 
 import jax
