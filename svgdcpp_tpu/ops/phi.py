@@ -155,6 +155,43 @@ def phi_rbf_cross(
     targets_pad = jnp.pad(targets, ((0, pad), (0, 0)))
     q_tgt_pad = jnp.pad(q_tgt, (0, pad))
 
+    # For small m, both f32 cancellation sites are avoided: the quadratic
+    # form is built from explicit differences (the Gram identity
+    # q_i + q_j - cross loses ~3 digits for nearby pairs), and the summed
+    # kernel gradient is accumulated directly as sum_j K * diff (the
+    # K X - rowsum(K) X rearrangement subtracts two nearly equal O(n)
+    # sums). Costs O(m^2) fused VPU ops per pair instead of MXU matmuls —
+    # a wash at small m.
+    diff_form = m <= 4
+
+    if diff_form:
+
+        def tile_body(t, acc):
+            rows = jax.lax.dynamic_slice_in_dim(
+                targets_pad, t * row_tile, row_tile, 0
+            )
+            diffs = [rows[:, a, None] - sources[None, :, a] for a in range(m)]
+            quad = jnp.zeros((row_tile, n_s), rows.dtype)
+            for a in range(m):
+                for bb in range(a, m):
+                    w = p_sym[a, bb] if a != bb else p_matrix[a, a]
+                    quad = quad + w * diffs[a] * diffs[bb]
+            k_tile = jnp.exp(-jnp.maximum(quad, 0.0))
+            ks = k_tile @ source_scores  # (row_tile, m) MXU
+            # sum_j grad_{x_j} k = (P+P^T) sum_j K (x_i - x_j) per target i
+            t_vec = jnp.stack(
+                [jnp.sum(k_tile * diffs[a], axis=1) for a in range(m)], axis=1
+            )
+            phi_tile = ks + t_vec @ p_sym
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, phi_tile, t * row_tile, 0
+            )
+
+        acc0 = jnp.zeros((num_tiles * row_tile, m), targets.dtype)
+        if axis_name is not None:
+            acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+        return jax.lax.fori_loop(0, num_tiles, tile_body, acc0)[:n_t] / n_s
+
     def tile_body(t, acc):
         rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
         q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)

@@ -38,8 +38,9 @@ from .ops.phi import (
 from .utils.logging import write_intermediate_matrices
 
 #: Above this particle count the dense n x n phi switches to the
-#: tile-streamed implementation.
-DENSE_PHI_MAX_PARTICLES = 8192
+#: tile-streamed implementation (which also uses the cancellation-free
+#: difference form for small m — see ops/phi.py).
+DENSE_PHI_MAX_PARTICLES = 1024
 
 
 @dataclasses.dataclass
