@@ -476,7 +476,13 @@ def warm_median_select(
             count_fn, (k1, k2), 0.0, hi0, bins=16, passes=6
         )
         med = jnp.mean(jnp.sqrt(mids))
-        return med, jnp.sqrt(mids[0]), jnp.sqrt(mids[-1])
+        # mids are bucket MIDPOINTS; expand by the final bucket width so the
+        # returned bracket genuinely contains the order statistics (else the
+        # next warm containment check can fail forever once disp ~ 0).
+        slack = hi0 / (16.0 ** 6)
+        lo_b = jnp.sqrt(jnp.maximum(mids[0] - slack, 0.0))
+        hi_b = jnp.sqrt(mids[-1] + slack)
+        return med, lo_b, hi_b
 
     if sample_bracket_fn is not None:
 
@@ -546,7 +552,14 @@ EXACT_MEDIAN_MAX_PARTICLES = 2048
 
 
 def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.ndarray:
-    """Median pairwise distance with automatic exact/hybrid dispatch."""
+    """Median pairwise distance with automatic exact/hybrid dispatch.
+
+    'warm' is accepted for one-shot calls (kernel construction, manual
+    ComputeScale) and behaves like 'auto' — the warm bracket only exists
+    inside the driver loop, which calls compute_scale_with_aux directly.
+    """
+    if method == "warm":
+        method = "auto"
     n = coords.shape[0]
     if method == "exact" or (method == "auto" and n <= EXACT_MEDIAN_MAX_PARTICLES):
         return pairwise_distance_median_exact(coords)

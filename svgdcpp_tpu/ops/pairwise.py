@@ -28,8 +28,8 @@ def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> j
     """All-pairs (x_i - x_j)^T P (x_i - x_j) for (n, m) coords -> (n, n).
 
     For symmetric-part P: q_i + q_j - x_i^T (P + P^T) x_j, one MXU matmul
-    chain. Used by the anisotropic RBF kernel (Hessian bandwidth,
-    reference GaussianRBFKernel.hpp:189-210).
+    chain. Standalone utility (the phi hot paths build their quadratic
+    forms inline, tile-streamed — see ops/phi.py).
     """
     p_sym = p_matrix + p_matrix.T
     xp = coords @ p_matrix  # (n, m)

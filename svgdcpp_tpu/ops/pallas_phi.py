@@ -11,8 +11,10 @@ touches HBM (the ring-attention-shaped requirement, SURVEY.md §5):
 
   * ``count_le_pallas`` — the median-selection count pass: per tile, build
     the squared-distance tile and accumulate, for each of T thresholds, how
-    many entries are <= it. Replaces an XLA path that materializes a
-    T-times-larger broadcast intermediate in HBM.
+    many entries are <= it. EXPERIMENTAL: not wired into the median paths —
+    on v5e the XLA compare/reduce (ops/median.count_le_cross) measured
+    faster (XLA's fusion keeps the tile in VMEM already); kept as the
+    starting point for multi-generation tuning.
 
 Both kernels accept pre-padded inputs from their wrappers; padded rows carry
 q = +inf so they contribute exp(-inf) = 0 / count 0 with no masks in the

@@ -46,8 +46,10 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except (RuntimeError, ValueError):
+        # already initialized, or single-process with no coordinator —
+        # both are the documented no-op cases
+        pass
     return jax.devices()
 
 

@@ -296,9 +296,9 @@ class ShardedSVGD:
             opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
             new_coords = coords_local + inc
             if lower is not None:
-                new_coords = jnp.maximum(new_coords, lower)
+                new_coords = jnp.maximum(new_coords, lower.astype(new_coords.dtype))
             if upper is not None:
-                new_coords = jnp.minimum(new_coords, upper)
+                new_coords = jnp.minimum(new_coords, upper.astype(new_coords.dtype))
             if warm:
                 # Max displacement across ALL shards -> next warm bracket.
                 local_disp_sq = jnp.max(
@@ -313,11 +313,18 @@ class ShardedSVGD:
             return new_coords, opt_state_local, p_matrix, scale_aux
 
         shard_spec = P(axis, None)
+        # Optimizer state mixes (n, m) arrays (sharded) with scalars like
+        # Adam's step counter (replicated) — specs must follow the leaves.
+        opt_template = optimizer.init(jnp.float32)
+        opt_specs = jax.tree.map(
+            lambda x: shard_spec if getattr(x, "ndim", 0) == 2 else P(),
+            opt_template,
+        )
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(shard_spec, shard_spec, P(), P()),
-            out_specs=(shard_spec, shard_spec, P(), P()),
+            in_specs=(shard_spec, opt_specs, P(), P()),
+            out_specs=(shard_spec, opt_specs, P(), P()),
         )
 
         def step_fn(state):

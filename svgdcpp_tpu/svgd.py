@@ -264,10 +264,16 @@ class SVGD:
             phi = self._phi(coords, scores, kparams)
             opt_state, inc = self.optimizer.step(state["opt_state"], phi)
             new_coords = coords + inc
+            # Cast bounds to the coords dtype: under x64, f64 bounds would
+            # otherwise promote an f32 carry and break the scan.
             if self.lower_bound is not None:
-                new_coords = jnp.maximum(new_coords, self.lower_bound)
+                new_coords = jnp.maximum(
+                    new_coords, self.lower_bound.astype(new_coords.dtype)
+                )
             if self.upper_bound is not None:
-                new_coords = jnp.minimum(new_coords, self.upper_bound)
+                new_coords = jnp.minimum(
+                    new_coords, self.upper_bound.astype(new_coords.dtype)
+                )
             if any(a is not None for a in scale_aux):
                 # Max particle displacement of THIS update (bounds clamp
                 # included) — next step's warm bracket expands by 2x this.
@@ -306,6 +312,7 @@ class SVGD:
     def _build_step(self):
         step_fn = self.build_step_fn()
         self._jit_step = jax.jit(lambda s: step_fn(s)[0])
+        self._jit_step_full = jax.jit(step_fn)  # keeps the debug output
 
         def run_n(state, num_steps):
             return jax.lax.scan(step_fn, state, None, length=num_steps)
@@ -375,9 +382,26 @@ class SVGD:
         self._require_init()
         if self._has_custom_hooks():
             # Eager fallback: hooks are host-side Python, one jitted step per
-            # iteration.
+            # iteration. Intermediate-matrix logging still collects per-step
+            # snapshots like the reference (SVGD.hpp:346-366).
+            debugs = []
             for _ in range(self.num_iterations):
-                self.step()
+                self._eager_hooks()
+                state = self.make_state()
+                new_state, debug = self._jit_step_full(state)
+                self._absorb_state(new_state)
+                if self.log_intermediate_matrices:
+                    debugs.append(jax.tree.map(jax.device_get, debug))
+            if self.log_intermediate_matrices and debugs:
+                import numpy as np
+
+                self._intermediate_logs = {
+                    key: np.stack([np.asarray(d[key]) for d in debugs])
+                    for key in debugs[0]
+                }
+                write_intermediate_matrices(
+                    self.intermediate_matrices_output_path, self._intermediate_logs
+                )
         else:
             state = self.make_state()
             final_state, debug = self._jit_run(state, self.num_iterations)

@@ -115,3 +115,58 @@ def test_bad_bound_dimension_raises(rng):
     with pytest.raises(sv.DimensionMismatchError):
         build(x0, model, kernel, sv.AdaGrad(2, 10, 0.1),
               lower_bound=np.zeros(3))
+
+
+def test_bounds_with_f32_coords_under_x64(rng):
+    """f64 bounds must not promote an f32 scan carry (review finding)."""
+    dim, n = 2, 8
+    model = sv.MultivariateNormal(np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32))
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 5
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = build(
+        x0, model, kernel, sv.AdaGrad(dim, n, 0.1),
+        lower_bound=np.array([-1.0, -1.0]), upper_bound=np.array([1.0, 1.0]),
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert out.dtype == np.float32
+    assert np.abs(out).max() <= 1.0
+
+
+def test_eager_hooks_with_debug_logging(tmp_path, rng):
+    """Custom hooks + log_intermediate_matrices writes the log (review finding)."""
+    dim, n = 2, 6
+
+    class Hooked(sv.MultivariateNormal):
+        def step(self):
+            pass
+
+    model = Hooked(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    path = str(tmp_path / "hooklog.txt")
+    svgd = build(
+        x0, model, kernel, sv.AdaGrad(dim, n, 0.1),
+        log_intermediate_matrices=True,
+        intermediate_matrices_output_path=path,
+    )
+    svgd.initialize()
+    assert svgd._has_custom_hooks()
+    svgd.run()
+    text = open(path).read()
+    assert text.count("========== Step") == 5
+
+
+def test_warm_median_method_accepted_at_construction(rng):
+    """median_method='warm' must not crash the ctor (review finding)."""
+    x0 = rng.normal(size=(16, 2))
+    k = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, median_method="warm")
+    assert np.isfinite(np.asarray(k.parameters[0])).all()
+
+
+def test_initialize_distributed_single_process_noop():
+    """Single-process call is a no-op returning devices (review finding)."""
+    from svgdcpp_tpu.parallel import initialize_distributed
+
+    devices = initialize_distributed()
+    assert len(devices) >= 1

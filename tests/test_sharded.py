@@ -263,3 +263,22 @@ def test_warm_start_sharded_converges(mesh, rng, mode):
     assert np.isfinite(warm_a).all()
     # bandwidth-level deviation only: posterior positions stay close
     assert np.abs(warm_a - cold).max() < 5e-2
+
+
+def test_sharded_with_adam(mesh, rng):
+    """Adam's scalar counter must shard as replicated (review finding)."""
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim))
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    sharded = ShardedSVGD(
+        model, sv.Adam(dim, n, 0.1, 0.9, 0.999), num_particles=n,
+        dimension=dim, mesh=mesh,
+        config=ShardedSVGDConfig(scale_method=sv.ScaleMethod.MEDIAN,
+                                 median_passes=4, row_tile=4),
+    )
+    out = np.asarray(sharded.run(x0, 5))
+    assert np.isfinite(out).all()
+    # matches the single-device driver with the same warm-start settings off?
+    # (warm defaults on in both paths; just check movement + determinism)
+    out2 = np.asarray(sharded.run(x0, 5))
+    np.testing.assert_array_equal(out, out2)
