@@ -10,3 +10,4 @@ from .median import (
     pairwise_distance_median_bisect,
 )
 from .phi import phi_generic, phi_rbf, phi_rbf_blocked, rbf_kernel_matrix
+from .ksd import ksd_rbf, ksd_squared_rbf

@@ -1,0 +1,112 @@
+"""Kernel Stein discrepancy (KSD) — convergence diagnostic for SVGD.
+
+The reference library offers no quality metric beyond eyeballing particle
+scatters (its notebooks); production deployment needs a scalar that answers
+"how close is the particle set to the target?". The (squared, V-statistic)
+KSD with kernel k and score s(x) = grad log p(x) is
+
+    KSD^2 = (1/n^2) sum_{ij} u_p(x_i, x_j)
+    u_p(x, y) = s(x)^T k s(y) + s(x)^T grad_y k + grad_x k^T s(y)
+                + trace(grad_x grad_y k)
+
+For the Gaussian RBF k = exp(-(x-y)^T P (x-y)) every term is closed form:
+
+    grad_x k = -k P_s (x - y),  grad_y k = +k P_s (x - y)
+    trace(grad_x grad_y k) = k (tr(P_s) - d^T d),  d = P_s (x - y)
+
+with P_s = P + P^T. Computed tile-streamed, so it scales like one phi pass
+and never materializes the n x n matrix. Validated against a jax.grad
+oracle in tests/test_ksd.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ksd_squared_rbf(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    row_tile: int = 1024,
+    ustat: bool = False,
+) -> jnp.ndarray:
+    """Squared KSD for the RBF kernel, tile-streamed.
+
+    coords (n, m); scores (n, m) = grad log p at each particle;
+    p_matrix (m, m) inverse-scale. ``ustat=True`` removes the diagonal
+    u_p(x, x) = |s(x)|^2 + tr(P_s) terms (the V-statistic's positive bias,
+    which does NOT vanish at the target) and normalizes by n(n-1) — use the
+    U-statistic for convergence diagnostics, the V-statistic for theory
+    parity.
+    """
+    coords = jnp.asarray(coords)
+    scores = jnp.asarray(scores)
+    n, m = coords.shape
+    p_sym = p_matrix + p_matrix.T
+    tr_psym = jnp.trace(p_sym)
+
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    x_pad = jnp.pad(coords, ((0, pad), (0, 0)))
+    s_pad = jnp.pad(scores, ((0, pad), (0, 0)))
+    row_valid = jnp.pad(jnp.ones(n, coords.dtype), (0, pad))
+
+    def tile_body(t, acc):
+        x_i = jax.lax.dynamic_slice_in_dim(x_pad, t * row_tile, row_tile, 0)
+        s_i = jax.lax.dynamic_slice_in_dim(s_pad, t * row_tile, row_tile, 0)
+        v_i = jax.lax.dynamic_slice_in_dim(row_valid, t * row_tile, row_tile, 0)
+        # pairwise pieces for the (row_tile, n) block
+        diffs = [x_i[:, a, None] - coords[None, :, a] for a in range(m)]
+        quad = jnp.zeros((row_tile, n), coords.dtype)
+        for a in range(m):
+            for b in range(a, m):
+                w = p_sym[a, b] if a != b else p_matrix[a, a]
+                quad = quad + w * diffs[a] * diffs[b]
+        k = jnp.exp(-jnp.maximum(quad, 0.0))
+
+        # s(x_i)^T s(x_j) * k
+        ss = s_i @ scores.T
+        term1 = ss * k
+
+        # d = P_s (x_i - x_j); grad_y k = 2 k d ; grad_x k = -2 k d
+        d = [
+            sum(p_sym[a, b] * diffs[b] for b in range(m)) for a in range(m)
+        ]  # list of (row_tile, n)
+        s_i_dot_d = sum(s_i[:, a, None] * d[a] for a in range(m))
+        s_j_dot_d = sum(scores[None, :, a] * d[a] for a in range(m))
+        # s(x)^T grad_y k + grad_x k^T s(y) = k (s_i . d) - k (s_j . d)
+        term2 = k * (s_i_dot_d - s_j_dot_d)
+
+        # trace(grad_x grad_y k) = k (tr(P_s) - d^T d) with d = P_s diff
+        dd = sum(di * di for di in d)
+        term3 = k * (tr_psym - dd)
+
+        contrib = (term1 + term2 + term3) * v_i[:, None]
+        return acc + jnp.sum(contrib)
+
+    total = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.asarray(0.0, coords.dtype))
+    if ustat:
+        diag = jnp.sum(scores * scores) + n * tr_psym  # u_p(x_i, x_i) summed
+        return (total - diag) / (n * (n - 1))
+    return total / (n * n)
+
+
+def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
+            ustat: bool = True):
+    """Convenience: KSD of a particle set against a model's target density.
+
+    Uses the model's score and, when ``p_matrix`` is None, the median
+    bandwidth (like the SVGD run itself).
+    """
+    from ..kernels.gaussian_rbf import median_scale
+
+    coords = jnp.asarray(coords)
+    scores = jax.vmap(
+        lambda x: jax.grad(model.log_density_pure)(x, tuple(model.parameters))
+    )(coords)
+    if p_matrix is None:
+        p_matrix = median_scale(coords)
+    ksd2 = ksd_squared_rbf(coords, scores, p_matrix, row_tile, ustat=ustat)
+    return jnp.sqrt(jnp.maximum(ksd2, 0.0))
