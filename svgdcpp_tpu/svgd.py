@@ -66,6 +66,10 @@ class SVGDOptions:
     phi_impl: str = "auto"  # 'auto' | 'dense' | 'blocked' | 'pallas' | 'generic'
     row_tile: int = 1024
     mesh: Any = None  # jax.sharding.Mesh to shard the particle axis over
+    #: Annealed SVGD: per-iteration temperature tau scaling the scores
+    #: (phi uses tau * grad log p). Either a (num_iterations,) array or a
+    #: callable iteration -> tau (traced; use jnp ops). None = no annealing.
+    annealing: Any = None
 
 
 def _prepare_bound(bound, dimension, name) -> Optional[jnp.ndarray]:
@@ -252,6 +256,13 @@ class SVGD:
         """
         collect_debug = self.log_intermediate_matrices
 
+        annealing = self.options.annealing
+        if annealing is not None and not callable(annealing):
+            annealing_arr = jnp.asarray(annealing)
+            annealing = lambda it: annealing_arr[
+                jnp.clip(it, 0, annealing_arr.shape[0] - 1)
+            ]
+
         def step_fn(state, _=None):
             coords = state["coords"]
             mparams = state["model_params"]
@@ -261,6 +272,9 @@ class SVGD:
             scores = jax.vmap(
                 lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
             )(coords)
+            if annealing is not None:
+                tau = annealing(state["iteration"])
+                scores = scores * jnp.asarray(tau, scores.dtype)
             phi = self._phi(coords, scores, kparams)
             opt_state, inc = self.optimizer.step(state["opt_state"], phi)
             new_coords = coords + inc
@@ -292,6 +306,7 @@ class SVGD:
                 "kernel_params": kparams,
                 "model_params": mparams,
                 "scale_aux": scale_aux,
+                "iteration": state["iteration"] + 1,
             }
             if collect_debug:
                 k_mat, k_grad = kernel_matrix_and_grad(
@@ -333,6 +348,7 @@ class SVGD:
             ),
             "model_params": tuple(self.model.parameters),
             "scale_aux": self._current_scale_aux(coords),
+            "iteration": jnp.asarray(getattr(self, "_iteration", 0), jnp.int32),
         }
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -364,6 +380,7 @@ class SVGD:
         self.store.value = state["coords"]
         self._opt_state = state["opt_state"]
         self._scale_aux = state["scale_aux"]
+        self._iteration = int(state["iteration"])
         self.kernel.update_parameters(state["kernel_params"])
 
     # ------------------------------------------------------------------

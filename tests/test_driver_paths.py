@@ -170,3 +170,35 @@ def test_initialize_distributed_single_process_noop():
 
     devices = initialize_distributed()
     assert len(devices) >= 1
+
+
+def test_annealing_schedule(rng):
+    """Annealed SVGD: tau=1 schedule matches no annealing; a ramp differs
+    but still converges; iteration counter persists across runs."""
+    import jax.numpy as jnp
+
+    dim, n, iters = 2, 12, 30
+    x0 = rng.normal(size=(n, dim)) * 2
+
+    def run(annealing):
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        svgd = sv.SVGD(
+            sv.SVGDOptions(dimension=dim, num_iterations=iters,
+                           coordinate_matrix=x0.copy(), kernel=kernel,
+                           model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+                           annealing=annealing)
+        )
+        svgd.initialize()
+        return np.asarray(svgd.run()), svgd
+
+    plain, _ = run(None)
+    ones, _ = run(np.ones(iters))
+    np.testing.assert_allclose(plain, ones, rtol=1e-12)
+
+    ramp, svgd_r = run(np.linspace(0.1, 1.0, iters))
+    assert not np.allclose(ramp, plain)
+    assert svgd_r._iteration == iters
+    # callable schedule form
+    ramp2, _ = run(lambda it: 0.1 + 0.9 * it / (iters - 1))
+    np.testing.assert_allclose(ramp2, ramp, rtol=1e-9)
