@@ -114,8 +114,11 @@ def cross_sq_hist(rows_coords: jnp.ndarray, cols_coords: jnp.ndarray, lo, hi, *,
     ``cols_coords`` the all-gathered global set — each shard then covers a
     disjoint row-block of the global n x n pair matrix.
     """
+    from .pairwise import auto_row_tile
+
     n_r = rows_coords.shape[0]
     n_c = cols_coords.shape[0]
+    row_tile = auto_row_tile(n_c, row_tile)
     num_tiles = -(-n_r // row_tile)
     pad = num_tiles * row_tile - n_r
     padded = jnp.pad(rows_coords, ((0, pad), (0, 0)))
@@ -206,8 +209,11 @@ def count_le_cross(rows_coords, cols_coords, thresholds, *, row_tile: int = 2048
     at n=100k the ~2^-24 relative rounding is a rank slop of a few hundred
     out of 1e10, invisible to a bandwidth median.
     """
+    from .pairwise import auto_row_tile
+
     n_r = rows_coords.shape[0]
     n_c = cols_coords.shape[0]
+    row_tile = auto_row_tile(n_c, row_tile)
     num_tiles = -(-n_r // row_tile)
     pad = num_tiles * row_tile - n_r
     padded = jnp.pad(rows_coords, ((0, pad), (0, 0)))

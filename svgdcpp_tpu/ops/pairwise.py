@@ -37,3 +37,17 @@ def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> j
     cross = coords @ p_sym @ coords.T
     quad = q[:, None] + q[None, :] - cross
     return jnp.maximum(quad, 0.0)
+
+
+def auto_row_tile(n_cols: int, requested: int, elem_bytes: int = 4,
+                  budget_bytes: int = 1 << 28) -> int:
+    """Clamp a row-tile so tile x n_cols buffers stay within ``budget_bytes``.
+
+    The tile-streamed O(n^2) ops materialize (row_tile, n_cols) working
+    tiles; at n = 1M a requested tile of 1024 would be a 4 GB buffer. The
+    default 256 MB budget keeps several live tiles well inside HBM while
+    staying MXU/VPU-efficient (tile >= 8 sublanes).
+    """
+    cap = max(8, budget_bytes // max(1, n_cols * elem_bytes))
+    tile = max(8, min(int(requested), cap))
+    return (tile // 8) * 8

@@ -140,8 +140,11 @@ def phi_rbf_cross(
     round-trips to HBM. The cross form is the building block of the sharded
     multi-chip phi (local targets x all-gathered sources, SURVEY.md §7).
     """
+    from .pairwise import auto_row_tile
+
     n_t, m = targets.shape
     n_s = sources.shape[0]
+    row_tile = auto_row_tile(n_s, row_tile)
     num_tiles = -(-n_t // row_tile)
     pad = num_tiles * row_tile - n_t
     p_sym = p_matrix + p_matrix.T
