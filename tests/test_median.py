@@ -189,3 +189,12 @@ def test_warm_median_fallback_when_bracket_stale(rng):
     )
     exact = np_pairwise_median(coords)
     assert abs(float(med) - exact) <= 2e-4 * exact
+
+
+def test_auto_row_tile_clamps():
+    from svgdcpp_tpu.ops.pairwise import auto_row_tile
+
+    assert auto_row_tile(10_000, 1024) == 1024  # fits the budget
+    assert auto_row_tile(1_000_000, 1024) == 64  # 256MB / (1M * 4B) = 64
+    assert auto_row_tile(10_000_000, 1024) == 8  # floor
+    assert auto_row_tile(100, 13) == 8  # rounds to sublane multiple
