@@ -49,11 +49,18 @@ def rbf_kernel_fn(x, params, location):
     return jnp.exp(-diff @ params[0] @ diff)
 
 
+def scale_from_median(med, n: int, m: int, dtype) -> jnp.ndarray:
+    """P = log(n) / median^2 * I — THE bandwidth formula (reference
+    GaussianRBFKernel.hpp:187); single definition shared by every selection
+    path (exact/hybrid/warm, sharded, ring)."""
+    return (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=dtype)
+
+
 def median_scale(coords: jnp.ndarray, median_method: str = "auto") -> jnp.ndarray:
     """P = log(n) / median^2 * I (reference GaussianRBFKernel.hpp:179-187)."""
     n, m = coords.shape
     med = pairwise_distance_median(coords, method=median_method)
-    return (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=coords.dtype)
+    return scale_from_median(med, n, m, coords.dtype)
 
 
 def hessian_scale(coords: jnp.ndarray, log_density_fn, model_params) -> jnp.ndarray:
@@ -148,7 +155,7 @@ class GaussianRBFKernel(Kernel):
         med, lo, hi = pairwise_distance_median_warm(
             coords, aux["lo"], aux["hi"], aux["disp"]
         )
-        scale = (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=coords.dtype)
+        scale = scale_from_median(med, n, m, coords.dtype)
         return scale, {"lo": lo, "hi": hi, "disp": aux["disp"]}
 
     def compute_scale_pure(self, coords: jnp.ndarray, model_params=None) -> jnp.ndarray:

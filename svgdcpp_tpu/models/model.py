@@ -169,7 +169,7 @@ class Model:
     # ------------------------------------------------------------------
     # Functional composition (reference Model.hpp:55-227)
     # ------------------------------------------------------------------
-    def _compose(self, other: "Model", op, op_name: str) -> "Model":
+    def _compose(self, other: "Model", op, op_name: str, log_op=None) -> "Model":
         if not isinstance(other, Model):
             return NotImplemented
         if self.dimension != other.dimension:
@@ -186,29 +186,53 @@ class Model:
         n1 = len(self.parameters)
         f1 = self.density_pure
         f2 = other.density_pure
+        l1 = self.log_density_pure
+        l2 = other.log_density_pure
 
         def fn(x, params):
             # Split the concatenated parameter tuple back into the two
             # operands' parameter sets (reference Model.hpp:80-81).
             return op(f1(x, tuple(params[:n1])), f2(x, tuple(params[n1:])))
 
+        # Stable log-space composition: the default log(f1 op f2) underflows
+        # whenever exp(l) leaves the float range even though l1, l2 are
+        # finite (e.g. products of experts). Each operator has an exact
+        # log-space form; '-' keeps the reference's semantics of NaN for a
+        # negative composed density (log1p of a value <= -1).
+        if log_op is not None:
+
+            def log_fn(x, params):
+                return log_op(
+                    l1(x, tuple(params[:n1])), l2(x, tuple(params[n1:]))
+                )
+
+        else:
+            log_fn = None
+
         return Model(
             self.dimension,
             density_fn=fn,
+            log_density_fn=log_fn,
             parameters=self.parameters + other.parameters,
         )
 
     def __add__(self, other):
-        return self._compose(other, lambda a, b: a + b, "added")
+        return self._compose(other, lambda a, b: a + b, "added",
+                             log_op=jnp.logaddexp)
 
     def __sub__(self, other):
-        return self._compose(other, lambda a, b: a - b, "subtracted")
+        return self._compose(
+            other, lambda a, b: a - b, "subtracted",
+            log_op=lambda a, b: a + jnp.log1p(-jnp.exp(b - a)),
+        )
 
     def __mul__(self, other):
-        return self._compose(other, lambda a, b: a * b, "multiplied")
+        return self._compose(other, lambda a, b: a * b, "multiplied",
+                             log_op=lambda a, b: a + b)
 
     def __truediv__(self, other):
-        return self._compose(other, lambda a, b: a / b, "divided")
+        return self._compose(other, lambda a, b: a / b, "divided",
+                             log_op=lambda a, b: a - b)
 
     # ------------------------------------------------------------------
     # CamelCase aliases (drop-in familiarity for reference users)

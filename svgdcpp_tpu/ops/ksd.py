@@ -35,15 +35,20 @@ def ksd_squared_rbf(
     """Squared KSD for the RBF kernel, tile-streamed.
 
     coords (n, m); scores (n, m) = grad log p at each particle;
-    p_matrix (m, m) inverse-scale. ``ustat=True`` removes the diagonal
+    p_matrix (m, m) inverse-scale. Per-pair cost is O(m^2) VPU work (the
+    Stein kernel needs the d = P_s diff vectors anyway) — a diagnostic, not
+    a hot path; fine up to m ~ 100. ``ustat=True`` removes the diagonal
     u_p(x, x) = |s(x)|^2 + tr(P_s) terms (the V-statistic's positive bias,
     which does NOT vanish at the target) and normalizes by n(n-1) — use the
     U-statistic for convergence diagnostics, the V-statistic for theory
     parity.
     """
+    from .pairwise import auto_row_tile
+
     coords = jnp.asarray(coords)
     scores = jnp.asarray(scores)
     n, m = coords.shape
+    row_tile = auto_row_tile(n, row_tile)
     p_sym = p_matrix + p_matrix.T
     tr_psym = jnp.trace(p_sym)
 

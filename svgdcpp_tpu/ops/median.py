@@ -162,7 +162,12 @@ def pairwise_distance_median_histogram(
     passes: int = 3,
     row_tile: int = 512,
 ) -> jnp.ndarray:
-    """Scalable median of all n^2 pairwise distances (self-zeros included).
+    """CPU/parity-only median of all n^2 pairwise distances.
+
+    Uses a device scatter-add histogram — fine on CPU, but TPU scatters
+    serialize (~100x slower than the arithmetic around them); every hot
+    path uses the compare/reduce bisect or warm selection instead. Kept for
+    cross-validation of the selection algorithms.
 
     Selection runs on squared distances (monotone in distance, so order
     statistics map 1:1); the two middle order statistics are sqrt'ed and
@@ -466,9 +471,15 @@ def warm_median_select(
     k2 = total // 2 + 1 if total % 2 == 0 else k1
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
+    # Sentinel check BEFORE any arithmetic: an uninitialized bracket is
+    # hi < lo in DISTANCE space; squaring a negative hi would otherwise
+    # manufacture a plausible-looking [0, ~1] squared bracket that the
+    # count verification can wrongly accept when the median happens to lie
+    # inside it.
+    bracket_initialized = bracket_hi_d >= bracket_lo_d
     pad = 2.0 * max_disp + 1e-12
     lo_d = jnp.maximum(bracket_lo_d - pad, 0.0).astype(fdt)
-    hi_d = (bracket_hi_d + pad).astype(fdt)
+    hi_d = jnp.maximum(bracket_hi_d + pad, 0.0).astype(fdt)
     # The warm bracket is only a few displacement-bounds wide, so a single
     # refinement pass already localizes to ~(bracket/bins); the cold branch
     # (sample bracket ~1e-3 of range) keeps the deeper refinement.
@@ -476,6 +487,7 @@ def warm_median_select(
         count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=warm_bins,
         passes=warm_passes,
     )
+    warm_valid = warm_valid & bracket_initialized
 
     def full(_):
         mids = kth_smallest_bisect(

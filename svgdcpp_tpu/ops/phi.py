@@ -95,12 +95,9 @@ def kernel_matrix_and_grad(
 
 def rbf_kernel_matrix(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
     """K[i, j] = exp(-(x_j - x_i)^T P (x_j - x_i)) via the Gram identity."""
-    p_sym = p_matrix + p_matrix.T
-    xp = coords @ p_matrix
-    q = jnp.sum(xp * coords, axis=1)
-    cross = coords @ p_sym @ coords.T
-    quad = jnp.maximum(q[:, None] + q[None, :] - cross, 0.0)
-    return jnp.exp(-quad)
+    from .pairwise import weighted_quadratic_pairwise
+
+    return jnp.exp(-weighted_quadratic_pairwise(coords, p_matrix))
 
 
 def phi_rbf(coords: jnp.ndarray, scores: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:

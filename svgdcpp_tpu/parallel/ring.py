@@ -129,8 +129,8 @@ def ring_pairwise_median(
 
 def ring_median_scale(coords_local, axis_name, n_global, **kwargs):
     """P = log(n)/median^2 * I with the ring median."""
+    from ..kernels.gaussian_rbf import scale_from_median
+
     m = coords_local.shape[1]
     med = ring_pairwise_median(coords_local, axis_name, n_global, **kwargs)
-    return (jnp.log(float(n_global)) / (med * med)) * jnp.eye(
-        m, dtype=coords_local.dtype
-    )
+    return scale_from_median(med, n_global, m, coords_local.dtype)

@@ -84,9 +84,11 @@ def sharded_median_scale(
     coords_local, sources_global, axis_name, **kwargs
 ) -> jnp.ndarray:
     """P = log(n)/median^2 * I with a distributed median."""
+    from ..kernels.gaussian_rbf import scale_from_median
+
     n, m = sources_global.shape
     med = sharded_pairwise_median(coords_local, sources_global, axis_name, **kwargs)
-    return (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=coords_local.dtype)
+    return scale_from_median(med, n, m, coords_local.dtype)
 
 
 def sharded_hessian_scale(
@@ -250,10 +252,10 @@ class ShardedSVGD:
                 sample_bracket_fn=sample_fn,
                 bins=cfg.median_bins, passes=cfg.median_passes,
             )
+            from ..kernels.gaussian_rbf import scale_from_median
+
             m = coords_local.shape[1]
-            scale = (jnp.log(float(n_global)) / (med * med)) * jnp.eye(
-                m, dtype=coords_local.dtype
-            )
+            scale = scale_from_median(med, n_global, m, coords_local.dtype)
             return scale, (new_lo, new_hi, disp)
 
         def local_step(coords_local, opt_state_local, model_params, scale_aux):
@@ -315,7 +317,8 @@ class ShardedSVGD:
         shard_spec = P(axis, None)
         # Optimizer state mixes (n, m) arrays (sharded) with scalars like
         # Adam's step counter (replicated) — specs must follow the leaves.
-        opt_template = optimizer.init(jnp.float32)
+        # eval_shape: structure only, no device allocation.
+        opt_template = jax.eval_shape(lambda: optimizer.init(jnp.float32))
         opt_specs = jax.tree.map(
             lambda x: shard_spec if getattr(x, "ndim", 0) == 2 else P(),
             opt_template,

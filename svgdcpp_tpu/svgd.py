@@ -109,6 +109,11 @@ class SVGD:
                 "log_intermediate_matrices",
                 "intermediate_matrices_output_path",
             ]
+            if len(args) > len(names):
+                raise TypeError(
+                    f"SVGD() takes at most {len(names)} positional arguments "
+                    f"({len(args)} given)"
+                )
             merged = dict(zip(names, args))
             merged.update(kwargs)
             opts = SVGDOptions(**merged)
@@ -202,13 +207,33 @@ class SVGD:
     # Hooks: a custom (user-overridden) per-step hook cannot run inside the
     # jitted scan; fall back to an eager per-iteration loop, mirroring the
     # reference's hook-then-phi step order (SVGD.hpp:373-400).
+    @staticmethod
+    def _hook_override(obj, base_fns):
+        """Return the overridden hook callable, honoring BOTH the snake_case
+        ``step`` and the advertised CamelCase ``Step`` spelling (a subclass
+        may override either; the class-level aliases bind the base function,
+        so each attribute must be checked independently)."""
+        cls = type(obj)
+        if getattr(cls, "Step", None) not in base_fns:
+            return obj.Step
+        if getattr(cls, "step", None) not in base_fns:
+            return obj.step
+        return None
+
+    _MODEL_BASE_HOOKS = (Model.step, Model.Step)
+    _KERNEL_BASE_HOOKS = (
+        Kernel.step,
+        Kernel.Step,
+        GaussianRBFKernel.step,
+        GaussianRBFKernel.Step,
+    )
+
     def _has_custom_hooks(self) -> bool:
-        model_hook = type(self.model).step is not Model.step
-        kernel_hook = type(self.kernel).step not in (
-            Kernel.step,
-            GaussianRBFKernel.step,
+        return (
+            self._hook_override(self.model, self._MODEL_BASE_HOOKS) is not None
+            or self._hook_override(self.kernel, self._KERNEL_BASE_HOOKS)
+            is not None
         )
-        return model_hook or kernel_hook
 
     # ------------------------------------------------------------------
     # Pure step construction
@@ -431,8 +456,12 @@ class SVGD:
         return self.store.value
 
     def _eager_hooks(self):
-        self.model.step()
-        self.kernel.step()
+        model_hook = self._hook_override(self.model, self._MODEL_BASE_HOOKS)
+        if model_hook is not None:
+            model_hook()
+        kernel_hook = self._hook_override(self.kernel, self._KERNEL_BASE_HOOKS)
+        if kernel_hook is not None:
+            kernel_hook()
 
     def _require_init(self):
         if not self._initialized:

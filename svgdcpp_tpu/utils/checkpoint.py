@@ -3,9 +3,10 @@
 The reference has no checkpointing (SURVEY.md §5): its state is the
 user-owned coordinate matrix (mutated in place, reference SVGD.hpp:393) plus
 optimizer moments. Here the whole SVGD state is one pytree
-{coords, opt_state, kernel_params, model_params}, saved either as a .npz
-(portable, dependency-free) or via orbax when available (async,
-multi-host-safe for sharded state).
+{coords, opt_state, kernel_params, model_params}, saved as a portable,
+dependency-free .npz + JSON metadata. Arrays are gathered to host first —
+single-process only; on a multi-host pod, checkpoint per host or use orbax
+directly on the state pytree.
 """
 
 from __future__ import annotations

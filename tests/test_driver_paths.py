@@ -202,3 +202,31 @@ def test_annealing_schedule(rng):
     # callable schedule form
     ramp2, _ = run(lambda it: 0.1 + 0.9 * it / (iters - 1))
     np.testing.assert_allclose(ramp2, ramp, rtol=1e-9)
+
+
+def test_camelcase_step_hook_is_honored(rng):
+    """A subclass overriding the CamelCase Step (the advertised porting
+    surface) must be detected and invoked (review finding)."""
+    dim, n = 2, 8
+
+    class CamelModel(sv.MultivariateNormal):
+        calls = 0
+
+        def Step(self):
+            type(self).calls += 1
+
+    model = CamelModel(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = build(x0, model, kernel, sv.AdaGrad(dim, n, 0.1))
+    svgd.initialize()
+    assert svgd._has_custom_hooks()
+    svgd.run()
+    assert CamelModel.calls == 5
+
+
+def test_too_many_positional_args_raises(rng):
+    x0, model, kernel = mvn_parts(rng)
+    with pytest.raises(TypeError):
+        sv.SVGD(2, 5, x0, kernel, model, sv.AdaGrad(2, 10, 0.1),
+                None, None, True, False, "log.txt", "EXTRA")

@@ -198,3 +198,21 @@ def test_auto_row_tile_clamps():
     assert auto_row_tile(1_000_000, 1024) == 64  # 256MB / (1M * 4B) = 64
     assert auto_row_tile(10_000_000, 1024) == 8  # floor
     assert auto_row_tile(100, 13) == 8  # rounds to sublane multiple
+
+
+def test_warm_median_cold_start_small_scale(rng):
+    """Sentinel (hi < lo) must force the cold path even when the bogus
+    squared bracket would contain the median (review finding: particles
+    with median < 1 were 50% off on the first warm step)."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
+
+    coords = rng.normal(size=(300, 2)) * 0.1  # median << 1
+    med, lo, hi = pairwise_distance_median_warm(
+        coords, jnp.asarray(0.0), jnp.asarray(-1.0), jnp.asarray(0.0),
+        num_samples=1 << 14, row_tile=64,
+    )
+    exact = np_pairwise_median(coords)
+    assert abs(float(med) - exact) <= 1e-3 * exact, (float(med), exact)
+    # and the returned bracket contains the exact median
+    assert float(lo) - 1e-12 <= exact <= float(hi) + 1e-12

@@ -301,3 +301,38 @@ class TestMultivariateNormal:
             np.asarray(gmm_sum.evaluate_log_model_grad(x)),
             rtol=1e-10,
         )
+
+
+class TestLogSpaceComposition:
+    """Stable log-space composition (review finding: density-space product
+    underflowed to -inf/NaN even with finite operand log-densities)."""
+
+    def test_product_of_experts_no_underflow(self):
+        m1 = MultivariateNormal(np.zeros(2), 0.01 * np.eye(2))
+        m2 = MultivariateNormal(np.full(2, 3.0), 0.01 * np.eye(2))
+        prod = m1 * m2
+        x = np.array([4.0, 4.0])
+        lv = float(prod.evaluate_log_model(x))
+        # l1 + l2 = -0.5/0.01 * (|x|^2 + |x-3|^2) = -50*(32 + 2) = -1700
+        assert np.isclose(lv, -1700.0)
+        g = np.asarray(prod.evaluate_log_model_grad(x))
+        assert np.isfinite(g).all()
+        # grad = -(x)/0.01 - (x-3)/0.01 = -[400+100, ...] = -500 per coord
+        np.testing.assert_allclose(g, [-500.0, -500.0], rtol=1e-10)
+
+    def test_quotient_log_space(self):
+        m1 = MultivariateNormal(np.zeros(2), np.eye(2))
+        m2 = MultivariateNormal(np.ones(2), 2 * np.eye(2))
+        quot = m1 / m2
+        x = np.array([0.3, -0.2])
+        l1 = float(m1.evaluate_log_model(x))
+        l2 = float(m2.evaluate_log_model(x))
+        assert np.isclose(float(quot.evaluate_log_model(x)), l1 - l2)
+
+    def test_difference_negative_density_still_nan(self):
+        # reference semantics: log of a negative composed density is NaN
+        m1 = MultivariateNormal(np.zeros(2), np.eye(2))
+        m2 = MultivariateNormal(np.zeros(2), np.eye(2))
+        diff = m1 - m2  # density identically 0 -> log = -inf / nan
+        v = float(diff.evaluate_log_model(np.array([1.0, 1.0])))
+        assert not np.isfinite(v)
