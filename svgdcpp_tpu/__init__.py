@@ -25,6 +25,7 @@ from .models.bayesian_logistic_regression import (
 from .models.binomial_likelihood import BinomialLikelihood
 from .models.model import Model, mixture
 from .models.multivariate_normal import MultivariateNormal
+from .ops.ksd import ksd_rbf
 from .optimizers.adagrad import AdaGrad
 from .optimizers.adam import Adam
 from .optimizers.base import Optimizer
@@ -52,6 +53,7 @@ __all__ = [
     "ParticleStore",
     "PrecisionPolicy",
     "as_coords",
+    "ksd_rbf",
     "SVGDError",
     "DimensionMismatchError",
     "UnsetError",
