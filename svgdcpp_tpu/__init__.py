@@ -29,6 +29,7 @@ from .ops.ksd import ksd_rbf
 from .optimizers.adagrad import AdaGrad
 from .optimizers.adam import Adam
 from .optimizers.base import Optimizer
+from .optimizers.optax_adapter import OptaxOptimizer
 from .optimizers.rmsprop import RMSProp
 from .svgd import SVGD, SVGDOptions
 
@@ -50,6 +51,7 @@ __all__ = [
     "Adam",
     "AdaGrad",
     "RMSProp",
+    "OptaxOptimizer",
     "ParticleStore",
     "PrecisionPolicy",
     "as_coords",

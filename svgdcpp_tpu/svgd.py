@@ -70,6 +70,9 @@ class SVGDOptions:
     #: (phi uses tau * grad log p). Either a (num_iterations,) array or a
     #: callable iteration -> tau (traced; use jnp ops). None = no annealing.
     annealing: Any = None
+    #: Record cheap per-step statistics (phi RMS, max step size, bandwidth)
+    #: during run(); available afterwards as ``svgd.stats`` (stacked arrays).
+    track_stats: bool = False
 
 
 def _prepare_bound(bound, dimension, name) -> Optional[jnp.ndarray]:
@@ -343,6 +346,14 @@ class SVGD:
                     "kernel_grad": k_grad,
                     "coords": new_coords,
                 }
+            elif self.options.track_stats:
+                debug = {
+                    "phi_rms": jnp.sqrt(jnp.mean(phi * phi)),
+                    "step_max": jnp.max(
+                        jnp.sqrt(jnp.sum((new_coords - coords) ** 2, axis=1))
+                    ),
+                    "bandwidth": kparams[0][0, 0],
+                }
             else:
                 debug = 0.0  # scan needs a pytree output; keep it trivial
             return new_state, debug
@@ -453,6 +464,8 @@ class SVGD:
                 write_intermediate_matrices(
                     self.intermediate_matrices_output_path, self._intermediate_logs
                 )
+            elif self.options.track_stats:
+                self.stats = jax.tree.map(jax.device_get, debug)
         return self.store.value
 
     def _eager_hooks(self):

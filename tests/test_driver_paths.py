@@ -230,3 +230,17 @@ def test_too_many_positional_args_raises(rng):
     with pytest.raises(TypeError):
         sv.SVGD(2, 5, x0, kernel, model, sv.AdaGrad(2, 10, 0.1),
                 None, None, True, False, "log.txt", "EXTRA")
+
+
+def test_track_stats(rng):
+    """track_stats records per-step phi RMS / step size / bandwidth."""
+    x0, model, kernel = mvn_parts(rng, n=20)
+    svgd = build(x0 * 3, model, kernel, sv.AdaGrad(2, 20, 0.1),
+                 track_stats=True)
+    svgd.initialize()
+    svgd.run()
+    stats = svgd.stats
+    assert set(stats) == {"phi_rms", "step_max", "bandwidth"}
+    assert all(np.asarray(v).shape == (5,) for v in stats.values())
+    assert (np.asarray(stats["bandwidth"]) > 0).all()
+    assert (np.asarray(stats["step_max"]) > 0).all()

@@ -81,3 +81,39 @@ def test_stateful_oo_api(rng):
     inc = np.asarray(opt.Step(g))
     expected = LR * g / (EPS + np.sqrt(g * g))
     np.testing.assert_allclose(inc, expected, rtol=1e-12)
+
+
+def test_optax_adapter_runs_svgd(rng):
+    """OptaxOptimizer drives a full SVGD run and converges."""
+    import optax
+
+    import svgdcpp_tpu as sv
+
+    dim, n = 2, 16
+    model = sv.MultivariateNormal(np.array([1.0, -1.0]), 0.5 * np.eye(2))
+    x0 = rng.normal(size=(n, dim)) * 3
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=300, coordinate_matrix=x0,
+            kernel=kernel, model=model,
+            optimizer=sv.OptaxOptimizer(optax.adam(0.1), dim, n),
+        )
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out.mean(0), [1.0, -1.0], atol=0.4)
+
+
+def test_optax_sgd_matches_plain_ascent(rng):
+    """optax.sgd(lr) increment == lr * phi (sign convention check)."""
+    import optax
+
+    from svgdcpp_tpu.optimizers.optax_adapter import OptaxOptimizer
+
+    opt = OptaxOptimizer(optax.sgd(0.05), 2, 4)
+    state = opt.init(np.float64)
+    g = rng.normal(size=(4, 2))
+    _, inc = opt.step(state, g)
+    np.testing.assert_allclose(np.asarray(inc), 0.05 * g, rtol=1e-12)
