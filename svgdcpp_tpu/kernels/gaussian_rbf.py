@@ -52,8 +52,12 @@ def rbf_kernel_fn(x, params, location):
 def scale_from_median(med, n: int, m: int, dtype) -> jnp.ndarray:
     """P = log(n) / median^2 * I — THE bandwidth formula (reference
     GaussianRBFKernel.hpp:187); single definition shared by every selection
-    path (exact/hybrid/warm, sharded, ring)."""
-    return (jnp.log(float(n)) / (med * med)) * jnp.eye(m, dtype=dtype)
+    path (exact/hybrid/warm, sharded, ring). The scalar is cast to the
+    requested dtype BEFORE the product: the warm/bisect median arrives in
+    f64 under x64 and would otherwise promote the whole scale matrix (and
+    the downstream phi accumulators)."""
+    gamma = (jnp.log(float(n)) / (med * med)).astype(dtype)
+    return gamma * jnp.eye(m, dtype=dtype)
 
 
 def median_scale(coords: jnp.ndarray, median_method: str = "auto") -> jnp.ndarray:

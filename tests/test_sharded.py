@@ -282,3 +282,28 @@ def test_sharded_with_adam(mesh, rng):
     # (warm defaults on in both paths; just check movement + determinism)
     out2 = np.asarray(sharded.run(x0, 5))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_gspmd_mesh_with_warm_median(mesh, rng):
+    """GSPMD auto-sharding + warm-started median (n > exact threshold):
+    runs, stays finite, and matches the unsharded driver exactly."""
+    n, dim, iters = 2560, 2, 3
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    mean, cov = np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+
+    def build(mesh_opt):
+        model = sv.MultivariateNormal(mean, cov)
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        s = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), mesh=mesh_opt,
+            )
+        )
+        s.initialize()
+        return np.asarray(s.run())
+
+    meshed = build(mesh)
+    plain = build(None)
+    np.testing.assert_allclose(meshed, plain, rtol=1e-6, atol=1e-8)
