@@ -41,8 +41,12 @@ def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
     sq = np.maximum(sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T), 0.0)
     d = np.sqrt(sq.ravel())
     half = d.size // 2
-    part = np.partition(d, [half - 1, half])
-    med = 0.5 * (part[half - 1] + part[half])
+    if d.size % 2 == 0:
+        part = np.partition(d, [half - 1, half])
+        med = 0.5 * (part[half - 1] + part[half])
+    else:
+        # odd count: the single middle element (GaussianRBFKernel.hpp:246-253)
+        med = np.partition(d, half)[half]
     gamma = np.log(n) / med**2
     # phi (SVGD.hpp:407-454), closed-form RBF
     k = np.exp(-gamma * sq)
@@ -75,9 +79,25 @@ def bench_numpy_baseline(x0, mean, cov, iters):
 # ----------------------------------------------------------------------
 
 
-def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
-    import jax
+def _timed_run(svgd, iters, steps_per_call):
+    """Warmup-compile then time chained scan segments, syncing via host
+    transfer (this transport's block_until_ready can return before remote
+    execution completes)."""
+    state = svgd.make_state()
+    out = svgd._jit_run(state, steps_per_call)
+    np.asarray(out[0]["coords"])
+    calls = max(1, iters // steps_per_call)
+    t0 = time.perf_counter()
+    st = state
+    for _ in range(calls):
+        st, _ = svgd._jit_run(st, steps_per_call)
+    np.asarray(st["coords"])  # full sync
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(st["coords"])).all()
+    return calls * steps_per_call / dt  # iterations per second
 
+
+def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
     import svgdcpp_tpu as sv
 
     n, dim = x0.shape
@@ -97,28 +117,11 @@ def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
         )
     )
     svgd.initialize()
-    state = svgd.make_state()
-
-    # warmup/compile; sync via host transfer — this transport's
-    # block_until_ready can return before remote execution completes
-    out = svgd._jit_run(state, steps_per_call)
-    np.asarray(out[0]["coords"])
-
-    calls = max(1, iters // steps_per_call)
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(calls):
-        st, _ = svgd._jit_run(st, steps_per_call)
-    np.asarray(st["coords"])  # full sync
-    dt = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(st["coords"])).all()
-    return n * calls * steps_per_call / dt
+    return n * _timed_run(svgd, iters, steps_per_call)
 
 
 def bench_blr(particles, iters, dim=50, n_data=1024, hierarchical=False):
     """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
-    import jax
-
     import svgdcpp_tpu as sv
     from svgdcpp_tpu.models.bayesian_logistic_regression import (
         make_synthetic_classification,
@@ -147,17 +150,7 @@ def bench_blr(particles, iters, dim=50, n_data=1024, hierarchical=False):
         )
     )
     svgd.initialize()
-    state = svgd.make_state()
-    out = svgd._jit_run(state, 10)
-    np.asarray(out[0]["coords"])  # sync (block_until_ready unreliable here)
-    calls = max(1, iters // 10)
-    t0 = time.perf_counter()
-    st = state
-    for _ in range(calls):
-        st, _ = svgd._jit_run(st, 10)
-    np.asarray(st["coords"])  # full sync
-    dt = time.perf_counter() - t0
-    return particles * calls * 10 / dt
+    return particles * _timed_run(svgd, iters, 10)
 
 
 def main():
@@ -179,25 +172,27 @@ def main():
         args.particles, args.iters, args.baseline_iters = 2048, 20, 2
 
     if args.config == "blr":
-        rate = bench_blr(1000, args.iters)
+        blr_n = 200 if args.quick else 1000
+        blr_d = 10 if args.quick else 50
+        rate = bench_blr(blr_n, args.iters, dim=blr_d)
         print(json.dumps({
-            "metric": "particle-updates/sec/chip (BLR d=50, N=1000, RBF-median, Adam)",
+            "metric": f"particle-updates/sec/chip (BLR d={blr_d}, N={blr_n}, RBF-median, Adam)",
             "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
         }))
         return
     if args.config == "hier":
-        rate = bench_blr(200, args.iters, dim=10, hierarchical=True)
+        hier_n = 100 if args.quick else 200
+        rate = bench_blr(hier_n, args.iters, dim=10, hierarchical=True)
         print(json.dumps({
-            "metric": "particle-updates/sec/chip (hierarchical BLR, composed adaptive kernel, N=200)",
+            "metric": f"particle-updates/sec/chip (hierarchical BLR, composed adaptive kernel, N={hier_n})",
             "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
         }))
         return
 
+    from svgdcpp_tpu.utils.workloads import flagship_mvn
+
     dim = 2
-    mean = np.array([-0.6871, 0.8010])
-    cov = 5.0 * np.array([[0.2260, 0.1652], [0.1652, 0.6779]])
-    rng = np.random.default_rng(0)
-    x0 = 3.0 * rng.uniform(-1, 1, (args.particles, dim))
+    mean, cov, x0 = flagship_mvn(args.particles)
 
     tpu_rate = bench_tpu(x0, mean, cov, args.iters, args.impl)
     if args.baseline_iters > 0:

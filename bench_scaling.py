@@ -8,11 +8,11 @@ this harness runs on the simulated host-platform device mesh
 regression guard on the collective schedule. On a real pod slice the same
 script runs unchanged with JAX_PLATFORMS unset.
 
-Weak scaling: per-device particle count is fixed; ideal step time is
-constant as devices grow (the O((n/D) * n) local work grows linearly with
-D in weak scaling — so the meaningful ideal here is t(D) ~ D * t(1) for
-total work, i.e. updates/s/device constant). We report
-updates/s/device(D) / updates/s/device(1).
+Weak scaling: per-device particle count is fixed, so each device's local
+work O((n/D) * n) grows linearly with D. The scale-invariant metric is
+pair-interactions/s; the printed vs_baseline is
+pair_rate(D) / (D * pair_rate(1)) — i.e. pair-interactions/s PER DEVICE
+relative to one device.
 
 Prints one JSON line per device count.
 """
@@ -53,14 +53,12 @@ from svgdcpp_tpu.parallel import (  # noqa: E402
 def measure(n_devices: int, phi_mode: str = "gather") -> float:
     devices = jax.devices()[:n_devices]
     mesh = make_particle_mesh(devices)
+    from svgdcpp_tpu.utils.workloads import flagship_mvn
+
     n = N_PER_DEVICE * n_devices
     dim = 2
-    rng = np.random.default_rng(0)
-    x0 = (3 * rng.uniform(-1, 1, (n, dim))).astype(np.float32)
-    model = sv.MultivariateNormal(
-        np.array([-0.6871, 0.8010], np.float32),
-        (5 * np.array([[0.2260, 0.1652], [0.1652, 0.6779]])).astype(np.float32),
-    )
+    mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
+    model = sv.MultivariateNormal(mean, cov)
     sharded = ShardedSVGD(
         model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
         mesh=mesh,

@@ -27,17 +27,17 @@ def _density_grid(log_density, xlim, ylim, res=200):
     xs = np.linspace(*xlim, res)
     ys = np.linspace(*ylim, res)
     gx, gy = np.meshgrid(xs, ys)
-    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)
-    z = np.exp(np.asarray([log_density(p) for p in pts])).reshape(res, res)
+    pts = np.stack([gx.ravel(), gy.ravel()], axis=1)  # (res^2, 2)
+    z = np.exp(log_density(pts)).reshape(res, res)
     return gx, gy, z
 
 
 def _mvn_logpdf(mean, cov):
     inv = np.linalg.inv(cov)
 
-    def f(p):
-        d = p - mean
-        return -0.5 * d @ inv @ d
+    def f(pts):
+        d = np.atleast_2d(pts) - mean
+        return -0.5 * np.einsum("ni,ij,nj->n", d, inv, d)
 
     return f
 
@@ -55,8 +55,12 @@ def plot_overlay(ax, x0, final, log_density, title):
     ax.legend(loc="upper right", fontsize=8)
 
 
-def main(outdir="examples/figures"):
-    out = Path(outdir)
+def main(outdir=None):
+    out = (
+        Path(outdir)
+        if outdir is not None
+        else Path(__file__).resolve().parent / "figures"
+    )
     out.mkdir(parents=True, exist_ok=True)
     fig, axes = plt.subplots(1, 2, figsize=(11, 5))
 
@@ -65,7 +69,7 @@ def main(outdir="examples/figures"):
 
     x0, final, (m1, c1), (m2, c2) = gmm_example.run(verbose=False)
     f1, f2 = _mvn_logpdf(m1, c1), _mvn_logpdf(m2, c2)
-    gmm_log = lambda p: np.logaddexp(f1(p), f2(p))
+    gmm_log = lambda pts: np.logaddexp(f1(pts), f2(pts))
     plot_overlay(axes[1], x0, final, gmm_log, "GMM (20 particles)")
 
     fig.tight_layout()

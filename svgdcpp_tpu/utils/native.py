@@ -65,6 +65,8 @@ def _as_f64_buffer(arr) -> np.ndarray:
 def kth_element(values, k: int) -> float:
     """k-th smallest (0-indexed) via std::nth_element; NumPy fallback."""
     buf = _as_f64_buffer(values).ravel().copy()
+    if not 0 <= int(k) < buf.size:
+        raise IndexError(f"k={k} out of range for {buf.size} values")
     lib = _load()
     if lib is None:
         return float(np.partition(buf, k)[k])
@@ -80,6 +82,8 @@ def kth_element(values, k: int) -> float:
 def host_median(values) -> float:
     """Reference-semantics median (even-count averaging) on the host."""
     buf = _as_f64_buffer(values).ravel().copy()
+    if buf.size == 0:
+        raise ValueError("median of empty array")
     lib = _load()
     if lib is None:
         n = buf.size
