@@ -156,7 +156,7 @@ def bench_blr(particles, iters, dim=50, n_data=1024, hierarchical=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
-    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
     ap.add_argument("--quick", action="store_true", help="small fast run")
