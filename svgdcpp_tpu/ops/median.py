@@ -565,8 +565,10 @@ def pairwise_distance_median_warm(
 # ----------------------------------------------------------------------
 
 #: Above this particle count the exact full-sort median switches to the
-#: scalable selection path (full n^2 device sort stops being competitive).
-EXACT_MEDIAN_MAX_PARTICLES = 2048
+#: scalable selection path: the n^2 device sort dominates whole SVGD steps
+#: well before memory does (measured 3x total-step cost at n=1000 on v5e).
+#: Force ``median_method='exact'`` for strict reference-parity at any n.
+EXACT_MEDIAN_MAX_PARTICLES = 512
 
 
 def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.ndarray:

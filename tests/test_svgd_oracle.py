@@ -238,3 +238,17 @@ def test_phi_impls_agree(rng, impl):
     key = None
     ref = test_phi_impls_agree._ref.setdefault(key, result)
     np.testing.assert_allclose(result, ref, rtol=1e-10, atol=1e-13)
+
+
+def test_blocked_gram_branch_large_m(rng):
+    """m > 4 routes the blocked phi through the Gram-identity branch; it
+    must agree with the dense path."""
+    from svgdcpp_tpu.ops.phi import phi_rbf, phi_rbf_blocked
+
+    n, m = 30, 6
+    coords = np.asarray(rng.normal(size=(n, m)))
+    scores = np.asarray(rng.normal(size=(n, m)))
+    p_mat = np.eye(m) * 0.3 + 0.05
+    dense = np.asarray(phi_rbf(coords, scores, p_mat))
+    blocked = np.asarray(phi_rbf_blocked(coords, scores, p_mat, row_tile=8))
+    np.testing.assert_allclose(blocked, dense, rtol=1e-10)
