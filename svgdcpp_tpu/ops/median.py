@@ -139,10 +139,6 @@ def cross_sq_hist(rows_coords: jnp.ndarray, cols_coords: jnp.ndarray, lo, hi, *,
         return hist.at[idx].add(valid.astype(count_dtype))
 
     hist0 = jnp.zeros(bins, count_dtype)
-    if axis_name is not None:
-        # Inside shard_map the carry must match the body's device-varying
-        # type (shard_map VMA rules); mark the zero init as varying.
-        hist0 = jax.lax.pcast(hist0, (axis_name,), to="varying")
     return jax.lax.fori_loop(0, num_tiles, body, hist0)
 
 
@@ -294,6 +290,8 @@ def pairwise_distance_median_bisect(
     ranks jointly and average the sqrt'ed values — the reference's
     even-count rule (GaussianRBFKernel.hpp:224-245).
     """
+    coords = jnp.asarray(coords)
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant; see count_le_cross
     n = coords.shape[0]
     total = n * n
     sq_norms = jnp.sum(coords * coords, axis=1)
@@ -322,17 +320,23 @@ def pairwise_distance_median_bisect(
 def _sampled_pair_sq_dists(coords: jnp.ndarray, num_samples: int) -> jnp.ndarray:
     """Squared distances of a deterministic low-discrepancy pair subsample.
 
-    Index pairs follow two coprime golden-ratio strides mod n — cheap,
-    reproducible, and shard-replicable (no RNG state).
+    Index pairs follow two odd golden-ratio strides mod n — cheap,
+    reproducible, and shard-replicable (no RNG state). Indices are built
+    host-side in uint64 at trace time (num_samples and n are static), so
+    there is no 32-bit wraparound at large n.
     """
+    import numpy as _np
+
     coords = jnp.asarray(coords)
     n = coords.shape[0]
-    ks = jnp.arange(num_samples, dtype=jnp.uint32)
-    stride_i = jnp.uint32(int(n * 0.6180339887498949) | 1)
-    stride_j = jnp.uint32(int(n * 0.7548776662466927) | 1)
-    i = ((ks * stride_i) % jnp.uint32(n)).astype(jnp.int32)
-    j = ((ks * stride_j + ks // jnp.uint32(max(n, 1))) % jnp.uint32(n)).astype(
-        jnp.int32
+    ks = _np.arange(num_samples, dtype=_np.uint64)
+    stride_i = _np.uint64(int(n * 0.6180339887498949) | 1)
+    stride_j = _np.uint64(int(n * 0.7548776662466927) | 1)
+    i = jnp.asarray(((ks * stride_i) % _np.uint64(n)).astype(_np.int32))
+    j = jnp.asarray(
+        ((ks * stride_j + ks // _np.uint64(max(n, 1))) % _np.uint64(n)).astype(
+            _np.int32
+        )
     )
     diff = coords[i] - coords[j]
     return jnp.sum(diff * diff, axis=1)
@@ -404,6 +408,8 @@ def pairwise_distance_median_hybrid(
     ``fallback_passes`` full passes for pure bisection. Falls back to the
     full-range bisection inside a lax.cond if the bracket check fails.
     """
+    coords = jnp.asarray(coords)
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
     k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
@@ -450,6 +456,8 @@ def warm_median_select(
     passes: int = 2,
     warm_bins: int = 8,
     warm_passes: int = 1,
+    fallback_bins: int = 16,
+    fallback_passes: int = 6,
 ):
     """count_fn-generic warm-started median selection.
 
@@ -491,13 +499,14 @@ def warm_median_select(
 
     def full(_):
         mids = kth_smallest_bisect(
-            count_fn, (k1, k2), 0.0, hi0, bins=16, passes=6
+            count_fn, (k1, k2), 0.0, hi0, bins=fallback_bins,
+            passes=fallback_passes,
         )
         med = jnp.mean(jnp.sqrt(mids))
         # mids are bucket MIDPOINTS; expand by the final bucket width so the
         # returned bracket genuinely contains the order statistics (else the
         # next warm containment check can fail forever once disp ~ 0).
-        slack = hi0 / (16.0 ** 6)
+        slack = hi0 / (float(fallback_bins) ** fallback_passes)
         lo_b = jnp.sqrt(jnp.maximum(mids[0] - slack, 0.0))
         hi_b = jnp.sqrt(mids[-1] + slack)
         return med, lo_b, hi_b
@@ -544,6 +553,7 @@ def pairwise_distance_median_warm(
     """Single-device warm-started pairwise-distance median (see
     :func:`warm_median_select`)."""
     coords = jnp.asarray(coords)
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
 

@@ -18,6 +18,9 @@ def squared_pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
     can go slightly negative in floating point, and the reference's
     subsequent sqrt of an exact-arithmetic nonnegative value must not NaN.
     """
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant;
+    # centering keeps the Gram-identity cancellation at O(eps * spread^2)
+    # instead of O(eps * |x|^2) for clusters far from the origin
     gram = coords @ coords.T
     sq_norms = jnp.diagonal(gram)
     sq = sq_norms[:, None] + sq_norms[None, :] - 2.0 * gram
@@ -31,6 +34,7 @@ def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> j
     chain. Standalone utility (the phi hot paths build their quadratic
     forms inline, tile-streamed — see ops/phi.py).
     """
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     p_sym = p_matrix + p_matrix.T
     xp = coords @ p_matrix  # (n, m)
     q = jnp.sum(xp * coords, axis=1)  # x_i^T P x_i

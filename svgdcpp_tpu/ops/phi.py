@@ -139,6 +139,13 @@ def phi_rbf_cross(
     """
     from .pairwise import auto_row_tile
 
+    # phi is translation-invariant (kernel and its gradient depend only on
+    # differences); centering protects the Gram-identity branch from f32
+    # cancellation for off-origin clusters and costs one O(n m) pass.
+    center = jnp.mean(sources, axis=0)
+    targets = targets - center
+    sources = sources - center
+
     n_t, m = targets.shape
     n_s = sources.shape[0]
     row_tile = auto_row_tile(n_s, row_tile)

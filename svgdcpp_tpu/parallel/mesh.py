@@ -47,9 +47,13 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        # already initialized, or single-process with no coordinator —
-        # both are the documented no-op cases
-        pass
+        if coordinator_address is not None:
+            # An explicitly configured multi-host init that fails must NOT
+            # silently degrade to single-process (each host would run the
+            # full problem independently).
+            raise
+        # no-op cases: already initialized, or single-process without a
+        # coordinator
     return jax.devices()
 
 

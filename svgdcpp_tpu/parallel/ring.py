@@ -44,6 +44,10 @@ def ring_phi_rbf(
     """
     n_loc, m = coords_local.shape
     size = jax.lax.axis_size(axis_name)
+    # Global-mean centering (translation-invariant; protects the Gram
+    # identity from f32 cancellation for off-origin clusters).
+    center = jax.lax.psum(jnp.sum(coords_local, axis=0), axis_name) / n_global
+    coords_local = coords_local - center
     p_sym = p_matrix + p_matrix.T
     q_tgt = jnp.sum((coords_local @ p_matrix) * coords_local, axis=1)  # (n_loc,)
 
@@ -78,13 +82,19 @@ def ring_count_le(
     coords_local: jnp.ndarray,
     thresholds: jnp.ndarray,
     axis_name: str,
+    n_global: int = None,
 ) -> jnp.ndarray:
     """Global pair counts (sq dist <= t per threshold) via ring rotations.
 
     Each device counts its local rows against every rotating column block
     (covering its disjoint row-band of the global n x n pair matrix), then a
-    psum totals the bands.
+    psum totals the bands. Coordinates are global-mean centered first (see
+    ring_phi_rbf).
     """
+    if n_global is None:
+        n_global = coords_local.shape[0] * jax.lax.axis_size(axis_name)
+    center = jax.lax.psum(jnp.sum(coords_local, axis=0), axis_name) / n_global
+    coords_local = coords_local - center
     q_loc = jnp.sum(coords_local * coords_local, axis=1)
     num_t = thresholds.shape[0]
 
@@ -118,10 +128,15 @@ def ring_pairwise_median(
 ) -> jnp.ndarray:
     """Gather-free global median of all n^2 pairwise distances."""
     total = n_global * n_global
-    local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+    # hi0 from CENTERED norms: distances are unchanged by centering, and the
+    # centered bound is tight for off-origin clusters (a loose hi0 wastes
+    # bisection resolution).
+    center = jax.lax.psum(jnp.sum(coords_local, axis=0), axis_name) / n_global
+    centered = coords_local - center
+    local_max = jnp.max(jnp.sum(centered * centered, axis=1))
     hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
 
-    count_fn = lambda thr: ring_count_le(coords_local, thr, axis_name)
+    count_fn = lambda thr: ring_count_le(coords_local, thr, axis_name, n_global)
     ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
     mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
     return jnp.mean(jnp.sqrt(mids))

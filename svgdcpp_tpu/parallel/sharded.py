@@ -10,8 +10,9 @@ coupled computations are realized with collectives over the mesh axis:
      SVGD.hpp:426-430, 445-449), tile-streamed so the n x n matrix never
      materializes;
   2. the global pairwise-distance median for the RBF bandwidth — per-shard
-     histogram counts psum'ed, then an identical deterministic bisection on
-     every shard (reference's std::nth_element, GaussianRBFKernel.hpp:222-254).
+     threshold counts psum'ed, then an identical deterministic
+     count-bisection on every shard (the distributed analog of the
+     reference's std::nth_element, GaussianRBFKernel.hpp:222-254).
 
 Scores, optimizer state and the position update are purely local (embarrassing
 data parallelism, like the reference's per-thread loop body).
@@ -47,25 +48,31 @@ def sharded_pairwise_median(
     sources_global: jnp.ndarray,
     axis_name: str,
     *,
-    bins: int = 1024,
-    passes: int = 3,
+    bins: int = 16,
+    passes: int = 6,
     row_tile: int = 512,
 ) -> jnp.ndarray:
     """Global median of all n^2 pairwise distances, from inside shard_map.
 
     ``coords_local`` is this shard's row block; ``sources_global`` the
     all-gathered coordinates (shared with the phi computation, so the gather
-    is paid once per step). Counts are psum'ed; the refinement is identical
-    on every shard, so the result is replicated with zero extra traffic.
-    Even-count semantics match the reference (GaussianRBFKernel.hpp:224-245).
+    is paid once per step). Per-shard threshold COUNTS are psum'ed and the
+    count-bisection refinement is identical on every shard, so the result is
+    replicated with zero extra traffic. Even-count semantics match the
+    reference (GaussianRBFKernel.hpp:224-245).
     """
     n = sources_global.shape[0]
     total = n * n
 
-    # pmax of the LOCAL max (not max of the all-gather output): the psum/pmax
-    # family yields a replication-typed value, which keeps the whole
-    # refinement — and hence the returned median — statically replicated.
-    local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+    # pmax of the LOCAL max of CENTERED norms (not max of the all-gather
+    # output): psum/pmax yield replication-typed values, which keeps the
+    # refinement — and hence the returned median — statically replicated;
+    # centering keeps the bound tight for off-origin clusters.
+    center_mean = jax.lax.psum(
+        jnp.sum(coords_local, axis=0), axis_name
+    ) / n
+    centered_local = coords_local - center_mean
+    local_max = jnp.max(jnp.sum(centered_local * centered_local, axis=1))
     hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
 
     def count_fn(thresholds):
@@ -133,6 +140,16 @@ class ShardedSVGDConfig:
     #: carry the median bracket across steps (one verified count pass per
     #: step instead of a full bisection; see ops/median.warm_median_select)
     warm_start: bool = True
+
+    def __post_init__(self):
+        if self.phi_mode not in ("gather", "ring"):
+            raise ValueError(
+                f"phi_mode must be 'gather' or 'ring', got {self.phi_mode!r}"
+            )
+        if self.scale_method == ScaleMethod.CONSTANT and self.constant_scale is None:
+            raise ValueError(
+                "ScaleMethod.CONSTANT requires constant_scale to be set."
+            )
 
 
 class ShardedSVGD:
@@ -218,13 +235,19 @@ class ShardedSVGD:
             )
 
             lo_d, hi_d, disp = scale_aux
-            local_max = jnp.max(jnp.sum(coords_local * coords_local, axis=1))
+            center_mean = jax.lax.psum(
+                jnp.sum(coords_local, axis=0), axis
+            ) / n_global
+            centered_local = coords_local - center_mean
+            local_max = jnp.max(jnp.sum(centered_local * centered_local, axis=1))
             hi0 = 4.0 * jax.lax.pmax(local_max, axis) * (1.0 + 1e-6) + 1e-30
 
             if cfg.phi_mode == "ring":
                 from .ring import ring_count_le
 
-                count_fn = lambda thr: ring_count_le(coords_local, thr, axis)
+                count_fn = lambda thr: ring_count_le(
+                    coords_local, thr, axis, n_global
+                )
                 sample_fn = None  # ring mode has no global random access
             else:
                 count_fn = lambda thr: jax.lax.psum(

@@ -309,3 +309,43 @@ def test_gspmd_mesh_with_warm_median(mesh, rng):
     # GSPMD partitions the count/phi reductions differently, perturbing the
     # f32 sums at the last bits; trajectories agree to ~1e-4 after 3 steps.
     np.testing.assert_allclose(meshed, plain, rtol=5e-4, atol=5e-5)
+
+
+def test_ring_phi_off_center_f32(mesh, rng):
+    """Ring phi with global-mean centering stays accurate for f32 clusters
+    far from the origin (review finding: 41x relative error before)."""
+    from svgdcpp_tpu.ops.phi import phi_rbf
+    from svgdcpp_tpu.parallel.ring import ring_phi_rbf
+
+    n, m = 64, 2
+    coords64 = np.array([50.0, -30.0]) + 1e-3 * rng.normal(size=(n, m))
+    scores64 = rng.normal(size=(n, m))
+    gamma = np.log(n) / (2e-3) ** 2  # bandwidth at the cluster scale
+    p64 = gamma * np.eye(m)
+
+    # f64 truth by explicit differences
+    d = coords64[:, None, :] - coords64[None, :, :]
+    K = np.exp(-gamma * (d ** 2).sum(-1))
+    Psym = p64 + p64.T
+    phi64 = (K @ scores64 + np.einsum("ij,ijk->ik", K, d @ Psym)) / n
+
+    coords = jnp.asarray(coords64, jnp.float32)
+    scores = jnp.asarray(scores64, jnp.float32)
+    p_mat = jnp.asarray(p64, jnp.float32)
+    axis = mesh.axis_names[0]
+    out = jax.jit(
+        jax.shard_map(
+            lambda c, s: ring_phi_rbf(c, s, p_mat, axis, n),
+            mesh=mesh, in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None),
+        )
+    )(coords, scores)
+    rel = np.abs(np.asarray(out) - phi64).max() / np.abs(phi64).max()
+    assert rel < 2e-2, rel
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        ShardedSVGDConfig(phi_mode="rings")
+    with pytest.raises(ValueError):
+        ShardedSVGDConfig(scale_method=sv.ScaleMethod.CONSTANT)
