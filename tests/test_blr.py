@@ -163,3 +163,26 @@ class TestComposedAdaptiveKernel:
             x = x + 0.1 * phi / (1e-8 + np.sqrt(s_accum))
 
         np.testing.assert_allclose(result, x, rtol=1e-8, atol=1e-12)
+
+
+def test_hessian_bandwidth_on_blr(rng):
+    """Hessian (Stein-Newton) bandwidth with a data-driven model: the scale
+    is SPD for the log-concave BLR posterior and the run stays finite."""
+    X = rng.normal(size=(60, 4))
+    y = np.where(rng.uniform(size=60) < 0.5, 1.0, -1.0)
+    model = sv.BayesianLogisticRegression(X, y, 0.1)
+    n = 20
+    x0 = rng.normal(size=(n, 4))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, model)
+    p0 = np.asarray(kernel.parameters[0])
+    eig = np.linalg.eigvalsh(0.5 * (p0 + p0.T))
+    assert (eig > 0).all()  # log-concave => -hessian PSD => P SPD
+
+    svgd = sv.SVGD(
+        sv.SVGDOptions(dimension=4, num_iterations=20, coordinate_matrix=x0,
+                       kernel=kernel, model=model,
+                       optimizer=sv.AdaGrad(4, n, 0.05))
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
