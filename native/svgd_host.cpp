@@ -15,6 +15,7 @@
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <algorithm>
+#include <cmath>
 #include <charconv>
 #include <cstdint>
 #include <cstdio>
@@ -112,6 +113,90 @@ int svgd_write_intermediate_log(const char* path, int64_t steps, int64_t n,
     }
   }
   return std::fclose(f) == 0 ? 0 : 3;
+}
+
+// ---------------------------------------------------------------------
+// Independent per-pair SVGD oracle (MVN target, isotropic RBF kernel,
+// AdaGrad) — a from-scratch C++ implementation of the algorithm in the
+// same per-pair style the reference library tests itself with
+// (cf. SVGDCpp tests/test_svgd.cpp ManualSVGDStep). Used by the Python
+// test suite as a cross-LANGUAGE trajectory check of the JAX engine.
+// ---------------------------------------------------------------------
+
+namespace {
+
+// median of pairwise distances including self-zeros, even-count averaging
+double pairwise_median(const double* x, int64_t n, int64_t m,
+                       std::vector<double>& scratch) {
+  scratch.resize(static_cast<size_t>(n) * n);
+  for (int64_t i = 0; i < n; ++i) {
+    for (int64_t j = 0; j < n; ++j) {
+      double sq = 0.0;
+      for (int64_t d = 0; d < m; ++d) {
+        const double diff = x[i * m + d] - x[j * m + d];
+        sq += diff * diff;
+      }
+      scratch[i * n + j] = std::sqrt(sq);
+    }
+  }
+  return svgd_median_f64(scratch.data(), n * n);
+}
+
+}  // namespace
+
+// Runs `iters` SVGD steps in place on coords (n x m row-major).
+// cov_inv: m x m row-major inverse covariance of the MVN target.
+// gamma_fixed < 0 => recompute the median-heuristic bandwidth each step.
+// AdaGrad with learning rate lr and stabilizer 1e-8.
+int svgd_oracle_mvn_rbf_adagrad(double* coords, int64_t n, int64_t m,
+                                const double* mean, const double* cov_inv,
+                                double gamma_fixed, double lr, int64_t iters) {
+  if (n <= 0 || m <= 0) return 1;
+  std::vector<double> phi(static_cast<size_t>(n) * m);
+  std::vector<double> score(static_cast<size_t>(n) * m);
+  std::vector<double> accum(static_cast<size_t>(n) * m, 0.0);
+  std::vector<double> med_scratch;
+
+  for (int64_t it = 0; it < iters; ++it) {
+    double gamma = gamma_fixed;
+    if (gamma_fixed < 0.0) {
+      const double med = pairwise_median(coords, n, m, med_scratch);
+      gamma = std::log(static_cast<double>(n)) / (med * med);
+    }
+    // scores: -cov_inv (x - mean)
+    for (int64_t j = 0; j < n; ++j) {
+      for (int64_t a = 0; a < m; ++a) {
+        double s = 0.0;
+        for (int64_t b = 0; b < m; ++b) {
+          s -= cov_inv[a * m + b] * (coords[j * m + b] - mean[b]);
+        }
+        score[j * m + a] = s;
+      }
+    }
+    // phi per pair
+    std::fill(phi.begin(), phi.end(), 0.0);
+    for (int64_t i = 0; i < n; ++i) {
+      for (int64_t j = 0; j < n; ++j) {
+        double sq = 0.0;
+        for (int64_t d = 0; d < m; ++d) {
+          const double diff = coords[j * m + d] - coords[i * m + d];
+          sq += diff * diff;
+        }
+        const double k = std::exp(-gamma * sq);
+        for (int64_t d = 0; d < m; ++d) {
+          const double diff = coords[j * m + d] - coords[i * m + d];
+          phi[i * m + d] += k * score[j * m + d] - 2.0 * gamma * diff * k;
+        }
+      }
+    }
+    // AdaGrad update
+    for (int64_t i = 0; i < n * m; ++i) {
+      const double g = phi[i] / static_cast<double>(n);
+      accum[i] += g * g;
+      coords[i] += lr * g / (1.0e-8 + std::sqrt(accum[i]));
+    }
+  }
+  return 0;
 }
 
 }  // extern "C"

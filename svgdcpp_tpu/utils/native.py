@@ -48,6 +48,12 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.svgd_write_intermediate_log.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ] + [ctypes.POINTER(ctypes.c_double)] * 4
+            lib.svgd_oracle_mvn_rbf_adagrad.restype = ctypes.c_int
+            lib.svgd_oracle_mvn_rbf_adagrad.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+                ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -127,3 +133,29 @@ def write_intermediate_log_native(path: str, lmg_ref, ker_ref, kgrad_ref,
     if rc != 0:
         raise RuntimeError(f"native log writer failed with code {rc} for {path}")
     return True
+
+
+def cpp_oracle_mvn_rbf_adagrad(coords, mean, cov_inv, *, gamma=None,
+                               lr=0.1, iters=1):
+    """Run the independent C++ per-pair SVGD oracle (MVN + isotropic RBF +
+    AdaGrad). ``gamma=None`` recomputes the median-heuristic bandwidth every
+    step. Returns the updated (n, m) coordinates; None if the native library
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = _as_f64_buffer(coords).copy()
+    mean_b = _as_f64_buffer(mean)
+    cov_b = _as_f64_buffer(cov_inv)
+    rc = lib.svgd_oracle_mvn_rbf_adagrad(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        x.shape[0], x.shape[1],
+        mean_b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cov_b.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        -1.0 if gamma is None else float(gamma),
+        float(lr), int(iters),
+    )
+    if rc != 0:
+        raise RuntimeError(f"C++ oracle failed with code {rc}")
+    return x

@@ -102,3 +102,36 @@ def test_native_log_writer_matches_python(tmp_path, rng):
 
     if native_available():
         assert p_native.read_text() == p_python.read_text()
+
+
+def test_cpp_oracle_cross_language_trajectory(rng):
+    """Cross-language check: the independent C++ per-pair SVGD oracle and
+    the JAX engine produce the same trajectory (f64, exact median)."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.utils.native import cpp_oracle_mvn_rbf_adagrad, native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+
+    n, dim, iters = 12, 2, 8
+    mean = np.array([-0.6871, 0.8010])
+    cov = 5 * np.array([[0.2260, 0.1652], [0.1652, 0.6779]])
+    x0 = rng.uniform(-3, 3, (n, dim))
+
+    cpp = cpp_oracle_mvn_rbf_adagrad(
+        x0, mean, np.linalg.inv(cov), gamma=None, lr=0.1, iters=iters
+    )
+
+    model = sv.MultivariateNormal(mean, cov)
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model,
+                                  median_method="exact")
+    svgd = sv.SVGD(
+        sv.SVGDOptions(dimension=dim, num_iterations=iters,
+                       coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                       optimizer=sv.AdaGrad(dim, n, 0.1))
+    )
+    svgd.initialize()
+    jax_out = np.asarray(svgd.run())
+    np.testing.assert_allclose(jax_out, cpp, rtol=1e-9, atol=1e-12)
