@@ -83,6 +83,11 @@ def _phi_rbf_pallas_impl(
     n, m = coords.shape
     p_sym = (p_matrix + p_matrix.T).astype(jnp.float32)
     coords32 = coords.astype(jnp.float32)
+    # phi is translation-invariant; centering protects the Gram-identity
+    # quadratic form from f32 cancellation for off-origin clusters (same as
+    # phi_rbf_cross). The final phi formula below is invariant under the
+    # shift because K (1 c^T) = rowsum(K) c^T.
+    coords32 = coords32 - jnp.mean(coords32, axis=0)
     q = jnp.sum((coords32 @ p_matrix.astype(jnp.float32)) * coords32, axis=1)
     xps = coords32 @ p_sym
     b = jnp.concatenate(

@@ -254,18 +254,25 @@ class SVGD:
             return phi_rbf_pallas(coords, scores, kparams[0])
         raise ValueError(f"unknown phi_impl {self._phi_impl!r}")
 
-    def _scale_params(self, coords, mparams, kparams, scale_aux):
+    def _scale_params(self, coords, mparams, kparams, scale_aux, slot_mparams):
         """In-graph bandwidth adaptation (reference kernel Step(),
         GaussianRBFKernel.hpp:141-156), generalized to composed kernels:
         each adaptive slot is refilled from its owning kernel's pure scale
         function. ``scale_aux`` threads per-slot warm-start state (previous
-        median bracket) through the scan."""
+        median bracket) through the scan; ``slot_mparams`` threads each
+        slot's FOREIGN owning-model parameters (a Hessian slot may target a
+        model other than the driver's — reference GaussianRBFKernel.hpp:52
+        lets any kernel hold any model) so a later update_parameters on that
+        model takes effect without a rebuild."""
         if not self._adaptive_slots:
             return kparams, scale_aux
         kparams = list(kparams)
         new_aux = list(scale_aux)
         for i, (idx, owner) in enumerate(self._adaptive_slots):
-            mp = mparams if owner.target_model is self.model else None
+            if owner.target_model is self.model:
+                mp = mparams
+            else:
+                mp = slot_mparams[i]  # None when the slot has no model
             if scale_aux[i] is not None and hasattr(owner, "compute_scale_with_aux"):
                 kparams[idx], new_aux[i] = owner.compute_scale_with_aux(
                     coords, mp, scale_aux[i]
@@ -295,7 +302,8 @@ class SVGD:
             coords = state["coords"]
             mparams = state["model_params"]
             kparams, scale_aux = self._scale_params(
-                coords, mparams, state["kernel_params"], state["scale_aux"]
+                coords, mparams, state["kernel_params"], state["scale_aux"],
+                state["slot_model_params"],
             )
             scores = jax.vmap(
                 lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
@@ -334,6 +342,7 @@ class SVGD:
                 "kernel_params": kparams,
                 "model_params": mparams,
                 "scale_aux": scale_aux,
+                "slot_model_params": state["slot_model_params"],
                 "iteration": state["iteration"] + 1,
             }
             if collect_debug:
@@ -347,12 +356,19 @@ class SVGD:
                     "coords": new_coords,
                 }
             elif self.options.track_stats:
+                # The 'bandwidth' stat assumes an (m, m) inverse-scale in
+                # slot 0; a custom kernel may carry no such parameter —
+                # report NaN instead of failing at trace time.
+                if kparams and getattr(kparams[0], "ndim", 0) == 2:
+                    bandwidth = kparams[0][0, 0]
+                else:
+                    bandwidth = jnp.asarray(jnp.nan, coords.dtype)
                 debug = {
                     "phi_rms": jnp.sqrt(jnp.mean(phi * phi)),
                     "step_max": jnp.max(
                         jnp.sqrt(jnp.sum((new_coords - coords) ** 2, axis=1))
                     ),
-                    "bandwidth": kparams[0][0, 0],
+                    "bandwidth": bandwidth,
                 }
             else:
                 debug = 0.0  # scan needs a pytree output; keep it trivial
@@ -383,6 +399,17 @@ class SVGD:
                 jnp.asarray(p, coords.dtype) for p in self.kernel.parameters
             ),
             "model_params": tuple(self.model.parameters),
+            # Foreign-model params per adaptive slot, read FRESH each
+            # make_state so a hot-swap on a kernel's private target model is
+            # honored by the next run (None for slots owned by self.model or
+            # with no model at all).
+            "slot_model_params": tuple(
+                tuple(owner.target_model.parameters)
+                if getattr(owner, "target_model", None) is not None
+                and owner.target_model is not self.model
+                else None
+                for _, owner in self._adaptive_slots
+            ),
             "scale_aux": self._current_scale_aux(coords),
             "iteration": jnp.asarray(getattr(self, "_iteration", 0), jnp.int32),
         }
@@ -438,23 +465,28 @@ class SVGD:
             # iteration. Intermediate-matrix logging still collects per-step
             # snapshots like the reference (SVGD.hpp:346-366).
             debugs = []
+            collect = self.log_intermediate_matrices or self.options.track_stats
             for _ in range(self.num_iterations):
                 self._eager_hooks()
                 state = self.make_state()
                 new_state, debug = self._jit_step_full(state)
                 self._absorb_state(new_state)
-                if self.log_intermediate_matrices:
+                if collect:
                     debugs.append(jax.tree.map(jax.device_get, debug))
-            if self.log_intermediate_matrices and debugs:
+            if collect and debugs:
                 import numpy as np
 
-                self._intermediate_logs = {
+                stacked = {
                     key: np.stack([np.asarray(d[key]) for d in debugs])
                     for key in debugs[0]
                 }
-                write_intermediate_matrices(
-                    self.intermediate_matrices_output_path, self._intermediate_logs
-                )
+                if self.log_intermediate_matrices:
+                    self._intermediate_logs = stacked
+                    write_intermediate_matrices(
+                        self.intermediate_matrices_output_path, stacked
+                    )
+                else:
+                    self.stats = stacked
         else:
             state = self.make_state()
             final_state, debug = self._jit_run(state, self.num_iterations)

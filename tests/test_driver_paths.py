@@ -244,3 +244,72 @@ def test_track_stats(rng):
     assert all(np.asarray(v).shape == (5,) for v in stats.values())
     assert (np.asarray(stats["bandwidth"]) > 0).all()
     assert (np.asarray(stats["step_max"]) > 0).all()
+
+
+def test_track_stats_with_custom_hooks(rng):
+    """track_stats must survive the eager hook path (advisor finding)."""
+    dim, n = 2, 10
+    model = CountingModel(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = build(x0, model, kernel, sv.AdaGrad(dim, n, 0.1),
+                 track_stats=True)
+    svgd.initialize()
+    assert svgd._has_custom_hooks()
+    svgd.run()
+    stats = svgd.stats
+    assert set(stats) == {"phi_rms", "step_max", "bandwidth"}
+    assert all(np.asarray(v).shape == (5,) for v in stats.values())
+    assert model.hook_calls == 5
+
+
+def test_track_stats_parameterless_kernel(rng):
+    """A custom kernel with no (m, m) slot yields NaN bandwidth, not a
+    trace-time IndexError (advisor finding)."""
+    dim, n = 2, 8
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.Kernel(
+        dimension=dim,
+        kernel_fn=lambda x, params, loc: jnp.exp(-jnp.sum((x - loc) ** 2)),
+        parameters=(),
+    )
+    svgd = build(x0, model, kernel, sv.AdaGrad(dim, n, 0.1),
+                 track_stats=True)
+    svgd.initialize()
+    svgd.run()
+    stats = svgd.stats
+    assert np.isnan(np.asarray(stats["bandwidth"])).all()
+    assert (np.asarray(stats["phi_rms"]) > 0).all()
+
+
+def test_foreign_model_hessian_slot_hot_swap(rng):
+    """A composed kernel's Hessian slot targeting a SECOND model must see
+    that model's updated parameters without a driver rebuild (the reference
+    lets any kernel hold any model and re-derives the scale each Step,
+    GaussianRBFKernel.hpp:52,141-156 + SVGD.hpp:304-332)."""
+    dim, n = 2, 12
+    model1 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    cov2 = np.array([[2.0, 0.0], [0.0, 2.0]])
+    model2 = sv.MultivariateNormal(np.ones(dim), cov2)
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model1
+    ) + sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, model2)
+    svgd = build(x0, model1, kernel, sv.AdaGrad(dim, n, 0.1))
+    svgd.initialize()
+    svgd.run()
+    # For an MVN, hessian log p = -cov_inv everywhere, so the Hessian-slot
+    # scale is cov_inv / (2 d) independent of the particle positions.
+    expect1 = np.linalg.inv(cov2) / (2 * dim)
+    np.testing.assert_allclose(
+        np.asarray(svgd.kernel.parameters[1]), expect1, rtol=1e-6
+    )
+    # Hot-swap model2's covariance; the next run must pick it up.
+    cov2b = np.array([[0.5, 0.1], [0.1, 0.5]])
+    model2.update_parameters((np.ones(dim), cov2b))
+    svgd.run()
+    expect2 = np.linalg.inv(cov2b) / (2 * dim)
+    np.testing.assert_allclose(
+        np.asarray(svgd.kernel.parameters[1]), expect2, rtol=1e-6
+    )
