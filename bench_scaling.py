@@ -68,10 +68,10 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
         ),
     )
     state = sharded.init_state(x0)
-    out = sharded.run_fn(state, ITERS)
+    out, _ = sharded.run_fn(state, ITERS)
     np.asarray(out["coords"])  # sync
     t0 = time.perf_counter()
-    out = sharded.run_fn(state, ITERS)
+    out, _ = sharded.run_fn(state, ITERS)
     np.asarray(out["coords"])
     dt = time.perf_counter() - t0
     return n * ITERS / dt  # updates/s

@@ -9,5 +9,12 @@ from .median import (
     count_le_cross,
     pairwise_distance_median_bisect,
 )
-from .phi import phi_generic, phi_rbf, phi_rbf_blocked, rbf_kernel_matrix
+from .phi import (
+    phi_generic,
+    phi_generic_cross,
+    phi_rbf,
+    phi_rbf_blocked,
+    phi_rbf_cross,
+    rbf_kernel_matrix,
+)
 from .ksd import ksd_rbf, ksd_squared_rbf

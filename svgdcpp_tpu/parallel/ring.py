@@ -78,6 +78,46 @@ def ring_phi_rbf(
     return (ks - (kx - rowsum[:, None] * coords_local) @ p_sym) / n_global
 
 
+def ring_phi_generic(
+    coords_local: jnp.ndarray,
+    scores_local: jnp.ndarray,
+    kernel_fn,
+    kernel_params,
+    axis_name: str,
+    n_global: int,
+    row_tile: int = 128,
+) -> jnp.ndarray:
+    """Gather-free phi for an arbitrary composed/user kernel.
+
+    The (source block, score block) pair rotates around the ring; each
+    rotation contributes one tile-streamed cross phi (VJP-based, see
+    ops/phi.phi_generic_cross). D rotations cover every source exactly
+    once. Generic kernels evaluate on absolute coordinates (explicit
+    differences inside the kernel fn), so no centering is needed.
+    """
+    from ..ops.phi import phi_generic_cross
+
+    n_loc, m = coords_local.shape
+    size = jax.lax.axis_size(axis_name)
+
+    def body(_, carry):
+        src, sc, acc = carry
+        # phi_generic_cross normalizes by its OWN source count; scale back
+        # to raw sums and normalize once by n_global at the end.
+        contrib = phi_generic_cross(
+            coords_local, src, sc, kernel_fn, kernel_params,
+            row_tile, axis_name=axis_name,
+        ) * src.shape[0]
+        return _rotate(src, axis_name), _rotate(sc, axis_name), acc + contrib
+
+    acc0 = jnp.zeros((n_loc, m), coords_local.dtype)
+    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+    _, _, acc = jax.lax.fori_loop(
+        0, size, body, (coords_local, scores_local, acc0)
+    )
+    return acc / n_global
+
+
 def ring_count_le(
     coords_local: jnp.ndarray,
     thresholds: jnp.ndarray,

@@ -34,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.exceptions import DimensionMismatchError
 from ..kernels.gaussian_rbf import ScaleMethod
 from ..ops.median import count_le_cross, kth_smallest_bisect
-from ..ops.phi import phi_rbf_cross
+from ..ops.phi import phi_generic_cross, phi_rbf_cross
 from .mesh import make_particle_mesh
 
 
@@ -140,6 +140,13 @@ class ShardedSVGDConfig:
     #: carry the median bracket across steps (one verified count pass per
     #: step instead of a full bisection; see ops/median.warm_median_select)
     warm_start: bool = True
+    #: Annealed SVGD (parity with SVGDOptions.annealing): a
+    #: (num_iterations,) array or a traced callable iteration -> tau
+    #: scaling the scores. None = no annealing.
+    annealing: Any = None
+    #: Record per-step stats (phi RMS, max step, bandwidth); available as
+    #: ``sharded.stats`` after run()/run_state().
+    track_stats: bool = False
 
     def __post_init__(self):
         if self.phi_mode not in ("gather", "ring"):
@@ -153,16 +160,23 @@ class ShardedSVGDConfig:
 
 
 class ShardedSVGD:
-    """Explicit shard_map SVGD for the Gaussian-RBF kernel.
+    """Explicit shard_map SVGD over the particle axis.
 
     The flagship scale-out path: coords/optimizer state live row-sharded over
     a 1-D particle mesh; ``step``/``run`` are jitted device programs whose
     only cross-chip traffic is one coords all-gather, one scores all-gather,
     psum'ed median histograms, and (for Hessian scale) one m x m psum.
 
-    For arbitrary composed kernels use the single-chip driver or GSPMD
-    auto-sharding (SVGDOptions.mesh); this class trades generality for the
-    optimal collective schedule on the dominant use case.
+    Two kernel modes:
+
+    * ``kernel=None`` (default) — the closed-form Gaussian-RBF fast path;
+      the bandwidth is governed by ``config.scale_method``.
+    * ``kernel=<Kernel>`` — any composed/user kernel: phi runs through the
+      tile-streamed VJP path (ops/phi.phi_generic_cross, or its ring
+      variant), and every adaptive slot (median- or Hessian-scaled RBF
+      factors of a composition) is recomputed per step with the distributed
+      machinery — the sharded generalization of the reference's "refill all
+      parameter slots each Step" (GaussianRBFKernel.hpp:141-156).
     """
 
     def __init__(
@@ -173,9 +187,11 @@ class ShardedSVGD:
         dimension: int,
         mesh: Optional[Mesh] = None,
         config: Optional[ShardedSVGDConfig] = None,
+        kernel=None,
     ):
         self.model = model
         self.optimizer = optimizer
+        self.kernel = kernel
         self.mesh = mesh if mesh is not None else make_particle_mesh()
         self.config = config or ShardedSVGDConfig()
         self.axis = self.mesh.axis_names[0]
@@ -187,6 +203,14 @@ class ShardedSVGD:
                 f"num_particles ({self.num_particles}) must divide evenly over "
                 f"{n_dev} devices; pad the particle set."
             )
+        if kernel is not None:
+            kernel.initialize()
+            # (slot index, owning kernel) pairs, like the driver.
+            self._adaptive_slots = kernel.adaptive_slots()
+        else:
+            self._adaptive_slots = []
+        self._state = None
+        self.stats = None
         self._build()
 
     # ------------------------------------------------------------------
@@ -216,6 +240,8 @@ class ShardedSVGD:
         cfg = self.config
         model = self.model
         optimizer = self.optimizer
+        generic = self.kernel is not None
+        slots = self._adaptive_slots
         lower = (
             None if cfg.lower_bound is None else jnp.asarray(cfg.lower_bound)
         )
@@ -223,9 +249,19 @@ class ShardedSVGD:
             None if cfg.upper_bound is None else jnp.asarray(cfg.upper_bound)
         )
 
-        warm = cfg.warm_start and cfg.scale_method == ScaleMethod.MEDIAN
+        has_median = (
+            any(o.scale_method == ScaleMethod.MEDIAN for _, o in slots)
+            if generic
+            else cfg.scale_method == ScaleMethod.MEDIAN
+        )
+        warm = cfg.warm_start and has_median
         n_global = self.num_particles
         total = n_global * n_global
+
+        annealing = cfg.annealing
+        if annealing is not None and not callable(annealing):
+            ann_arr = jnp.asarray(annealing)
+            annealing = lambda it: ann_arr[jnp.clip(it, 0, ann_arr.shape[0] - 1)]
 
         def _median_scale_warm(coords_local, sources, scale_aux):
             """Warm-started distributed median (gather or ring counts)."""
@@ -281,11 +317,92 @@ class ShardedSVGD:
             scale = scale_from_median(med, n_global, m, coords_local.dtype)
             return scale, (new_lo, new_hi, disp)
 
-        def local_step(coords_local, opt_state_local, model_params, scale_aux):
+        def _slot_scales(
+            coords_local, sources, model_params, scale_aux, kparams,
+            slot_mparams,
+        ):
+            """Refill every adaptive slot of a composed/custom kernel.
+
+            The shared median scale (if any median slot exists) is computed
+            once; Hessian slots each psum their own m x m (reference
+            GaussianRBFKernel.hpp:143-153 refills all slots with ONE scale —
+            here each slot gets the scale of its own method/model, the
+            composed-kernel generalization the driver also implements)."""
+            kparams = list(kparams)
+            med_scale = None
+            if has_median:
+                if warm:
+                    med_scale, scale_aux = _median_scale_warm(
+                        coords_local, sources, scale_aux
+                    )
+                elif cfg.phi_mode == "ring":
+                    from .ring import ring_median_scale
+
+                    med_scale = ring_median_scale(
+                        coords_local, axis, n_global,
+                        bins=cfg.median_bins, passes=cfg.median_passes,
+                    )
+                else:
+                    med_scale = sharded_median_scale(
+                        coords_local, sources, axis,
+                        bins=cfg.median_bins, passes=cfg.median_passes,
+                        row_tile=cfg.row_tile,
+                    )
+            for i, (idx, owner) in enumerate(slots):
+                if owner.scale_method == ScaleMethod.MEDIAN:
+                    kparams[idx] = med_scale.astype(kparams[idx].dtype)
+                elif owner.scale_method == ScaleMethod.HESSIAN:
+                    mp = (
+                        model_params
+                        if owner.target_model is model
+                        else slot_mparams[i]
+                    )
+                    kparams[idx] = sharded_hessian_scale(
+                        coords_local, owner.target_model.log_density_pure,
+                        mp, axis, n_global,
+                    ).astype(kparams[idx].dtype)
+            return tuple(kparams), med_scale, scale_aux
+
+        def local_step(
+            coords_local, opt_state_local, model_params, scale_aux,
+            kparams, slot_mparams, iteration,
+        ):
             scores_local = jax.vmap(
                 lambda x: jax.grad(model.log_density_pure)(x, model_params)
             )(coords_local)
-            if cfg.phi_mode == "ring":
+            if annealing is not None:
+                tau = annealing(iteration)
+                scores_local = scores_local * jnp.asarray(
+                    tau, scores_local.dtype
+                )
+
+            sources = None
+            if cfg.phi_mode == "gather":
+                # One gather shared by bandwidth + phi.
+                sources = jax.lax.all_gather(coords_local, axis, tiled=True)
+
+            if generic:
+                kparams, _, scale_aux = _slot_scales(
+                    coords_local, sources, model_params, scale_aux,
+                    kparams, slot_mparams,
+                )
+                kernel_pure = self.kernel.kernel_pure
+                if cfg.phi_mode == "ring":
+                    from .ring import ring_phi_generic
+
+                    phi_local = ring_phi_generic(
+                        coords_local, scores_local, kernel_pure, kparams,
+                        axis, n_global, cfg.row_tile,
+                    )
+                else:
+                    scores = jax.lax.all_gather(
+                        scores_local, axis, tiled=True
+                    )
+                    phi_local = phi_generic_cross(
+                        coords_local, sources, scores, kernel_pure, kparams,
+                        cfg.row_tile, axis_name=axis,
+                    )
+            elif cfg.phi_mode == "ring":
                 # Gather-free: bandwidth + phi via ppermute rotations.
                 from .ring import ring_median_scale, ring_phi_rbf
 
@@ -300,19 +417,19 @@ class ShardedSVGD:
                     )
                 else:
                     p_matrix = self._scale(coords_local, None, model_params)
+                kparams = (p_matrix,)
                 phi_local = ring_phi_rbf(
                     coords_local, scores_local, p_matrix, axis,
                     self.num_particles,
                 )
             else:
-                # One gather shared by bandwidth + phi.
-                sources = jax.lax.all_gather(coords_local, axis, tiled=True)
                 if warm:
                     p_matrix, scale_aux = _median_scale_warm(
                         coords_local, sources, scale_aux
                     )
                 else:
                     p_matrix = self._scale(coords_local, sources, model_params)
+                kparams = (p_matrix,)
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
                 phi_local = phi_rbf_cross(
                     coords_local, sources, scores, p_matrix, cfg.row_tile,
@@ -335,7 +452,33 @@ class ShardedSVGD:
                     scale_aux[1],
                     disp.astype(scale_aux[2].dtype),
                 )
-            return new_coords, opt_state_local, p_matrix, scale_aux
+            if cfg.track_stats:
+                m = coords_local.shape[1]
+                phi_rms = jnp.sqrt(
+                    jax.lax.psum(jnp.sum(phi_local * phi_local), axis)
+                    / (n_global * m)
+                )
+                step_max = jnp.sqrt(
+                    jax.lax.pmax(
+                        jnp.max(
+                            jnp.sum((new_coords - coords_local) ** 2, axis=1)
+                        ),
+                        axis,
+                    )
+                )
+                if kparams and kparams[0].ndim == 2:
+                    bandwidth = kparams[0][0, 0]
+                else:
+                    bandwidth = jnp.asarray(jnp.nan, coords_local.dtype)
+                # psum/pmax-typed values -> statically replicated outputs.
+                stats = {
+                    "phi_rms": phi_rms,
+                    "step_max": step_max,
+                    "bandwidth": bandwidth + 0.0 * phi_rms,
+                }
+            else:
+                stats = jnp.asarray(0.0)
+            return new_coords, opt_state_local, kparams, scale_aux, stats
 
         shard_spec = P(axis, None)
         # Optimizer state mixes (n, m) arrays (sharded) with scalars like
@@ -349,32 +492,37 @@ class ShardedSVGD:
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
-            in_specs=(shard_spec, opt_specs, P(), P()),
-            out_specs=(shard_spec, opt_specs, P(), P()),
+            in_specs=(shard_spec, opt_specs, P(), P(), P(), P(), P()),
+            out_specs=(shard_spec, opt_specs, P(), P(), P()),
         )
 
         def step_fn(state):
-            coords, opt_state, scale, scale_aux = sharded(
+            coords, opt_state, kparams, scale_aux, stats = sharded(
                 state["coords"], state["opt_state"], state["model_params"],
-                state["scale_aux"],
+                state["scale_aux"], state["kernel_params"],
+                state["slot_model_params"], state["iteration"],
             )
             return {
                 "coords": coords,
                 "opt_state": opt_state,
                 "model_params": state["model_params"],
-                "scale": scale,
+                "kernel_params": kparams,
+                "slot_model_params": state["slot_model_params"],
                 "scale_aux": scale_aux,
-            }
+                "iteration": state["iteration"] + 1,
+            }, stats
 
-        self.step_fn = jax.jit(step_fn)
+        self._step_full = jax.jit(step_fn)
+        self.step_fn = jax.jit(lambda s: step_fn(s)[0])
 
         def run_fn(state, num_steps):
             def body(s, _):
-                return step_fn(s), None
+                return step_fn(s)
 
-            final, _ = jax.lax.scan(body, state, None, length=num_steps)
-            return final
+            return jax.lax.scan(body, state, None, length=num_steps)
 
+        # (final_state, stacked per-step stats) — stats are trivial zeros
+        # unless config.track_stats.
         self.run_fn = jax.jit(run_fn, static_argnums=1)
 
     # ------------------------------------------------------------------
@@ -391,11 +539,26 @@ class ShardedSVGD:
             self.optimizer.init(coords.dtype),
         )
         fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        if self.kernel is not None:
+            kparams = tuple(
+                jnp.asarray(p, coords.dtype) for p in self.kernel.parameters
+            )
+        else:
+            kparams = (jnp.eye(self.dimension, dtype=coords.dtype),)
         return {
             "coords": coords,
             "opt_state": opt_state,
             "model_params": tuple(self.model.parameters),
-            "scale": jnp.eye(self.dimension, dtype=coords.dtype),
+            "kernel_params": kparams,
+            # Foreign-model params per adaptive slot (None for slots owned
+            # by self.model or with no model) — same contract as the driver.
+            "slot_model_params": tuple(
+                tuple(owner.target_model.parameters)
+                if getattr(owner, "target_model", None) is not None
+                and owner.target_model is not self.model
+                else None
+                for _, owner in self._adaptive_slots
+            ),
             # warm-start median aux: (bracket_lo_d, bracket_hi_d, max_disp);
             # hi < lo marks a cold start
             "scale_aux": (
@@ -403,8 +566,56 @@ class ShardedSVGD:
                 jnp.asarray(-1.0, fdt),
                 jnp.asarray(0.0, fdt),
             ),
+            "iteration": jnp.asarray(0, jnp.int32),
         }
 
-    def run(self, coords, num_iterations: int):
-        state = self.init_state(coords)
-        return self.run_fn(state, int(num_iterations))["coords"]
+    # ------------------------------------------------------------------
+    # Execution
+    # ------------------------------------------------------------------
+    def step_state(self, state):
+        """One sharded step: state -> state (stats recorded if configured)."""
+        state, stats = self._step_full(state)
+        if self.config.track_stats:
+            self._record_stats(jax.tree.map(lambda x: x[None], stats))
+        self._state = state
+        return state
+
+    def run_state(self, state, num_steps: int):
+        """State-in/state-out run: preserves optimizer moments, the warm
+        median bracket and the iteration counter across calls — the sharded
+        analog of the driver's continue-in-place contract (reference
+        SVGD.hpp:338-400 mutates the user matrix in place across Run()s).
+        """
+        final, stats = self.run_fn(state, int(num_steps))
+        if self.config.track_stats:
+            self._record_stats(stats)
+        self._state = final
+        return final
+
+    def _record_stats(self, stats):
+        import numpy as np
+
+        host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), stats)
+        if self.stats is None:
+            self.stats = host
+        else:
+            self.stats = {
+                k: np.concatenate([self.stats[k], host[k]]) for k in host
+            }
+
+    def run(self, coords=None, num_iterations: int = 0):
+        """Run num_iterations sharded steps.
+
+        ``coords`` given -> fresh start from those positions (zeroed
+        optimizer moments, cold bandwidth bracket). ``coords=None`` ->
+        continue from the previous run's final state (in-place semantics).
+        Use init_state()/run_state() for explicit checkpoint-resume.
+        """
+        if coords is not None:
+            self._state = self.init_state(coords)
+            self.stats = None
+        elif self._state is None:
+            raise RuntimeError(
+                "run(coords=None) requires a previous run to continue from."
+            )
+        return self.run_state(self._state, int(num_iterations))["coords"]

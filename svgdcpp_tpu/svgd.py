@@ -243,7 +243,10 @@ class SVGD:
     # ------------------------------------------------------------------
     def _phi(self, coords, scores, kparams):
         if self._phi_impl == "generic":
-            return phi_generic(coords, scores, self.kernel.kernel_pure, kparams)
+            return phi_generic(
+                coords, scores, self.kernel.kernel_pure, kparams,
+                self.options.row_tile,
+            )
         if self._phi_impl == "dense":
             return phi_rbf(coords, scores, kparams[0])
         if self._phi_impl == "blocked":

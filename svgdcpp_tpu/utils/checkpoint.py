@@ -69,8 +69,14 @@ def restore_checkpoint(path, state_like):
             for p in path_entry
         )
         arr = data[key]
-        # keep the exemplar's sharding/placement when it is a jax array
-        if hasattr(leaf, "sharding"):
+        # Keep the exemplar's MESH sharding for distributed leaves. Leaves
+        # on a single device are left as host arrays (uncommitted): pinning
+        # them to their exemplar device would conflict under jit with the
+        # mesh-sharded leaves' device set.
+        if (
+            hasattr(leaf, "sharding")
+            and len(leaf.sharding.device_set) > 1
+        ):
             arr = jax.device_put(arr, leaf.sharding)
         restored_leaves.append(arr)
     state = jax.tree_util.tree_unflatten(leaves_paths[1], restored_leaves)

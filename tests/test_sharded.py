@@ -349,3 +349,202 @@ def test_config_validation():
         ShardedSVGDConfig(phi_mode="rings")
     with pytest.raises(ValueError):
         ShardedSVGDConfig(scale_method=sv.ScaleMethod.CONSTANT)
+
+
+# ----------------------------------------------------------------------
+# Generic/composed kernels on the sharded path
+# ----------------------------------------------------------------------
+
+
+def _composed_kernel(x0, model, extra_scale=0.25):
+    dim = x0.shape[1]
+    return sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model, median_method="exact"
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=extra_scale * np.eye(dim),
+    )
+
+
+def test_sharded_generic_kernel_matches_driver(mesh, rng):
+    """Composed kernel on the sharded path == single-chip driver."""
+    n, dim, iters = 32, 2, 8
+    mean = np.array([0.5, -1.0])
+    cov = np.array([[1.0, 0.2], [0.2, 0.8]])
+    x0 = rng.normal(size=(n, dim)) * 2
+
+    model = sv.MultivariateNormal(mean, cov)
+    kernel = _composed_kernel(x0, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+        )
+    )
+    svgd.initialize()
+    single = np.asarray(svgd.run())
+
+    model2 = sv.MultivariateNormal(mean, cov)
+    kernel2 = _composed_kernel(x0, model2)
+    sharded = ShardedSVGD(
+        model2, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel2,
+        config=ShardedSVGDConfig(
+            median_bins=1024, median_passes=4, row_tile=4, warm_start=False,
+        ),
+    )
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_generic_ring_matches_gather(mesh, rng):
+    n, dim, iters = 32, 2, 5
+    x0 = rng.normal(size=(n, dim)) * 2
+    results = []
+    for mode in ("gather", "ring"):
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        kernel = _composed_kernel(x0, model)
+        sharded = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+            mesh=mesh, kernel=kernel,
+            config=ShardedSVGDConfig(
+                phi_mode=mode, median_bins=16, median_passes=10,
+                row_tile=4, warm_start=False,
+            ),
+        )
+        results.append(np.asarray(sharded.run(x0.copy(), iters)))
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6, atol=1e-9)
+
+
+def test_sharded_generic_hessian_foreign_model(mesh, rng):
+    """A Hessian slot targeting a model other than the driver's resolves
+    its scale from that model's parameters (sharded mirror of the driver
+    foreign-model test)."""
+    n, dim, iters = 16, 2, 3
+    x0 = rng.normal(size=(n, dim))
+    model1 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    cov2 = np.array([[2.0, 0.0], [0.0, 2.0]])
+    model2 = sv.MultivariateNormal(np.ones(dim), cov2)
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model1, median_method="exact"
+    ) + sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, model2)
+    sharded = ShardedSVGD(
+        model1, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel,
+        config=ShardedSVGDConfig(median_passes=4, row_tile=4),
+    )
+    state = sharded.init_state(x0)
+    state = sharded.run_state(state, iters)
+    expect = np.linalg.inv(cov2) / (2 * dim)
+    np.testing.assert_allclose(
+        np.asarray(state["kernel_params"][1]), expect, rtol=1e-6
+    )
+
+
+# ----------------------------------------------------------------------
+# Sharded feature parity: annealing, stats, resume
+# ----------------------------------------------------------------------
+
+
+def test_sharded_annealing(mesh, rng):
+    n, dim, iters = 16, 2, 10
+    x0 = rng.normal(size=(n, dim)) * 2
+
+    def run(annealing):
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        sharded = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+            mesh=mesh,
+            config=ShardedSVGDConfig(
+                median_passes=4, row_tile=4, annealing=annealing,
+            ),
+        )
+        return np.asarray(sharded.run(x0.copy(), iters))
+
+    plain = run(None)
+    ones = run(np.ones(iters))
+    np.testing.assert_allclose(plain, ones, rtol=1e-12)
+    ramp = run(np.linspace(0.1, 1.0, iters))
+    assert not np.allclose(ramp, plain)
+    ramp2 = run(lambda it: 0.1 + 0.9 * it / (iters - 1))
+    np.testing.assert_allclose(ramp2, ramp, rtol=1e-9)
+
+
+def test_sharded_track_stats(mesh, rng):
+    n, dim, iters = 16, 2, 6
+    x0 = rng.normal(size=(n, dim)) * 3
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(
+            median_passes=4, row_tile=4, track_stats=True,
+        ),
+    )
+    sharded.run(x0, iters)
+    stats = sharded.stats
+    assert set(stats) == {"phi_rms", "step_max", "bandwidth"}
+    assert all(np.asarray(v).shape == (iters,) for v in stats.values())
+    assert (np.asarray(stats["bandwidth"]) > 0).all()
+    # continuation appends
+    sharded.run(None, 4)
+    assert all(np.asarray(v).shape == (iters + 4,) for v in sharded.stats.values())
+
+
+def test_sharded_run_continues_in_place(mesh, rng):
+    """run(coords) then run(None) == one uninterrupted run — optimizer
+    moments and iteration counter persist (the reference's in-place Run()
+    contract, SVGD.hpp:393)."""
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim)) * 2
+
+    def make():
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        return ShardedSVGD(
+            model, sv.Adam(dim, n, 0.1, 0.9, 0.999), num_particles=n,
+            dimension=dim, mesh=mesh,
+            config=ShardedSVGDConfig(median_passes=4, row_tile=4),
+        )
+
+    a = make()
+    full = np.asarray(a.run(x0.copy(), 10))
+    b = make()
+    b.run(x0.copy(), 5)
+    split = np.asarray(b.run(None, 5))
+    np.testing.assert_allclose(split, full, rtol=1e-12, atol=1e-15)
+    assert int(b._state["iteration"]) == 10
+
+
+def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
+    """Sharded state round-trips through save/restore with sharding kept."""
+    from svgdcpp_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim)) * 2
+
+    def make():
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        return ShardedSVGD(
+            model, sv.Adam(dim, n, 0.1, 0.9, 0.999), num_particles=n,
+            dimension=dim, mesh=mesh,
+            config=ShardedSVGDConfig(median_passes=4, row_tile=4),
+        )
+
+    a = make()
+    full = np.asarray(a.run(x0.copy(), 10))
+
+    b = make()
+    state = b.init_state(x0.copy())
+    state = b.run_state(state, 5)
+    save_checkpoint(tmp_path / "shck", state, step=5)
+
+    c = make()
+    exemplar = c.init_state(x0.copy())
+    restored, step = restore_checkpoint(tmp_path / "shck", exemplar)
+    assert step == 5
+    # restored coords keep the exemplar's NamedSharding
+    assert restored["coords"].sharding == exemplar["coords"].sharding
+    final = c.run_state(restored, 5)
+    np.testing.assert_allclose(
+        np.asarray(final["coords"]), full, rtol=1e-12, atol=1e-15
+    )
