@@ -533,9 +533,27 @@ class ShardedSVGD:
                 f"coords must be ({self.num_particles}, {self.dimension})."
             )
         sharding = NamedSharding(self.mesh, P(self.axis, None))
-        coords = jax.device_put(coords, sharding)
+
+        def place(x):
+            """Row-shard a (n, m) array over the mesh.
+
+            In a multi-process mesh the full array cannot be device_put
+            (remote shards are not addressable); each process contributes
+            its local rows via make_array_from_callback — every process
+            passes the same logical global array.
+            """
+            if sharding.is_fully_addressable:
+                return jax.device_put(x, sharding)
+            import numpy as np
+
+            host = np.asarray(x)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+
+        coords = place(coords)
         opt_state = jax.tree.map(
-            lambda x: jax.device_put(x, sharding) if getattr(x, "ndim", 0) == 2 else x,
+            lambda x: place(x) if getattr(x, "ndim", 0) == 2 else x,
             self.optimizer.init(coords.dtype),
         )
         fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

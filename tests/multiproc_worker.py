@@ -1,0 +1,84 @@
+"""Worker for the 2-process distributed test (run as a subprocess).
+
+Usage: python multiproc_worker.py <process_id> <num_processes> <port> <outdir>
+
+Each process owns 4 simulated CPU devices; jax.distributed.initialize joins
+them into one 8-device mesh spanning process boundaries. One ShardedSVGD
+run executes with real cross-process collectives (all-gather of the coords,
+psum'ed median histograms); each process writes its addressable row shards
+to <outdir>/shard_<pid>.npz for the parent to reassemble and verify.
+
+This is the executable proof of the multi-host path (SURVEY.md §7 slice 3,
+generalizing the reference's process-wide OpenMP runtime setup,
+Core.hpp:83-106).
+"""
+
+import os
+import sys
+from pathlib import Path
+
+pid, nproc, port, outdir = (
+    int(sys.argv[1]),
+    int(sys.argv[2]),
+    sys.argv[3],
+    Path(sys.argv[4]),
+)
+
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax  # noqa: E402
+
+# Platform + x64 must be pinned BEFORE the first device query (the image's
+# sitecustomize force-registers the tunneled TPU backend otherwise).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}",
+    num_processes=nproc,
+    process_id=pid,
+)
+
+import numpy as np  # noqa: E402
+
+import svgdcpp_tpu as sv  # noqa: E402
+from svgdcpp_tpu.parallel import (  # noqa: E402
+    ShardedSVGD,
+    ShardedSVGDConfig,
+    make_particle_mesh,
+)
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc, len(jax.devices())
+
+n, dim, iters = 16, 2, 3
+rng = np.random.default_rng(0)
+x0 = rng.normal(size=(n, dim)) * 2
+mean, cov = np.zeros(dim), np.eye(dim)
+
+model = sv.MultivariateNormal(mean, cov)
+sharded = ShardedSVGD(
+    model,
+    sv.AdaGrad(dim, n, 0.1),
+    num_particles=n,
+    dimension=dim,
+    mesh=make_particle_mesh(),
+    config=ShardedSVGDConfig(
+        scale_method=sv.ScaleMethod.MEDIAN,
+        median_bins=16,
+        median_passes=10,
+        row_tile=4,
+        warm_start=False,
+    ),
+)
+state = sharded.run_state(sharded.init_state(x0), iters)
+coords = state["coords"]
+assert not coords.sharding.is_fully_addressable  # genuinely cross-process
+
+rows = []
+starts = []
+for shard in coords.addressable_shards:
+    starts.append(shard.index[0].start or 0)
+    rows.append(np.asarray(shard.data))
+np.savez(outdir / f"shard_{pid}.npz", starts=np.asarray(starts), rows=np.asarray(rows))
+print(f"worker {pid}: OK", flush=True)
