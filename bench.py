@@ -61,6 +61,84 @@ def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
     return x, s_accum
 
 
+def _numpy_median_gamma(x):
+    """Median bandwidth exactly as the reference computes it (n^2 dists
+    including self-zeros, even-count averaging; GaussianRBFKernel.hpp:164-187)."""
+    n = x.shape[0]
+    sq_norms = (x * x).sum(1)
+    sq = np.maximum(sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T), 0.0)
+    d = np.sqrt(sq.ravel())
+    half = d.size // 2
+    if d.size % 2 == 0:
+        part = np.partition(d, [half - 1, half])
+        med = 0.5 * (part[half - 1] + part[half])
+    else:
+        med = np.partition(d, half)[half]
+    return np.log(n) / med**2, sq
+
+
+def _numpy_blr_scores(x, features, labels, hierarchical, alpha=0.1, a0=1.0, b0=0.01):
+    """grad log p for the (hierarchical) BLR target, vectorized f64.
+
+    Mirrors svgdcpp_tpu/models/bayesian_logistic_regression.py closed-form:
+    sigmoid(-y z) * y weighting of the features plus the prior terms.
+    """
+    if not hierarchical:
+        logits = x @ features.T  # (n, N)
+        s = 1.0 / (1.0 + np.exp(labels * logits))  # sigmoid(-y z)
+        return (s * labels) @ features - alpha * x
+    d = features.shape[1]
+    w, log_a = x[:, :d], x[:, d]
+    a = np.exp(log_a)
+    logits = w @ features.T
+    s = 1.0 / (1.0 + np.exp(labels * logits))
+    score_w = (s * labels) @ features - a[:, None] * w
+    score_la = 0.5 * d - 0.5 * a * (w * w).sum(1) + a0 - b0 * a
+    return np.concatenate([score_w, score_la[:, None]], axis=1)
+
+
+def numpy_blr_step(x, opt, features, labels, hierarchical, lr, b1, b2, eps=1e-8,
+                   const_gamma=0.1):
+    """One reference-equivalent SVGD step for the BLR configs: median-RBF
+    (plus a constant-scale RBF term when hierarchical — the composed kernel
+    of bench config 4), Adam update in the reference's exact form."""
+    n = x.shape[0]
+    scores = _numpy_blr_scores(x, features, labels, hierarchical)
+    gamma, sq = _numpy_median_gamma(x)
+    k = np.exp(-gamma * sq)
+    rowsum = k.sum(1)
+    phi = k @ scores + 2.0 * gamma * (rowsum[:, None] * x - k @ x)
+    if hierarchical:
+        k2 = np.exp(-const_gamma * sq)
+        rs2 = k2.sum(1)
+        phi += k2 @ scores + 2.0 * const_gamma * (rs2[:, None] * x - k2 @ x)
+    phi /= n
+    # Adam (Adam.hpp:75-96): eps + sqrt(v_hat) denominator
+    m = b1 * opt["m"] + (1 - b1) * phi
+    v = b2 * opt["v"] + (1 - b2) * phi * phi
+    t = opt["t"] + 1
+    m_hat = m / (1 - b1**t)
+    v_hat = v / (1 - b2**t)
+    x = x + lr * m_hat / (eps + np.sqrt(v_hat))
+    return x, {"m": m, "v": v, "t": t}
+
+
+def bench_numpy_blr_baseline(x0, features, labels, hierarchical, iters,
+                             lr=5e-2, b1=0.9, b2=0.999):
+    x = x0.astype(np.float64).copy()
+    f64 = np.asarray(features, np.float64)
+    y64 = np.asarray(labels, np.float64)
+    opt = {"m": np.zeros_like(x), "v": np.zeros_like(x), "t": 0}
+    x, opt = numpy_blr_step(x, opt, f64, y64, hierarchical, lr, b1, b2)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        x, opt = numpy_blr_step(x, opt, f64, y64, hierarchical, lr, b1, b2)
+        best = min(best, time.perf_counter() - t0)
+    assert np.isfinite(x).all()
+    return x0.shape[0] / best
+
+
 def bench_numpy_baseline(x0, mean, cov, iters):
     cov_inv = np.linalg.inv(cov)
     x = x0.astype(np.float64).copy()
@@ -123,22 +201,28 @@ def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
     return n * _timed_run(svgd, iters, steps_per_call)
 
 
-def bench_blr(particles, iters, dim=50, n_data=1024, hierarchical=False):
-    """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
-    import svgdcpp_tpu as sv
+def make_blr_workload(particles, dim=50, n_data=1024, hierarchical=False):
+    """Deterministic BLR data + initial particles (shared by TPU + baseline)."""
     from svgdcpp_tpu.models.bayesian_logistic_regression import (
         make_synthetic_classification,
     )
 
     rng = np.random.default_rng(0)
     features, labels, _ = make_synthetic_classification(rng, n_data=n_data, dim=dim)
+    full_dim = dim + 1 if hierarchical else dim
+    x0 = rng.normal(size=(particles, full_dim)).astype(np.float32)
+    return np.asarray(features), np.asarray(labels), x0
+
+
+def bench_blr(x0, features, labels, iters, hierarchical=False):
+    """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
+    import svgdcpp_tpu as sv
+
+    particles, full_dim = x0.shape
     if hierarchical:
         model = sv.HierarchicalBayesianLogisticRegression(features, labels)
-        full_dim = dim + 1
     else:
         model = sv.BayesianLogisticRegression(features, labels, 0.1)
-        full_dim = dim
-    x0 = rng.normal(size=(particles, full_dim)).astype(np.float32)
     kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
     if hierarchical:
         kernel = kernel + sv.GaussianRBFKernel(
@@ -177,18 +261,37 @@ def main():
     if args.config == "blr":
         blr_n = 200 if args.quick else 1000
         blr_d = 10 if args.quick else 50
-        rate = bench_blr(blr_n, args.iters, dim=blr_d)
+        features, labels, x0 = make_blr_workload(blr_n, dim=blr_d)
+        rate = bench_blr(x0, features, labels, args.iters)
+        vs = None
+        if args.baseline_iters > 0:
+            base = bench_numpy_blr_baseline(
+                x0, features, labels, False, args.baseline_iters
+            )
+            vs = round(rate / base, 2)
         print(json.dumps({
             "metric": f"particle-updates/sec/chip (BLR d={blr_d}, N={blr_n}, RBF-median, Adam)",
-            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
+            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": vs,
         }))
         return
     if args.config == "hier":
-        hier_n = 100 if args.quick else 200
-        rate = bench_blr(hier_n, args.iters, dim=10, hierarchical=True)
+        # The composed-kernel config runs at the SAME particle count as the
+        # primary metric — the tile-streamed generic phi has no O(n^2 m)
+        # intermediate (ops/phi.py phi_generic_cross).
+        hier_n = 512 if args.quick else 10_000
+        features, labels, x0 = make_blr_workload(
+            hier_n, dim=10, hierarchical=True
+        )
+        rate = bench_blr(x0, features, labels, args.iters, hierarchical=True)
+        vs = None
+        if args.baseline_iters > 0:
+            base = bench_numpy_blr_baseline(
+                x0, features, labels, True, args.baseline_iters
+            )
+            vs = round(rate / base, 2)
         print(json.dumps({
             "metric": f"particle-updates/sec/chip (hierarchical BLR, composed adaptive kernel, N={hier_n})",
-            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": None,
+            "value": round(rate, 1), "unit": "updates/s", "vs_baseline": vs,
         }))
         return
 

@@ -165,6 +165,61 @@ class TestComposedAdaptiveKernel:
         np.testing.assert_allclose(result, x, rtol=1e-8, atol=1e-12)
 
 
+class TestBenchBaselines:
+    """bench.py's vectorized NumPy baselines must implement the exact same
+    per-step algorithm as the JAX engine (they anchor vs_baseline for
+    BASELINE configs 3-4)."""
+
+    @staticmethod
+    def _bench():
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+        import bench
+
+        return bench
+
+    @pytest.mark.parametrize("hierarchical", [False, True])
+    def test_numpy_blr_baseline_matches_engine(self, rng, hierarchical):
+        bench = self._bench()
+        n, d, n_data, iters = 12, 3, 30, 5
+        X = rng.normal(size=(n_data, d))
+        y = np.where(rng.uniform(size=n_data) < 0.5, 1.0, -1.0)
+        full_dim = d + 1 if hierarchical else d
+        x0 = rng.normal(size=(n, full_dim))
+
+        if hierarchical:
+            model = sv.HierarchicalBayesianLogisticRegression(X, y)
+        else:
+            model = sv.BayesianLogisticRegression(X, y, 0.1)
+        kernel = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model, median_method="exact"
+        )
+        if hierarchical:
+            kernel = kernel + sv.GaussianRBFKernel(
+                x0, sv.ScaleMethod.CONSTANT,
+                constant_scale=0.1 * np.eye(full_dim),
+            )
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=full_dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.Adam(full_dim, n, 5e-2, 0.9, 0.999),
+            )
+        )
+        svgd.initialize()
+        engine = np.asarray(svgd.run())
+
+        x = x0.astype(np.float64).copy()
+        opt = {"m": np.zeros_like(x), "v": np.zeros_like(x), "t": 0}
+        for _ in range(iters):
+            x, opt = bench.numpy_blr_step(
+                x, opt, X, y, hierarchical, 5e-2, 0.9, 0.999
+            )
+        np.testing.assert_allclose(engine, x, rtol=1e-8, atol=1e-11)
+
+
 def test_hessian_bandwidth_on_blr(rng):
     """Hessian (Stein-Newton) bandwidth with a data-driven model: the scale
     is SPD for the log-concave BLR posterior and the run stays finite."""
