@@ -1,6 +1,9 @@
 # Convenience targets (see CLAUDE.md for environment notes)
 
-.PHONY: test bench bench-all native figures dryrun
+.PHONY: test bench bench-all native figures dryrun docs
+
+docs:
+	python docs/gen_api.py
 
 test:
 	python -m pytest tests/ -q

@@ -29,6 +29,16 @@ def test_mvn_example_converges():
     assert np.all(final.std(axis=0) > 0.3 * np.sqrt(np.diag(cov)))
 
 
+def test_visual_regression_figure(tmp_path):
+    """Figure generation across all four workloads (the analog of the
+    reference's visualization notebooks) runs and writes a real PNG."""
+    import plot_results
+
+    path = plot_results.main(tmp_path, quick=True)
+    assert path.exists()
+    assert path.stat().st_size > 20_000  # a real 2x2 overlay, not a stub
+
+
 def test_gmm_example_covers_both_modes():
     x0, final, (mean1, cov1), (mean2, cov2) = gmm_example.run(verbose=False)
     d1 = np.linalg.norm(final - mean1, axis=1)
