@@ -570,6 +570,70 @@ def pairwise_distance_median_warm(
     )
 
 
+def fused_median_from_counts(
+    counts,
+    lo_sq,
+    hi_sq,
+    total: int,
+    count_fn,
+    hi0,
+    *,
+    bins: int,
+    initialized,
+    fallback_bins: int = 16,
+    fallback_passes: int = 6,
+):
+    """Median update from the counts a fused phi sweep already produced.
+
+    ``counts`` are cumulative pair counts at the ``bins + 1`` equal-width
+    squared-distance edges of [lo_sq, hi_sq] — exactly what ONE warm
+    refinement pass would have measured (see warm_median_select); this
+    function is the post-processing half of that pass, split out so the
+    count sweep can ride inside the phi tile loop. Verification is
+    identical: if the bracket did not contain both middle order statistics,
+    a full count-bisection on the current coordinates recovers exactly
+    (``count_fn`` as in kth_smallest_bisect).
+
+    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d).
+    """
+    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
+    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    lo_sq = jnp.asarray(lo_sq, fdt)
+    hi_sq = jnp.asarray(hi_sq, fdt)
+    cum = counts
+    valid = (
+        jnp.asarray(initialized)
+        & (hi_sq > lo_sq)
+        & (cum[0] < k1)
+        & (cum[-1] >= k2)
+    )
+    width = (hi_sq - lo_sq) / bins
+    b1 = jnp.argmax(cum[1:] >= k1)
+    b2 = jnp.argmax(cum[1:] >= k2)
+    v1 = lo_sq + (b1.astype(fdt) + 0.5) * width
+    v2 = lo_sq + (b2.astype(fdt) + 0.5) * width
+
+    def ok(_):
+        med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
+        lo_b = jnp.sqrt(jnp.maximum(lo_sq + b1.astype(fdt) * width, 0.0))
+        hi_b = jnp.sqrt(lo_sq + (b2.astype(fdt) + 1.0) * width)
+        return med, lo_b, hi_b
+
+    def full(_):
+        ks = (k1, k2) if total % 2 == 0 else (k1,)
+        mids = kth_smallest_bisect(
+            count_fn, ks, 0.0, hi0, bins=fallback_bins, passes=fallback_passes
+        )
+        med = jnp.mean(jnp.sqrt(mids))
+        slack = hi0 / (float(fallback_bins) ** fallback_passes)
+        lo_b = jnp.sqrt(jnp.maximum(mids[0] - slack, 0.0))
+        hi_b = jnp.sqrt(mids[-1] + slack)
+        return med, lo_b, hi_b
+
+    return jax.lax.cond(valid, ok, full, operand=None)
+
+
 # ----------------------------------------------------------------------
 # Dispatch
 # ----------------------------------------------------------------------

@@ -273,3 +273,116 @@ def phi_rbf_blocked(
 ) -> jnp.ndarray:
     """Streaming RBF phi over row tiles; memory O(row_tile * n)."""
     return phi_rbf_cross(coords, coords, scores, p_matrix, row_tile)
+
+
+# ----------------------------------------------------------------------
+# Fused phi + median-count sweep (isotropic RBF)
+# ----------------------------------------------------------------------
+
+
+def phi_rbf_fused_counts(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    gamma,
+    thresholds_sq: jnp.ndarray,
+    row_tile: int = 1024,
+):
+    """ONE O(n^2) tile sweep producing both the RBF phi (P = gamma I) and
+    the median-selection threshold counts.
+
+    The median-bandwidth SVGD step is two O(n^2) sweeps over the same
+    pairwise squared distances — the threshold-count pass for the median
+    (ops/median.py count_le_cross) and the phi contraction. For the
+    isotropic median kernel the phi quadratic form is just gamma * sq, so
+    each tile's sq block can be exponentiated AND compared against the
+    selection edges in one pass; the driver then uses the counts to update
+    the median for the NEXT step (scale lags one step — the movement-bound
+    bracket logic is unchanged, see ops/median.fused_median_from_counts).
+
+    Returns (phi (n, m), counts (E,) f32) where counts[e] = #{(i, j):
+    ||x_i - x_j||^2 <= thresholds_sq[e]} over all n^2 pairs including
+    self-zeros (reference GaussianRBFKernel.hpp:66 semantics).
+    """
+    from .pairwise import auto_row_tile
+
+    # Translation-invariant (both phi and distances); protects the Gram
+    # identity from f32 cancellation.
+    center = jnp.mean(coords, axis=0)
+    coords = coords - center
+
+    n, m = coords.shape
+    row_tile = auto_row_tile(n, row_tile)
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    gamma = jnp.asarray(gamma, coords.dtype)
+    n_thresh = thresholds_sq.shape[0]
+
+    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
+    b = jnp.concatenate(
+        [scores, coords, jnp.ones((n, 1), coords.dtype)], axis=1
+    )  # (n, 2m+1)
+    q = jnp.sum(coords * coords, axis=1)  # raw squared norms (centered)
+    q_pad = jnp.pad(q, (0, pad))
+    diff_form = m <= 4
+
+    def _counts(sq, t):
+        """Median selection counts on the tile (compare/reduce, VPU);
+        padded rows excluded."""
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n), 0) + t * row_tile
+        )
+        valid = row_ids < n
+        return jnp.sum(
+            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
+            axis=(1, 2),
+            dtype=jnp.float32,
+        )
+
+    if diff_form:
+        # Cancellation-free explicit differences; the summed kernel gradient
+        # accumulates directly as sum_j K * diff (see phi_rbf_cross).
+        def tile_body(t, carry):
+            acc, counts = carry
+            rows = jax.lax.dynamic_slice_in_dim(
+                coords_pad, t * row_tile, row_tile, 0
+            )
+            diffs = [rows[:, a, None] - coords[None, :, a] for a in range(m)]
+            sq = jnp.zeros((row_tile, n), rows.dtype)
+            for a in range(m):
+                sq = sq + diffs[a] * diffs[a]
+            k_tile = jnp.exp(-gamma * sq)
+            ks = k_tile @ scores  # MXU
+            t_vec = jnp.stack(
+                [jnp.sum(k_tile * diffs[a], axis=1) for a in range(m)], axis=1
+            )
+            phi_tile = ks + 2.0 * gamma * t_vec
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, phi_tile, t * row_tile, 0
+            )
+            return acc, counts + _counts(sq, t)
+
+        acc0 = jnp.zeros((num_tiles * row_tile, m), coords.dtype)
+        counts0 = jnp.zeros(n_thresh, jnp.float32)
+        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+        return acc[:n] / n, counts
+
+    def tile_body(t, carry):
+        acc, counts = carry
+        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
+        gram = rows @ coords.T  # MXU
+        sq = jnp.maximum(q_rows[:, None] + q[None, :] - 2.0 * gram, 0.0)
+        k_tile = jnp.exp(-gamma * sq)
+        a_tile = k_tile @ b  # MXU: K S, K X, rowsum in one contraction
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
+        return acc, counts + _counts(sq, t)
+
+    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
+    counts0 = jnp.zeros(n_thresh, jnp.float32)
+    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+    a = acc[:n]
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    phi = (ks - 2.0 * gamma * (kx - rowsum[:, None] * coords)) / n
+    return phi, counts

@@ -197,13 +197,30 @@ class SVGD:
         elif impl == "auto":
             if not self._is_rbf:
                 impl = "generic"
+            elif (
+                getattr(self.kernel, "scale_method", None)
+                == GaussianRBFKernel.ScaleMethod.MEDIAN
+                and self.num_particles > DENSE_PHI_MAX_PARTICLES
+            ):
+                # Median-adaptive at scale: ONE fused O(n^2) sweep per step
+                # (phi contraction + next step's median counts) instead of
+                # separate count and phi sweeps.
+                impl = "fused"
             elif self.num_particles <= DENSE_PHI_MAX_PARTICLES:
                 impl = "dense"
             else:
                 impl = "blocked"
-        if impl in ("dense", "blocked", "pallas") and not self._is_rbf:
+        if impl in ("dense", "blocked", "pallas", "fused") and not self._is_rbf:
             raise ValueError(
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
+            )
+        if impl == "fused" and (
+            getattr(self.kernel, "scale_method", None)
+            != GaussianRBFKernel.ScaleMethod.MEDIAN
+        ):
+            raise ValueError(
+                "phi_impl='fused' requires ScaleMethod.MEDIAN (the fused "
+                "sweep produces median-selection counts)."
             )
         self._phi_impl = impl
 
@@ -301,20 +318,68 @@ class SVGD:
                 jnp.clip(it, 0, annealing_arr.shape[0] - 1)
             ]
 
+        fused = self._phi_impl == "fused"
+        fused_bins = 8  # same one-pass refinement as warm_median_select
+
         def step_fn(state, _=None):
             coords = state["coords"]
             mparams = state["model_params"]
-            kparams, scale_aux = self._scale_params(
-                coords, mparams, state["kernel_params"], state["scale_aux"],
-                state["slot_model_params"],
-            )
             scores = jax.vmap(
                 lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
             )(coords)
             if annealing is not None:
                 tau = annealing(state["iteration"])
                 scores = scores * jnp.asarray(tau, scores.dtype)
-            phi = self._phi(coords, scores, kparams)
+            if fused:
+                # ONE O(n^2) sweep: phi with the PREVIOUS step's verified
+                # median (lag-1 — within the 2*disp movement bound of the
+                # current median) + this step's selection counts.
+                from .ops.median import count_le_cross, fused_median_from_counts
+                from .ops.phi import phi_rbf_fused_counts
+
+                n, m = coords.shape
+                aux = state["scale_aux"][0]
+                fdt = aux["med"].dtype
+                gamma = (jnp.log(float(n)) / (aux["med"] * aux["med"])).astype(
+                    coords.dtype
+                )
+                kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
+                pad_d = 2.0 * aux["disp"] + 1e-12
+                lo_d = jnp.maximum(aux["lo"] - pad_d, 0.0)
+                hi_d = aux["hi"] + pad_d
+                lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
+                edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
+                thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
+                phi, counts = phi_rbf_fused_counts(
+                    coords, scores, gamma, thresholds, self.options.row_tile
+                )
+                centered = coords - jnp.mean(coords, axis=0)
+                hi0 = (
+                    4.0 * jnp.max(jnp.sum(centered * centered, axis=1))
+                    * (1.0 + 1e-6)
+                    + 1e-30
+                )
+                count_fn = lambda thr: count_le_cross(
+                    centered, centered, thr, row_tile=self.options.row_tile
+                )
+                med_new, lo_new, hi_new = fused_median_from_counts(
+                    counts, lo_sq, hi_sq, n * n, count_fn, hi0,
+                    bins=fused_bins, initialized=aux["hi"] >= aux["lo"],
+                )
+                scale_aux = (
+                    {
+                        "med": med_new.astype(fdt),
+                        "lo": lo_new.astype(fdt),
+                        "hi": hi_new.astype(fdt),
+                        "disp": aux["disp"],
+                    },
+                )
+            else:
+                kparams, scale_aux = self._scale_params(
+                    coords, mparams, state["kernel_params"], state["scale_aux"],
+                    state["slot_model_params"],
+                )
+                phi = self._phi(coords, scores, kparams)
             opt_state, inc = self.optimizer.step(state["opt_state"], phi)
             new_coords = coords + inc
             # Cast bounds to the coords dtype: under x64, f64 bounds would
@@ -435,6 +500,10 @@ class SVGD:
         stored = getattr(self, "_scale_aux", None)
         if stored is not None:
             return stored
+        if self._phi_impl == "fused":
+            # {med, lo, hi, disp}: exact/hybrid median of the INITIAL
+            # positions seeds the lag-1 fused pipeline.
+            return (self.kernel.init_fused_aux(coords),)
         return tuple(
             owner.init_scale_aux(coords)
             if hasattr(owner, "init_scale_aux")

@@ -1,0 +1,167 @@
+"""Fused phi + median-count sweep (phi_impl='fused').
+
+One O(n^2) tile sweep per step produces both the phi contraction and the
+next step's median-selection counts; the scale lags one step (within the
+2*max-displacement movement bound of exact). These tests pin the op against
+the separate dense/count implementations and the driver's median tracking
+against the exact median.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import svgdcpp_tpu as sv
+from svgdcpp_tpu.ops.median import (
+    count_le_cross,
+    pairwise_distance_median_exact,
+)
+from svgdcpp_tpu.ops.phi import phi_rbf, phi_rbf_fused_counts
+
+
+@pytest.mark.parametrize("m", [2, 7])
+def test_fused_op_matches_separate_passes(rng, m):
+    """phi == dense closed form; counts == count_le_cross, both diff-form
+    (m<=4) and Gram-form (m>4) branches."""
+    n = 50
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 3.0)  # off-origin
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    gamma = 0.7
+    thresholds = jnp.asarray(np.linspace(0.0, 30.0, 9))
+
+    phi, counts = phi_rbf_fused_counts(
+        coords, scores, gamma, thresholds, row_tile=16
+    )
+    expect_phi = phi_rbf(coords, scores, gamma * jnp.eye(m))
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(expect_phi), rtol=1e-9)
+
+    # Counts vs brute force: ranks may differ by boundary-tie noise (the
+    # diff-form computes exact zeros for self-pairs where the Gram identity
+    # leaves ~eps residue) — a few ranks out of n^2 is invisible to the
+    # verified median selection.
+    c = np.asarray(coords)
+    sq = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    brute = np.array(
+        [(sq <= t).sum() for t in np.asarray(thresholds)], dtype=np.float64
+    )
+    assert np.abs(np.asarray(counts) - brute).max() <= n
+
+    centered = coords - jnp.mean(coords, axis=0)
+    expect_counts = count_le_cross(centered, centered, thresholds, row_tile=16)
+    assert np.abs(np.asarray(counts) - np.asarray(expect_counts)).max() <= n
+
+
+def _mvn_svgd(x0, impl, iters, lr=0.1):
+    n, dim = x0.shape
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, lr),
+            phi_impl=impl,
+        )
+    )
+    svgd.initialize()
+    return svgd
+
+
+def test_fused_first_step_median_is_exact(rng):
+    """After one fused step the tracked median equals the exact median of
+    the step's input positions (counts verified the seeded bracket)."""
+    n, dim = 600, 2
+    x0 = rng.normal(size=(n, dim)) * 2
+    svgd = _mvn_svgd(x0, "fused", 1)
+    svgd.run()
+    med = float(svgd._scale_aux[0]["med"])
+    exact = float(pairwise_distance_median_exact(jnp.asarray(x0)))
+    assert abs(med - exact) < 2e-3 * exact
+
+
+def test_fused_median_tracks_across_steps(rng):
+    """Across a multi-step run the tracked median stays within the
+    movement-bound bracket of the true median of the PREVIOUS positions."""
+    n, dim, iters = 600, 2, 12
+    x0 = rng.normal(size=(n, dim)) * 2
+    svgd = _mvn_svgd(x0, "fused", 1)
+    prev_coords = np.asarray(x0)
+    for _ in range(iters):
+        svgd.run()
+        cur = np.asarray(svgd.store.value)
+        med = float(svgd._scale_aux[0]["med"])
+        # med localizes the median of the positions the sweep saw (= prev
+        # run's final coords, i.e. this run's input).
+        exact_prev = float(pairwise_distance_median_exact(jnp.asarray(prev_coords)))
+        disp = np.sqrt(((cur - prev_coords) ** 2).sum(1)).max()
+        assert abs(med - exact_prev) <= 2 * disp + 2e-3 * exact_prev + 1e-9
+        prev_coords = cur
+
+
+def test_fused_posterior_matches_blocked(rng):
+    """Lag-1 bandwidth is a heuristic-level change: posterior moments match
+    the exact-every-step blocked path within MC slop."""
+    n, dim, iters = 640, 2, 120
+    x0 = rng.normal(size=(n, dim)) * 3 + 1.0
+    fused = np.asarray(_mvn_svgd(x0, "fused", iters).run())
+    blocked = np.asarray(_mvn_svgd(x0, "blocked", iters).run())
+    np.testing.assert_allclose(
+        fused.mean(0), blocked.mean(0), atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.cov(fused.T), np.cov(blocked.T), atol=5e-2
+    )
+
+
+def test_fused_fallback_on_stale_bracket(rng):
+    """A poisoned (uninitialized) bracket triggers the in-graph full
+    bisection fallback and recovers the exact median."""
+    n, dim = 600, 2
+    x0 = rng.normal(size=(n, dim)) * 2
+    svgd = _mvn_svgd(x0, "fused", 1)
+    svgd.initialize = None  # guard: already initialized
+    fdt = svgd._current_scale_aux(jnp.asarray(x0))[0]["med"].dtype
+    svgd._scale_aux = (
+        {
+            "med": jnp.asarray(1.0, fdt),   # wrong but finite scale
+            "lo": jnp.asarray(0.0, fdt),
+            "hi": jnp.asarray(-1.0, fdt),   # hi < lo => uninitialized
+            "disp": jnp.asarray(0.0, fdt),
+        },
+    )
+    svgd.run()
+    med = float(svgd._scale_aux[0]["med"])
+    exact = float(pairwise_distance_median_exact(jnp.asarray(x0)))
+    assert abs(med - exact) < 1e-4 * exact
+
+
+def test_auto_selects_fused_for_median_at_scale(rng):
+    x0 = rng.normal(size=(1100, 2))
+    svgd = _mvn_svgd(x0, "auto", 1)
+    assert svgd._phi_impl == "fused"
+
+    # CONSTANT scale cannot fuse -> blocked
+    model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=np.eye(2)
+    )
+    svgd2 = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=2, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(2, 1100, 0.1),
+        )
+    )
+    svgd2.initialize()
+    assert svgd2._phi_impl == "blocked"
+
+    with pytest.raises(ValueError):
+        svgd3 = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=2, num_iterations=1, coordinate_matrix=x0.copy(),
+                kernel=sv.GaussianRBFKernel(
+                    x0, sv.ScaleMethod.CONSTANT, constant_scale=np.eye(2)
+                ),
+                model=model, optimizer=sv.AdaGrad(2, 1100, 0.1),
+                phi_impl="fused",
+            )
+        )
+        svgd3.initialize()
