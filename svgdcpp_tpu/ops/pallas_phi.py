@@ -145,6 +145,123 @@ def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
 
 
 # ----------------------------------------------------------------------
+# fused phi + median-count kernel
+# ----------------------------------------------------------------------
+
+
+def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
+                  acc_ref, cnt_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    gamma = gamma_ref[0, 0]
+    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
+    k_tile = jnp.exp(-gamma * sq)
+    acc_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
+    num_t = cnt_ref.shape[1]
+    counts = jnp.stack(
+        [jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32)) for t in range(num_t)]
+    )
+    cnt_ref[:] += counts.reshape(1, num_t)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_thresholds", "tile_i", "tile_j", "interpret")
+)
+def _phi_rbf_fused_pallas_impl(
+    coords, scores, gamma, thresholds_sq, num_thresholds, tile_i, tile_j,
+    interpret,
+):
+    n, m = coords.shape
+    coords32 = coords.astype(jnp.float32)
+    coords32 = coords32 - jnp.mean(coords32, axis=0)  # translation-invariant
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_i)
+    qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk
+    xj_p = _pad_rows(coords32, tile_j)
+    qj_p = _pad_rows(q[:, None], tile_j, value=big)  # K -> 0, counts skip
+    b_p = _pad_rows(b, tile_j)
+    n_i = x_p.shape[0]
+    n_j = xj_p.shape[0]
+    bw = 2 * m + 1
+    thr = jnp.reshape(
+        thresholds_sq.astype(jnp.float32), (1, num_thresholds)
+    )
+
+    grid = (n_i // tile_i, n_j // tile_j)
+    acc, counts = pl.pallas_call(
+        _fused_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, bw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_i, bw), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_thresholds), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_i * n_j * (m + bw + num_thresholds),
+            bytes_accessed=4 * (n_i + n_j) * (2 * m + 2 + bw),
+            transcendentals=n_i * n_j,
+        ),
+        interpret=interpret,
+    )(gamma32, thr, x_p, qi_p, xj_p, qj_p, b_p)
+
+    a = acc[:n]
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    gamma_f = jnp.asarray(gamma, jnp.float32)
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
+    return phi.astype(coords.dtype), counts[0]
+
+
+def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
+                         tile_i: int = 512, tile_j: int = 1024, interpret=None):
+    """Pallas twin of ops/phi.phi_rbf_fused_counts (isotropic RBF):
+    one on-chip pass produces the phi contraction and the median-selection
+    counts. Counts use the same Gram-identity sq as the K tile (mean-
+    centered f32), so self-pairs may carry ~eps residue — rank noise far
+    below what the verified selection can feel."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _phi_rbf_fused_pallas_impl(
+        coords, scores, gamma, thresholds_sq,
+        int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+    )
+
+
+# ----------------------------------------------------------------------
 # count kernel (median selection)
 # ----------------------------------------------------------------------
 

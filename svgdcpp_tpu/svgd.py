@@ -210,11 +210,13 @@ class SVGD:
                 impl = "dense"
             else:
                 impl = "blocked"
-        if impl in ("dense", "blocked", "pallas", "fused") and not self._is_rbf:
+        if impl in (
+            "dense", "blocked", "pallas", "fused", "fused_pallas"
+        ) and not self._is_rbf:
             raise ValueError(
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
             )
-        if impl == "fused" and (
+        if impl in ("fused", "fused_pallas") and (
             getattr(self.kernel, "scale_method", None)
             != GaussianRBFKernel.ScaleMethod.MEDIAN
         ):
@@ -318,7 +320,8 @@ class SVGD:
                 jnp.clip(it, 0, annealing_arr.shape[0] - 1)
             ]
 
-        fused = self._phi_impl == "fused"
+        fused = self._phi_impl in ("fused", "fused_pallas")
+        fused_pallas = self._phi_impl == "fused_pallas"
         fused_bins = 8  # same one-pass refinement as warm_median_select
 
         def step_fn(state, _=None):
@@ -350,9 +353,16 @@ class SVGD:
                 lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
                 edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
                 thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
-                phi, counts = phi_rbf_fused_counts(
-                    coords, scores, gamma, thresholds, self.options.row_tile
-                )
+                if fused_pallas:
+                    from .ops.pallas_phi import phi_rbf_fused_pallas
+
+                    phi, counts = phi_rbf_fused_pallas(
+                        coords, scores, gamma, thresholds
+                    )
+                else:
+                    phi, counts = phi_rbf_fused_counts(
+                        coords, scores, gamma, thresholds, self.options.row_tile
+                    )
                 centered = coords - jnp.mean(coords, axis=0)
                 hi0 = (
                     4.0 * jnp.max(jnp.sum(centered * centered, axis=1))
@@ -500,7 +510,7 @@ class SVGD:
         stored = getattr(self, "_scale_aux", None)
         if stored is not None:
             return stored
-        if self._phi_impl == "fused":
+        if self._phi_impl in ("fused", "fused_pallas"):
             # {med, lo, hi, disp}: exact/hybrid median of the INITIAL
             # positions seeds the lag-1 fused pipeline.
             return (self.kernel.init_fused_aux(coords),)

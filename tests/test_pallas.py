@@ -48,3 +48,74 @@ def test_phi_pallas_ragged_padding(rng):
     ref = np.asarray(phi_rbf(coords, scores, p_mat))
     out = np.asarray(phi_rbf_pallas(coords, scores, p_mat, tile_i=32, tile_j=32))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
+def test_phi_pallas_off_origin_centering(rng):
+    """Advisor finding: the pallas path must mean-center before the Gram
+    identity (translation-invariance of phi)."""
+    n, m = 96, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 200.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = float(np.log(n) / 2.0)
+    p_mat = gamma * jnp.eye(m, dtype=jnp.float32)
+    ref = np.asarray(
+        phi_rbf(
+            jnp.asarray(np.asarray(coords), jnp.float64),
+            jnp.asarray(np.asarray(scores), jnp.float64),
+            jnp.asarray(np.asarray(p_mat), jnp.float64),
+        )
+    )
+    out = np.asarray(phi_rbf_pallas(coords, scores, p_mat, tile_i=32, tile_j=32))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 2e-3, rel
+
+
+def test_fused_pallas_matches_xla_fused(rng):
+    """The fused pallas kernel (phi + counts in one pass) matches the XLA
+    fused op; counts allow boundary-tie rank noise only."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m = 200, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.6
+    thresholds = jnp.asarray(np.linspace(0.0, 20.0, 9), jnp.float32)
+
+    phi_x, counts_x = phi_rbf_fused_counts(
+        coords, scores, gamma, thresholds, row_tile=64
+    )
+    phi_p, counts_p = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=2e-4, atol=2e-5
+    )
+    assert np.abs(np.asarray(counts_p) - np.asarray(counts_x)).max() <= n
+
+
+def test_fused_pallas_through_driver(rng):
+    """phi_impl='fused_pallas' (interpreter on CPU) behaves like 'fused'."""
+    import svgdcpp_tpu as sv
+
+    n, dim, iters = 600, 2, 3
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 2
+
+    def run(impl):
+        model = sv.MultivariateNormal(
+            np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+        )
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl=impl,
+            )
+        )
+        svgd.initialize()
+        return np.asarray(svgd.run())
+
+    np.testing.assert_allclose(
+        run("fused_pallas"), run("fused"), rtol=2e-3, atol=2e-4
+    )
