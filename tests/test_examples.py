@@ -29,6 +29,30 @@ def test_mvn_example_converges():
     assert np.all(final.std(axis=0) > 0.3 * np.sqrt(np.diag(cov)))
 
 
+def test_notebooks_execute():
+    """The shipped .ipynb mirrors (analog of the reference's example
+    notebooks) are valid nbformat-4 JSON whose code cells execute
+    end-to-end."""
+    import json
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    examples = Path(__file__).resolve().parent.parent / "examples"
+    for name in ("mvn_example.ipynb", "gmm_example.ipynb"):
+        nb = json.loads((examples / name).read_text())
+        assert nb["nbformat"] == 4
+        code = "\n".join(
+            "".join(c["source"])
+            for c in nb["cells"]
+            if c["cell_type"] == "code"
+        )
+        assert "plot_overlay" in code
+        ns = {"__name__": f"nb_{name}"}
+        exec(compile(code.replace("plt.show()", "plt.close('all')"),
+                     str(examples / name), "exec"), ns)
+
+
 def test_visual_regression_figure(tmp_path):
     """Figure generation across all four workloads (the analog of the
     reference's visualization notebooks) runs and writes a real PNG."""
