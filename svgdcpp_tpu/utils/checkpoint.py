@@ -26,23 +26,46 @@ def _flatten_with_paths(tree) -> Dict[str, Any]:
             str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
             for p in path
         )
-        flat[key] = np.asarray(leaf)
+        # No host conversion here: restore passes GLOBAL (non-addressable)
+        # exemplar leaves through this just to enumerate keys; save converts
+        # via _to_host before flattening.
+        flat[key] = leaf
     return flat
+
+
+def _to_host(x):
+    """Fetch a leaf to host memory.
+
+    Multi-process global arrays (shards on non-addressable devices) are
+    materialized with a cross-process allgather so every process holds the
+    full logical array — the standard shared-filesystem checkpoint shape.
+    """
+    if (
+        hasattr(x, "sharding")
+        and not getattr(x.sharding, "is_fully_addressable", True)
+    ):
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
 
 
 def save_checkpoint(path, state, step: int = 0):
     """Save an SVGD state pytree + step counter to ``<path>.npz``/``.json``.
 
-    Device/sharded arrays are gathered to host first.
+    Device/sharded arrays are gathered to host first; in a multi-process
+    run every process participates in the gather but only process 0 writes
+    (shared filesystem assumed, as with orbax).
     """
     path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
-    host_state = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state)
-    flat = _flatten_with_paths(host_state)
-    np.savez(str(path.with_suffix(".npz")), **flat)
-    treedef = jax.tree_util.tree_structure(host_state)
-    meta = {"step": int(step), "treedef": str(treedef), "keys": sorted(flat)}
-    path.with_suffix(".json").write_text(json.dumps(meta))
+    host_state = jax.tree.map(_to_host, state)
+    if jax.process_index() == 0:
+        path.parent.mkdir(parents=True, exist_ok=True)
+        flat = _flatten_with_paths(host_state)
+        np.savez(str(path.with_suffix(".npz")), **flat)
+        treedef = jax.tree_util.tree_structure(host_state)
+        meta = {"step": int(step), "treedef": str(treedef), "keys": sorted(flat)}
+        path.with_suffix(".json").write_text(json.dumps(meta))
     return str(path.with_suffix(".npz"))
 
 
@@ -77,7 +100,15 @@ def restore_checkpoint(path, state_like):
             hasattr(leaf, "sharding")
             and len(leaf.sharding.device_set) > 1
         ):
-            arr = jax.device_put(arr, leaf.sharding)
+            if getattr(leaf.sharding, "is_fully_addressable", True):
+                arr = jax.device_put(arr, leaf.sharding)
+            else:
+                # Multi-process: every process loads the full logical array
+                # and contributes its local rows.
+                host = np.asarray(arr)
+                arr = jax.make_array_from_callback(
+                    host.shape, leaf.sharding, lambda idx, h=host: h[idx]
+                )
         restored_leaves.append(arr)
     state = jax.tree_util.tree_unflatten(leaves_paths[1], restored_leaves)
     return state, int(meta["step"])

@@ -75,6 +75,27 @@ state = sharded.run_state(sharded.init_state(x0), iters)
 coords = state["coords"]
 assert not coords.sharding.is_fully_addressable  # genuinely cross-process
 
+# Cross-process checkpoint roundtrip: 2 steps -> save -> restore -> 1 step
+# must equal the straight 3-step run (per-process shard comparison).
+from svgdcpp_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+mid = sharded.run_state(sharded.init_state(x0), 2)
+save_checkpoint(outdir / "mp_ck", mid, step=2)
+# process 0 writes the file; all processes read it back — barrier first
+from jax.experimental import multihost_utils
+
+multihost_utils.sync_global_devices("ckpt_written")
+restored, step = restore_checkpoint(outdir / "mp_ck", sharded.init_state(x0))
+assert step == 2
+resumed = sharded.run_state(restored, 1)
+for s_a, s_b in zip(
+    coords.addressable_shards, resumed["coords"].addressable_shards
+):
+    np.testing.assert_allclose(
+        np.asarray(s_a.data), np.asarray(s_b.data), rtol=1e-12, atol=1e-15
+    )
+print(f"worker {pid}: ckpt OK", flush=True)
+
 rows = []
 starts = []
 for shard in coords.addressable_shards:

@@ -52,6 +52,8 @@ def test_two_process_sharded_run(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"worker {pid}: OK" in out
+        # cross-process checkpoint roundtrip resumed exactly
+        assert f"worker {pid}: ckpt OK" in out
 
     # Reassemble the global (16, 2) result from both processes' row shards.
     n, dim, iters = 16, 2, 3
