@@ -214,7 +214,7 @@ def make_blr_workload(particles, dim=50, n_data=1024, hierarchical=False):
     return np.asarray(features), np.asarray(labels), x0
 
 
-def bench_blr(x0, features, labels, iters, hierarchical=False):
+def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto"):
     """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
     import svgdcpp_tpu as sv
 
@@ -234,6 +234,7 @@ def bench_blr(x0, features, labels, iters, hierarchical=False):
             dimension=full_dim, num_iterations=10, coordinate_matrix=x0,
             kernel=kernel, model=model,
             optimizer=sv.Adam(full_dim, particles, 5e-2, 0.9, 0.999),
+            phi_impl=phi_impl,
         )
     )
     svgd.initialize()
@@ -262,7 +263,7 @@ def main():
         blr_n = 200 if args.quick else 1000
         blr_d = 10 if args.quick else 50
         features, labels, x0 = make_blr_workload(blr_n, dim=blr_d)
-        rate = bench_blr(x0, features, labels, args.iters)
+        rate = bench_blr(x0, features, labels, args.iters, phi_impl=args.impl)
         vs = None
         if args.baseline_iters > 0:
             base = bench_numpy_blr_baseline(

@@ -1,0 +1,68 @@
+"""Capture a jax.profiler trace of the flagship step on the real chip.
+
+Addresses the "self-graded roofline" gap: commits hard evidence of where a
+step's time goes. Writes a perfetto/xplane trace directory plus a
+one-line summary of the measured step time.
+
+    python scripts/capture_trace.py [outdir=docs/traces] [n=10000] [impl=auto]
+
+The trace directory can be opened with xprof/tensorboard or perfetto.
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT))
+
+
+def main(outdir="docs/traces", n="10000", impl="auto"):
+    import jax
+
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.utils.workloads import flagship_mvn
+
+    n = int(n)
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
+    model = sv.MultivariateNormal(mean, cov)
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=2, num_iterations=10, coordinate_matrix=x0,
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(2, n, 0.1),
+            phi_impl=impl,
+        )
+    )
+    svgd.initialize()
+    state = svgd.make_state()
+
+    # Warm up (compile) outside the trace.
+    out_state, _ = svgd._jit_run(state, 10)
+    np.asarray(out_state["coords"])  # host sync (block_until_ready lies here)
+
+    steps = 50
+    with jax.profiler.trace(str(out)):
+        t0 = time.perf_counter()
+        st = state
+        for _ in range(steps // 10):
+            st, _ = svgd._jit_run(st, 10)
+        np.asarray(st["coords"])
+        dt = time.perf_counter() - t0
+    per_step_ms = 1e3 * dt / steps
+    summary = (
+        f"impl={svgd._phi_impl} n={n}: {per_step_ms:.3f} ms/step "
+        f"({n / (dt / steps):,.0f} updates/s) over {steps} traced steps\n"
+    )
+    (out / "SUMMARY.txt").write_text(summary)
+    print(summary.strip())
+    print(f"trace written to {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
