@@ -147,6 +147,11 @@ class ShardedSVGDConfig:
     #: Record per-step stats (phi RMS, max step, bandwidth); available as
     #: ``sharded.stats`` after run()/run_state().
     track_stats: bool = False
+    #: ONE cross-shard O(n^2/D) sweep per step: each local tile feeds both
+    #: the phi contraction and the (psum'ed) median-selection counts; the
+    #: scale lags one step within the movement bound (the sharded mirror of
+    #: the driver's phi_impl='fused'). Gather mode + MEDIAN only.
+    fused_phi: bool = False
 
     def __post_init__(self):
         if self.phi_mode not in ("gather", "ring"):
@@ -157,6 +162,11 @@ class ShardedSVGDConfig:
             raise ValueError(
                 "ScaleMethod.CONSTANT requires constant_scale to be set."
             )
+        if self.fused_phi:
+            if self.scale_method != ScaleMethod.MEDIAN:
+                raise ValueError("fused_phi requires ScaleMethod.MEDIAN.")
+            if self.phi_mode != "gather":
+                raise ValueError("fused_phi currently requires phi_mode='gather'.")
 
 
 class ShardedSVGD:
@@ -207,6 +217,10 @@ class ShardedSVGD:
             kernel.initialize()
             # (slot index, owning kernel) pairs, like the driver.
             self._adaptive_slots = kernel.adaptive_slots()
+            if self.config.fused_phi:
+                raise ValueError(
+                    "fused_phi applies to the built-in RBF mode (kernel=None)."
+                )
         else:
             self._adaptive_slots = []
         self._state = None
@@ -402,6 +416,57 @@ class ShardedSVGD:
                         coords_local, sources, scores, kernel_pure, kparams,
                         cfg.row_tile, axis_name=axis,
                     )
+            elif cfg.fused_phi:
+                # ONE cross-shard sweep: phi with the previous step's
+                # verified median (lag-1, movement-bounded) + this step's
+                # psum'ed selection counts (driver phi_impl='fused' mirror).
+                from ..ops.median import fused_median_from_counts
+                from ..ops.phi import phi_rbf_cross_fused_counts
+
+                lo_b, hi_b, disp_a, med = scale_aux
+                fdt = med.dtype
+                gamma = (
+                    jnp.log(float(n_global)) / (med * med)
+                ).astype(coords_local.dtype)
+                kparams = (
+                    gamma * jnp.eye(self.dimension, dtype=coords_local.dtype),
+                )
+                pad_d = 2.0 * disp_a + 1e-12
+                lo_d = jnp.maximum(lo_b - pad_d, 0.0)
+                hi_d = hi_b + pad_d
+                lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
+                fbins = 8
+                edges = jnp.arange(0, fbins + 1, dtype=fdt)
+                thresholds = lo_sq + (hi_sq - lo_sq) * edges / fbins
+                scores = jax.lax.all_gather(scores_local, axis, tiled=True)
+                phi_local, counts_local = phi_rbf_cross_fused_counts(
+                    coords_local, sources, scores, gamma, thresholds,
+                    cfg.row_tile, axis_name=axis,
+                )
+                counts = jax.lax.psum(counts_local, axis)
+                center = jax.lax.psum(
+                    jnp.sum(coords_local, axis=0), axis
+                ) / n_global
+                centered_local = coords_local - center
+                local_max = jnp.max(
+                    jnp.sum(centered_local * centered_local, axis=1)
+                )
+                hi0 = 4.0 * jax.lax.pmax(local_max, axis) * (1.0 + 1e-6) + 1e-30
+                count_fn = lambda thr: jax.lax.psum(
+                    count_le_cross(
+                        centered_local, sources - center, thr,
+                        row_tile=cfg.row_tile, axis_name=axis,
+                    ),
+                    axis,
+                )
+                med_new, lo_new, hi_new = fused_median_from_counts(
+                    counts, lo_sq, hi_sq, total, count_fn, hi0,
+                    bins=fbins, initialized=hi_b >= lo_b,
+                )
+                scale_aux = (
+                    lo_new.astype(fdt), hi_new.astype(fdt), disp_a,
+                    med_new.astype(fdt),
+                )
             elif cfg.phi_mode == "ring":
                 # Gather-free: bandwidth + phi via ppermute rotations.
                 from .ring import ring_median_scale, ring_phi_rbf
@@ -441,17 +506,23 @@ class ShardedSVGD:
                 new_coords = jnp.maximum(new_coords, lower.astype(new_coords.dtype))
             if upper is not None:
                 new_coords = jnp.minimum(new_coords, upper.astype(new_coords.dtype))
-            if warm:
+            if warm or cfg.fused_phi:
                 # Max displacement across ALL shards -> next warm bracket.
                 local_disp_sq = jnp.max(
                     jnp.sum((new_coords - coords_local) ** 2, axis=1)
                 )
                 disp = jnp.sqrt(jax.lax.pmax(local_disp_sq, axis))
-                scale_aux = (
-                    scale_aux[0],
-                    scale_aux[1],
-                    disp.astype(scale_aux[2].dtype),
-                )
+                if cfg.fused_phi:
+                    scale_aux = (
+                        scale_aux[0], scale_aux[1],
+                        disp.astype(scale_aux[2].dtype), scale_aux[3],
+                    )
+                else:
+                    scale_aux = (
+                        scale_aux[0],
+                        scale_aux[1],
+                        disp.astype(scale_aux[2].dtype),
+                    )
             if cfg.track_stats:
                 m = coords_local.shape[1]
                 phi_rms = jnp.sqrt(
@@ -577,15 +648,30 @@ class ShardedSVGD:
                 else None
                 for _, owner in self._adaptive_slots
             ),
-            # warm-start median aux: (bracket_lo_d, bracket_hi_d, max_disp);
-            # hi < lo marks a cold start
-            "scale_aux": (
-                jnp.asarray(0.0, fdt),
-                jnp.asarray(-1.0, fdt),
-                jnp.asarray(0.0, fdt),
-            ),
+            # warm-start median aux: (bracket_lo_d, bracket_hi_d, max_disp
+            # [, med for fused_phi]); hi < lo marks a cold start
+            "scale_aux": self._init_scale_aux(coords, fdt),
             "iteration": jnp.asarray(0, jnp.int32),
         }
+
+    def _init_scale_aux(self, coords, fdt):
+        if self.config.fused_phi:
+            # Exact/hybrid median of the INITIAL positions seeds the lag-1
+            # fused pipeline (same contract as the driver's init_fused_aux).
+            from ..ops.median import pairwise_distance_median
+
+            med = jnp.asarray(pairwise_distance_median(coords), fdt)
+            return (
+                med * (1.0 - 1e-3),
+                med * (1.0 + 1e-3),
+                jnp.asarray(0.0, fdt),
+                med,
+            )
+        return (
+            jnp.asarray(0.0, fdt),
+            jnp.asarray(-1.0, fdt),
+            jnp.asarray(0.0, fdt),
+        )
 
     # ------------------------------------------------------------------
     # Execution

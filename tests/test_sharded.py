@@ -515,6 +515,46 @@ def test_sharded_run_continues_in_place(mesh, rng):
     assert int(b._state["iteration"]) == 10
 
 
+def test_sharded_fused_matches_driver_fused(mesh, rng):
+    """config.fused_phi (one cross-shard sweep/step) reproduces the
+    driver's phi_impl='fused' trajectory: same lag-1 median, same bracket
+    logic, counts psum'ed across shards."""
+    n, dim, iters = 32, 2, 10
+    x0 = rng.normal(size=(n, dim)) * 2
+    mean = np.array([0.5, -1.0])
+    cov = np.array([[1.0, 0.2], [0.2, 0.8]])
+
+    model = sv.MultivariateNormal(mean, cov)
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused",
+        )
+    )
+    svgd.initialize()
+    single = np.asarray(svgd.run())
+
+    model2 = sv.MultivariateNormal(mean, cov)
+    sharded = ShardedSVGD(
+        model2, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(row_tile=4, fused_phi=True),
+    )
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    np.testing.assert_allclose(out, single, rtol=1e-8, atol=1e-10)
+
+
+def test_fused_phi_config_validation():
+    with pytest.raises(ValueError):
+        ShardedSVGDConfig(fused_phi=True, phi_mode="ring")
+    with pytest.raises(ValueError):
+        ShardedSVGDConfig(
+            fused_phi=True, scale_method=sv.ScaleMethod.HESSIAN
+        )
+
+
 def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
     """Sharded state round-trips through save/restore with sharding kept."""
     from svgdcpp_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
