@@ -59,13 +59,19 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
     dim = 2
     mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
     model = sv.MultivariateNormal(mean, cov)
+    if phi_mode == "fused":
+        config = ShardedSVGDConfig(
+            scale_method=sv.ScaleMethod.MEDIAN, fused_phi=True, row_tile=256,
+        )
+    else:
+        config = ShardedSVGDConfig(
+            scale_method=sv.ScaleMethod.MEDIAN, phi_mode=phi_mode,
+            median_bins=16, median_passes=3, row_tile=256,
+        )
     sharded = ShardedSVGD(
         model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
         mesh=mesh,
-        config=ShardedSVGDConfig(
-            scale_method=sv.ScaleMethod.MEDIAN, phi_mode=phi_mode,
-            median_bins=16, median_passes=3, row_tile=256,
-        ),
+        config=config,
     )
     state = sharded.init_state(x0)
     out, _ = sharded.run_fn(state, ITERS)
