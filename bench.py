@@ -283,7 +283,10 @@ def main():
         features, labels, x0 = make_blr_workload(
             hier_n, dim=10, hierarchical=True
         )
-        rate = bench_blr(x0, features, labels, args.iters, hierarchical=True)
+        rate = bench_blr(
+            x0, features, labels, args.iters, hierarchical=True,
+            phi_impl=args.impl,
+        )
         vs = None
         if args.baseline_iters > 0:
             base = bench_numpy_blr_baseline(

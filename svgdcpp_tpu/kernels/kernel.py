@@ -66,6 +66,11 @@ class Kernel:
     def update_kernel(self, kernel_fn: KernelFn):
         """Set the kernel function (reference Kernel.hpp:364-367)."""
         self._kernel_fn = kernel_fn
+        # A replaced function invalidates any structural record of how this
+        # kernel was composed — the algebraic dispatch (kernels/algebra.py)
+        # must fall back to evaluating the new function generically.
+        if hasattr(self, "_compose_info"):
+            del self._compose_info
 
     def initialize(self):
         """Validate the kernel (reference Kernel.hpp:400-415).
@@ -184,6 +189,13 @@ class Kernel:
         composed._composed_adaptive_slots = list(self.adaptive_slots()) + [
             (idx + n1, fn_) for idx, fn_ in other.adaptive_slots()
         ]
+        # Structural record for algebraic dispatch (kernels/algebra.py): an
+        # arithmetic tree of pure RBF kernels flattens to a signed sum of
+        # RBF terms with a closed-form phi (phi is linear in k; RBF products
+        # collapse by adding precision matrices), which the driver uses
+        # instead of the generic VJP path. n1 pins the parameter split the
+        # composed closure uses.
+        composed._compose_info = (op_name, self, other, n1)
         return composed
 
     def __add__(self, other):

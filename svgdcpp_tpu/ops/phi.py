@@ -170,6 +170,7 @@ def phi_rbf_cross(
     p_matrix: jnp.ndarray,
     row_tile: int = 1024,
     axis_name=None,
+    psd: bool = True,
 ) -> jnp.ndarray:
     """Streaming RBF phi for ``targets`` rows against global ``sources``.
 
@@ -180,6 +181,10 @@ def phi_rbf_cross(
     B = [S | X | 1] gives K S, K X and rowsum(K) simultaneously — K never
     round-trips to HBM. The cross form is the building block of the sharded
     multi-chip phi (local targets x all-gathered sources, SURVEY.md §7).
+
+    ``psd=False`` disables the clamp-at-zero numerical guard on the
+    quadratic form: algebraic division terms (kernels/algebra.py) carry an
+    indefinite effective P whose quadratic form is legitimately negative.
     """
     from .pairwise import auto_row_tile
 
@@ -227,7 +232,9 @@ def phi_rbf_cross(
                 for bb in range(a, m):
                     w = p_sym[a, bb] if a != bb else p_matrix[a, a]
                     quad = quad + w * diffs[a] * diffs[bb]
-            k_tile = jnp.exp(-jnp.maximum(quad, 0.0))
+            if psd:
+                quad = jnp.maximum(quad, 0.0)
+            k_tile = jnp.exp(-quad)
             ks = k_tile @ source_scores  # (row_tile, m) MXU
             # sum_j grad_{x_j} k = (P+P^T) sum_j K (x_i - x_j) per target i
             t_vec = jnp.stack(
@@ -247,7 +254,9 @@ def phi_rbf_cross(
         rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
         q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
         cross = rows @ src_ps.T  # (row_tile, n_s) MXU
-        quad = jnp.maximum(q_rows[:, None] + q_src[None, :] - cross, 0.0)
+        quad = q_rows[:, None] + q_src[None, :] - cross
+        if psd:
+            quad = jnp.maximum(quad, 0.0)
         k_tile = jnp.exp(-quad)
         a_tile = k_tile @ b  # (row_tile, 2m+1) MXU
         return jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
@@ -273,6 +282,56 @@ def phi_rbf_blocked(
 ) -> jnp.ndarray:
     """Streaming RBF phi over row tiles; memory O(row_tile * n)."""
     return phi_rbf_cross(coords, coords, scores, p_matrix, row_tile)
+
+
+# ----------------------------------------------------------------------
+# Algebraic composed-RBF path: signed sum of closed-form RBF terms
+# ----------------------------------------------------------------------
+
+
+def phi_rbf_terms_cross(
+    targets: jnp.ndarray,
+    sources: jnp.ndarray,
+    source_scores: jnp.ndarray,
+    kernel_params,
+    terms,
+    row_tile: int = 1024,
+    axis_name=None,
+) -> jnp.ndarray:
+    """phi for a composed kernel flattened to signed RBF terms.
+
+    ``terms`` comes from kernels/algebra.flatten_rbf_terms: phi is linear in
+    k, so the composed kernel's phi is the signed sum of each term's
+    closed-form RBF phi (effective P = signed sum of parameter slots). This
+    replaces the generic VJP path for `+ - * /` trees of pure RBF kernels
+    (reference Kernel.hpp:55-223) with T closed-form MXU sweeps.
+    """
+    from ..kernels.algebra import term_is_psd
+
+    phi = None
+    for sign, plist in terms:
+        p = None
+        for idx, psign in plist:
+            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
+            p = contrib if p is None else p + contrib
+        t_phi = phi_rbf_cross(
+            targets, sources, source_scores, p, row_tile,
+            axis_name=axis_name, psd=term_is_psd((sign, plist)),
+        )
+        t_phi = t_phi if sign > 0 else -t_phi
+        phi = t_phi if phi is None else phi + t_phi
+    return phi
+
+
+def phi_rbf_terms(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    kernel_params,
+    terms,
+    row_tile: int = 1024,
+) -> jnp.ndarray:
+    """Single-chip algebraic composed-RBF phi (see phi_rbf_terms_cross)."""
+    return phi_rbf_terms_cross(coords, coords, scores, kernel_params, terms, row_tile)
 
 
 # ----------------------------------------------------------------------

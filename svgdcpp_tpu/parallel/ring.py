@@ -35,12 +35,15 @@ def ring_phi_rbf(
     p_matrix: jnp.ndarray,
     axis_name: str,
     n_global: int,
+    psd: bool = True,
 ) -> jnp.ndarray:
     """phi for local targets with sources streamed around the ring.
 
     Per rotation: one (n_loc x n_loc) kernel block built from Gram pieces
     and contracted against the rotating B = [S | X | 1] block. D rotations
-    cover all sources exactly once.
+    cover all sources exactly once. ``psd=False`` skips the clamp-at-zero
+    guard on the quadratic form (algebraic division terms carry an
+    indefinite effective P — see kernels/algebra.py).
     """
     n_loc, m = coords_local.shape
     size = jax.lax.axis_size(axis_name)
@@ -62,7 +65,9 @@ def ring_phi_rbf(
     def body(_, carry):
         src_ps, q_src, b, acc = carry
         cross = coords_local @ src_ps.T  # (n_loc, n_loc) MXU
-        quad = jnp.maximum(q_tgt[:, None] + q_src[None, :] - cross, 0.0)
+        quad = q_tgt[:, None] + q_src[None, :] - cross
+        if psd:
+            quad = jnp.maximum(quad, 0.0)
         k_block = jnp.exp(-quad)
         acc = acc + jnp.dot(k_block, b, preferred_element_type=acc.dtype)
         return (_rotate(src_ps, axis_name), _rotate(q_src, axis_name),
@@ -76,6 +81,37 @@ def ring_phi_rbf(
     kx = acc[:, m : 2 * m]
     rowsum = acc[:, 2 * m]
     return (ks - (kx - rowsum[:, None] * coords_local) @ p_sym) / n_global
+
+
+def ring_phi_rbf_terms(
+    coords_local: jnp.ndarray,
+    scores_local: jnp.ndarray,
+    kernel_params,
+    terms,
+    axis_name: str,
+    n_global: int,
+) -> jnp.ndarray:
+    """Gather-free phi for a composed kernel flattened to signed RBF terms.
+
+    phi is linear in k, so each algebraic term (kernels/algebra.py) runs its
+    own closed-form ring sweep and the signed results sum — T Gram-identity
+    ring passes instead of one VJP-replaying generic pass per rotation."""
+    from ..kernels.algebra import term_is_psd
+
+    phi = None
+    for term in terms:
+        sign, plist = term
+        p = None
+        for idx, psign in plist:
+            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
+            p = contrib if p is None else p + contrib
+        t_phi = ring_phi_rbf(
+            coords_local, scores_local, p, axis_name, n_global,
+            psd=term_is_psd(term),
+        )
+        t_phi = t_phi if sign > 0 else -t_phi
+        phi = t_phi if phi is None else phi + t_phi
+    return phi
 
 
 def ring_phi_generic(

@@ -34,7 +34,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.exceptions import DimensionMismatchError
 from ..kernels.gaussian_rbf import ScaleMethod
 from ..ops.median import count_le_cross, kth_smallest_bisect
-from ..ops.phi import phi_generic_cross, phi_rbf_cross
+from ..kernels.algebra import flatten_rbf_terms
+from ..ops.phi import phi_generic_cross, phi_rbf_cross, phi_rbf_terms_cross
 from .mesh import make_particle_mesh
 
 
@@ -152,8 +153,19 @@ class ShardedSVGDConfig:
     #: scale lags one step within the movement bound (the sharded mirror of
     #: the driver's phi_impl='fused'). Gather mode + MEDIAN only.
     fused_phi: bool = False
+    #: Composed-kernel phi path (only used with kernel=<Kernel>):
+    #: 'auto' = algebraic closed-form terms when the kernel is a `+ - * /`
+    #: tree of pure RBFs (kernels/algebra.py), generic VJP otherwise;
+    #: 'rbf_terms' = require the algebraic path; 'generic' = force the VJP
+    #: path (the sharded mirror of the driver's phi_impl).
+    kernel_phi: str = "auto"
 
     def __post_init__(self):
+        if self.kernel_phi not in ("auto", "rbf_terms", "generic"):
+            raise ValueError(
+                "kernel_phi must be 'auto', 'rbf_terms' or 'generic', "
+                f"got {self.kernel_phi!r}"
+            )
         if self.phi_mode not in ("gather", "ring"):
             raise ValueError(
                 f"phi_mode must be 'gather' or 'ring', got {self.phi_mode!r}"
@@ -181,9 +193,11 @@ class ShardedSVGD:
 
     * ``kernel=None`` (default) — the closed-form Gaussian-RBF fast path;
       the bandwidth is governed by ``config.scale_method``.
-    * ``kernel=<Kernel>`` — any composed/user kernel: phi runs through the
+    * ``kernel=<Kernel>`` — any composed/user kernel. A `+ - * /` tree of
+      pure RBF kernels is flattened algebraically (kernels/algebra.py) and
+      phi runs closed-form MXU term sweeps; anything else goes through the
       tile-streamed VJP path (ops/phi.phi_generic_cross, or its ring
-      variant), and every adaptive slot (median- or Hessian-scaled RBF
+      variant). Every adaptive slot (median- or Hessian-scaled RBF
       factors of a composition) is recomputed per step with the distributed
       machinery — the sharded generalization of the reference's "refill all
       parameter slots each Step" (GaussianRBFKernel.hpp:141-156).
@@ -217,12 +231,26 @@ class ShardedSVGD:
             kernel.initialize()
             # (slot index, owning kernel) pairs, like the driver.
             self._adaptive_slots = kernel.adaptive_slots()
+            # `+ - * /` trees of pure RBF kernels flatten to signed
+            # closed-form terms (kernels/algebra.py) — phi then runs T
+            # Gram-identity MXU sweeps instead of the generic VJP path.
+            self._rbf_terms = (
+                None
+                if self.config.kernel_phi == "generic"
+                else flatten_rbf_terms(kernel)
+            )
+            if self.config.kernel_phi == "rbf_terms" and self._rbf_terms is None:
+                raise ValueError(
+                    "kernel_phi='rbf_terms' requires a `+ - * /` composition "
+                    "of pure GaussianRBFKernels (see kernels/algebra.py)."
+                )
             if self.config.fused_phi:
                 raise ValueError(
                     "fused_phi applies to the built-in RBF mode (kernel=None)."
                 )
         else:
             self._adaptive_slots = []
+            self._rbf_terms = None
         self._state = None
         self.stats = None
         self._build()
@@ -400,22 +428,38 @@ class ShardedSVGD:
                     coords_local, sources, model_params, scale_aux,
                     kparams, slot_mparams,
                 )
-                kernel_pure = self.kernel.kernel_pure
+                terms = self._rbf_terms
                 if cfg.phi_mode == "ring":
-                    from .ring import ring_phi_generic
+                    if terms is not None:
+                        from .ring import ring_phi_rbf_terms
 
-                    phi_local = ring_phi_generic(
-                        coords_local, scores_local, kernel_pure, kparams,
-                        axis, n_global, cfg.row_tile,
-                    )
+                        phi_local = ring_phi_rbf_terms(
+                            coords_local, scores_local, kparams, terms,
+                            axis, n_global,
+                        )
+                    else:
+                        from .ring import ring_phi_generic
+
+                        phi_local = ring_phi_generic(
+                            coords_local, scores_local,
+                            self.kernel.kernel_pure, kparams,
+                            axis, n_global, cfg.row_tile,
+                        )
                 else:
                     scores = jax.lax.all_gather(
                         scores_local, axis, tiled=True
                     )
-                    phi_local = phi_generic_cross(
-                        coords_local, sources, scores, kernel_pure, kparams,
-                        cfg.row_tile, axis_name=axis,
-                    )
+                    if terms is not None:
+                        phi_local = phi_rbf_terms_cross(
+                            coords_local, sources, scores, kparams, terms,
+                            cfg.row_tile, axis_name=axis,
+                        )
+                    else:
+                        phi_local = phi_generic_cross(
+                            coords_local, sources, scores,
+                            self.kernel.kernel_pure, kparams,
+                            cfg.row_tile, axis_name=axis,
+                        )
             elif cfg.fused_phi:
                 # ONE cross-shard sweep: phi with the previous step's
                 # verified median (lag-1, movement-bounded) + this step's

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from .core.exceptions import DimensionMismatchError, SVGD_LOG_PREFIX
 from .core.types import ParticleStore, as_store
+from .kernels.algebra import flatten_rbf_terms
 from .kernels.gaussian_rbf import GaussianRBFKernel, rbf_kernel_fn
 from .kernels.kernel import Kernel
 from .models.model import Model
@@ -34,6 +35,7 @@ from .ops.phi import (
     phi_generic,
     phi_rbf,
     phi_rbf_blocked,
+    phi_rbf_terms,
 )
 from .utils.logging import write_intermediate_matrices
 
@@ -188,6 +190,11 @@ class SVGD:
         # (slot_index, owning kernel) pairs whose inverse-scale parameter is
         # recomputed in-graph each step (incl. composed kernels' RBF slots).
         self._adaptive_slots = self.kernel.adaptive_slots()
+        # Algebraic flattening of `+ - * /` trees of pure RBF kernels
+        # (kernels/algebra.py): closed-form phi instead of the generic VJP.
+        self._rbf_terms = (
+            None if self._is_rbf else flatten_rbf_terms(self.kernel)
+        )
         impl = opts.phi_impl
         if self.log_intermediate_matrices:
             # The debug dump needs the explicit K / grad-K stacks, which only
@@ -195,7 +202,9 @@ class SVGD:
             # SVGD.hpp:346-358).
             impl = "generic"
         elif impl == "auto":
-            if not self._is_rbf:
+            if self._rbf_terms is not None:
+                impl = "rbf_terms"
+            elif not self._is_rbf:
                 impl = "generic"
             elif (
                 getattr(self.kernel, "scale_method", None)
@@ -215,6 +224,11 @@ class SVGD:
         ) and not self._is_rbf:
             raise ValueError(
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
+            )
+        if impl == "rbf_terms" and self._rbf_terms is None:
+            raise ValueError(
+                "phi_impl='rbf_terms' requires a `+ - * /` composition of "
+                "pure GaussianRBFKernels (see kernels/algebra.py)."
             )
         if impl in ("fused", "fused_pallas") and (
             getattr(self.kernel, "scale_method", None)
@@ -265,6 +279,10 @@ class SVGD:
             return phi_generic(
                 coords, scores, self.kernel.kernel_pure, kparams,
                 self.options.row_tile,
+            )
+        if self._phi_impl == "rbf_terms":
+            return phi_rbf_terms(
+                coords, scores, kparams, self._rbf_terms, self.options.row_tile
             )
         if self._phi_impl == "dense":
             return phi_rbf(coords, scores, kparams[0])

@@ -391,8 +391,10 @@ def test_sharded_generic_kernel_matches_driver(mesh, rng):
         mesh=mesh, kernel=kernel2,
         config=ShardedSVGDConfig(
             median_bins=1024, median_passes=4, row_tile=4, warm_start=False,
+            kernel_phi="generic",  # pin the VJP path (auto would flatten)
         ),
     )
+    assert sharded._rbf_terms is None
     out = np.asarray(sharded.run(x0.copy(), iters))
     np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-5)
 
@@ -410,6 +412,7 @@ def test_sharded_generic_ring_matches_gather(mesh, rng):
             config=ShardedSVGDConfig(
                 phi_mode=mode, median_bins=16, median_passes=10,
                 row_tile=4, warm_start=False,
+                kernel_phi="generic",  # pin the VJP path (auto would flatten)
             ),
         )
         results.append(np.asarray(sharded.run(x0.copy(), iters)))
