@@ -214,7 +214,8 @@ def make_blr_workload(particles, dim=50, n_data=1024, hierarchical=False):
     return np.asarray(features), np.asarray(labels), x0
 
 
-def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto"):
+def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
+              steps_per_call=100):
     """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
     import svgdcpp_tpu as sv
 
@@ -231,14 +232,15 @@ def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto"):
         )
     svgd = sv.SVGD(
         sv.SVGDOptions(
-            dimension=full_dim, num_iterations=10, coordinate_matrix=x0,
+            dimension=full_dim, num_iterations=steps_per_call,
+            coordinate_matrix=x0,
             kernel=kernel, model=model,
             optimizer=sv.Adam(full_dim, particles, 5e-2, 0.9, 0.999),
             phi_impl=phi_impl,
         )
     )
     svgd.initialize()
-    return particles * _timed_run(svgd, iters, 10)
+    return particles * _timed_run(svgd, iters, steps_per_call)
 
 
 def main():
@@ -247,6 +249,13 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
+    ap.add_argument(
+        "--steps-per-call", type=int, default=100,
+        help="scan-segment length; the reference's Run() is ONE call for the "
+        "whole run, so the default matches --iters (one device program per "
+        "measured run). Small segments re-pay the ~0.35 ms/call tunnel "
+        "dispatch (e.g. 10 -> 5.4M instead of 6.0M updates/s at N=10k)",
+    )
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
         "--config",
@@ -258,12 +267,16 @@ def main():
 
     if args.quick:
         args.particles, args.iters, args.baseline_iters = 2048, 20, 2
+    args.steps_per_call = min(args.steps_per_call, args.iters)
 
     if args.config == "blr":
         blr_n = 200 if args.quick else 1000
         blr_d = 10 if args.quick else 50
         features, labels, x0 = make_blr_workload(blr_n, dim=blr_d)
-        rate = bench_blr(x0, features, labels, args.iters, phi_impl=args.impl)
+        rate = bench_blr(
+            x0, features, labels, args.iters, phi_impl=args.impl,
+            steps_per_call=args.steps_per_call,
+        )
         vs = None
         if args.baseline_iters > 0:
             base = bench_numpy_blr_baseline(
@@ -285,7 +298,7 @@ def main():
         )
         rate = bench_blr(
             x0, features, labels, args.iters, hierarchical=True,
-            phi_impl=args.impl,
+            phi_impl=args.impl, steps_per_call=args.steps_per_call,
         )
         vs = None
         if args.baseline_iters > 0:
@@ -304,7 +317,10 @@ def main():
     dim = 2
     mean, cov, x0 = flagship_mvn(args.particles)
 
-    tpu_rate = bench_tpu(x0, mean, cov, args.iters, args.impl)
+    tpu_rate = bench_tpu(
+        x0, mean, cov, args.iters, args.impl,
+        steps_per_call=args.steps_per_call,
+    )
     if args.baseline_iters > 0:
         base_rate = bench_numpy_baseline(x0, mean, cov, args.baseline_iters)
         vs = round(tpu_rate / base_rate, 2)

@@ -599,18 +599,23 @@ def fused_median_from_counts(
     k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
     k2 = total // 2 + 1 if total % 2 == 0 else k1
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    # Ranks as f32 like every other selector here (kth_smallest_bisect,
+    # _refine_pair_in_bracket): a raw Python int rank overflows int32 weak
+    # typing once n^2/2 > 2^31 (n > ~65k, hit by the fused auto path).
+    k1f = jnp.asarray(k1, jnp.float32)
+    k2f = jnp.asarray(k2, jnp.float32)
     lo_sq = jnp.asarray(lo_sq, fdt)
     hi_sq = jnp.asarray(hi_sq, fdt)
     cum = counts
     valid = (
         jnp.asarray(initialized)
         & (hi_sq > lo_sq)
-        & (cum[0] < k1)
-        & (cum[-1] >= k2)
+        & (cum[0] < k1f)
+        & (cum[-1] >= k2f)
     )
     width = (hi_sq - lo_sq) / bins
-    b1 = jnp.argmax(cum[1:] >= k1)
-    b2 = jnp.argmax(cum[1:] >= k2)
+    b1 = jnp.argmax(cum[1:] >= k1f)
+    b2 = jnp.argmax(cum[1:] >= k2f)
     v1 = lo_sq + (b1.astype(fdt) + 0.5) * width
     v2 = lo_sq + (b2.astype(fdt) + 0.5) * width
 

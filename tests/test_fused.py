@@ -165,3 +165,40 @@ def test_auto_selects_fused_for_median_at_scale(rng):
             )
         )
         svgd3.initialize()
+
+
+def test_fused_median_from_counts_huge_total(rng):
+    """Rank comparisons must not overflow int32 weak typing when
+    n^2/2 > 2^31 (n > ~65k) — the fused auto path at N=100k+ (regression:
+    OverflowError at trace time). Counts are synthetic; no O(n^2) work."""
+    import jax
+
+    from svgdcpp_tpu.ops.median import fused_median_from_counts
+
+    n = 100_000
+    total = n * n  # 10^10; k1 = 5*10^9 > int32 max
+    k1 = total // 2
+    bins = 8
+    lo_sq, hi_sq = 1.0, 2.0
+    # Monotone cumulative counts at the 9 edges straddling k1 between
+    # edges 4 and 5 -> both middle ranks in bucket index 4.
+    cum = jnp.asarray(
+        [0.0, 1e9, 2e9, 3e9, 4e9, 6e9, 7e9, 8e9, float(total)], jnp.float32
+    )
+    called = []
+
+    def count_fn(thr):
+        called.append(True)
+        return jnp.full(thr.shape, float(total), jnp.float32)
+
+    med, lo_b, hi_b = jax.jit(
+        lambda c: fused_median_from_counts(
+            c, lo_sq, hi_sq, total, count_fn, 10.0, bins=bins,
+            initialized=jnp.asarray(True),
+        )
+    )(cum)
+    width = (hi_sq - lo_sq) / bins
+    expect = np.sqrt(lo_sq + 4.5 * width)  # midpoint of bucket 4
+    np.testing.assert_allclose(float(med), expect, rtol=1e-6)
+    assert float(lo_b) ** 2 <= lo_sq + 4 * width + 1e-6
+    assert float(hi_b) ** 2 >= lo_sq + 5 * width - 1e-6
