@@ -59,9 +59,23 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
     dim = 2
     mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
     model = sv.MultivariateNormal(mean, cov)
+    kernel = None
     if phi_mode == "fused":
         config = ShardedSVGDConfig(
             scale_method=sv.ScaleMethod.MEDIAN, fused_phi=True, row_tile=256,
+        )
+    elif phi_mode == "terms":
+        # Composed-kernel weak scaling on the algebraic closed-form path
+        # (RBF(median) + RBF(const) — the hier-bench kernel shape).
+        kernel = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(dim, dtype=np.float32),
+        )
+        config = ShardedSVGDConfig(
+            median_bins=16, median_passes=3, row_tile=256,
+            kernel_phi="rbf_terms",
         )
     else:
         config = ShardedSVGDConfig(
@@ -72,6 +86,7 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
         model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
         mesh=mesh,
         config=config,
+        kernel=kernel,
     )
     state = sharded.init_state(x0)
     out, _ = sharded.run_fn(state, ITERS)

@@ -96,6 +96,33 @@ for s_a, s_b in zip(
     )
 print(f"worker {pid}: ckpt OK", flush=True)
 
+# Ring mode across process boundaries: the ppermute rotation schedule and
+# the gather-free ring median must produce the SAME trajectory as the
+# gather run above (collectives ride the cross-process transport).
+ring = ShardedSVGD(
+    sv.MultivariateNormal(mean, cov),
+    sv.AdaGrad(dim, n, 0.1),
+    num_particles=n,
+    dimension=dim,
+    mesh=make_particle_mesh(),
+    config=ShardedSVGDConfig(
+        scale_method=sv.ScaleMethod.MEDIAN,
+        phi_mode="ring",
+        median_bins=16,
+        median_passes=10,
+        row_tile=4,
+        warm_start=False,
+    ),
+)
+rstate = ring.run_state(ring.init_state(x0), iters)
+for s_a, s_b in zip(
+    coords.addressable_shards, rstate["coords"].addressable_shards
+):
+    np.testing.assert_allclose(
+        np.asarray(s_a.data), np.asarray(s_b.data), rtol=1e-9, atol=1e-12
+    )
+print(f"worker {pid}: ring OK", flush=True)
+
 rows = []
 starts = []
 for shard in coords.addressable_shards:

@@ -54,6 +54,8 @@ def test_two_process_sharded_run(tmp_path):
         assert f"worker {pid}: OK" in out
         # cross-process checkpoint roundtrip resumed exactly
         assert f"worker {pid}: ckpt OK" in out
+        # ppermute ring schedule matched the gather trajectory
+        assert f"worker {pid}: ring OK" in out
 
     # Reassemble the global (16, 2) result from both processes' row shards.
     n, dim, iters = 16, 2, 3
