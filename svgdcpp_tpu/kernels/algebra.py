@@ -93,6 +93,44 @@ def flatten_rbf_terms(kernel, _offset: int = 0) -> Optional[List[Term]]:
     return out
 
 
+def fused_terms_eligible(terms, adaptive_slots, parameters) -> bool:
+    """True when a flattened term list can run the single-sweep fused path
+    (ops/phi.phi_rbf_terms_fused_counts + lag-1 median).
+
+    Requirements:
+      * at least one adaptive slot, and EVERY adaptive slot is
+        median-scaled (a median slot's value is a function of the shared
+        coords alone, so one lag-1 median serves all of them; Hessian
+        slots are anisotropic in general and would break the shared-sq
+        trick);
+      * every non-adaptive slot currently holds an ISOTROPIC matrix
+        (gamma * I) — each term's quadratic form then collapses to
+        gamma_t * ||x_i - x_j||^2 and all terms share one squared-distance
+        tile. Checked against the CONCRETE parameter values at driver
+        initialization; hot-swapping an anisotropic matrix into a running
+        fused-terms driver is rejected by the driver's re-validation.
+    """
+    import numpy as np
+
+    from .gaussian_rbf import GaussianRBFKernel
+
+    if terms is None or not adaptive_slots:
+        return False
+    adaptive_idx = set()
+    for idx, owner in adaptive_slots:
+        if owner.scale_method != GaussianRBFKernel.ScaleMethod.MEDIAN:
+            return False
+        adaptive_idx.add(idx)
+    for _, plist in terms:
+        for idx, _ in plist:
+            if idx in adaptive_idx:
+                continue
+            p = np.asarray(parameters[idx])
+            if p.ndim != 2 or not np.allclose(p, p[0, 0] * np.eye(p.shape[0])):
+                return False
+    return True
+
+
 def term_is_psd(term: Term) -> bool:
     """True when the term's effective precision is a nonnegative combination
     of (PSD) leaf parameters — lets the phi tile pass clamp the quadratic

@@ -334,6 +334,126 @@ def phi_rbf_terms(
     return phi_rbf_terms_cross(coords, coords, scores, kernel_params, terms, row_tile)
 
 
+def phi_rbf_terms_fused_counts(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    gammas,
+    signs,
+    thresholds_sq: jnp.ndarray,
+    row_tile: int = 1024,
+):
+    """ONE O(n^2) sweep for a flattened ISOTROPIC composed-RBF kernel:
+    phi of the signed term sum AND the median-selection counts.
+
+    ``gammas``/``signs`` come from the driver's algebraic flattening
+    (kernels/algebra.py) restricted to isotropic terms: term t's quadratic
+    form is gamma_t * ||x_i - x_j||^2, so every term shares ONE squared
+    -distance tile. Per tile the pass combines
+
+        k_c = sum_t sign_t exp(-gamma_t sq)            (for K S)
+        w   = sum_t sign_t gamma_t exp(-gamma_t sq)    (for the grad part)
+
+    and phi = (k_c S - 2 (w X - (w 1) * X)) / n — two MXU contractions
+    totalling the same columns as the single-term fused op. Counts are the
+    same selection counts as :func:`phi_rbf_fused_counts` (lag-1 median,
+    reference GaussianRBFKernel.hpp:66 n^2-including-self-zeros semantics).
+    A negative combined gamma (division terms) needs no clamp handling: the
+    shared sq is a true distance, always >= 0.
+
+    Returns (phi (n, m), counts (E,) f32).
+    """
+    from .pairwise import auto_row_tile
+
+    center = jnp.mean(coords, axis=0)
+    coords = coords - center
+
+    n, m = coords.shape
+    row_tile = auto_row_tile(n, row_tile)
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    gammas = [jnp.asarray(g, coords.dtype) for g in gammas]
+    signs = [float(s) for s in signs]
+    n_thresh = thresholds_sq.shape[0]
+
+    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
+    xs1 = jnp.concatenate(
+        [coords, jnp.ones((n, 1), coords.dtype)], axis=1
+    )  # (n, m+1)
+    q = jnp.sum(coords * coords, axis=1)
+    q_pad = jnp.pad(q, (0, pad))
+    diff_form = m <= 4
+
+    def _counts(sq, t):
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n), 0) + t * row_tile
+        )
+        valid = row_ids < n
+        return jnp.sum(
+            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
+            axis=(1, 2),
+            dtype=jnp.float32,
+        )
+
+    def _combine(sq):
+        k_c = None
+        w = None
+        for s, g in zip(signs, gammas):
+            k_t = jnp.exp(-g * sq)
+            k_term = s * k_t
+            w_term = (s * g) * k_t
+            k_c = k_term if k_c is None else k_c + k_term
+            w = w_term if w is None else w + w_term
+        return k_c, w
+
+    if diff_form:
+
+        def tile_body(t, carry):
+            acc, counts = carry
+            rows = jax.lax.dynamic_slice_in_dim(
+                coords_pad, t * row_tile, row_tile, 0
+            )
+            diffs = [rows[:, a, None] - coords[None, :, a] for a in range(m)]
+            sq = jnp.zeros((row_tile, n), rows.dtype)
+            for a in range(m):
+                sq = sq + diffs[a] * diffs[a]
+            k_c, w = _combine(sq)
+            ks = k_c @ scores  # MXU
+            t_vec = jnp.stack(
+                [jnp.sum(w * diffs[a], axis=1) for a in range(m)], axis=1
+            )
+            phi_tile = ks + 2.0 * t_vec
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, phi_tile, t * row_tile, 0
+            )
+            return acc, counts + _counts(sq, t)
+
+        acc0 = jnp.zeros((num_tiles * row_tile, m), coords.dtype)
+        counts0 = jnp.zeros(n_thresh, jnp.float32)
+        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+        return acc[:n] / n, counts
+
+    def tile_body(t, carry):
+        acc, counts = carry
+        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
+        gram = rows @ coords.T  # MXU
+        sq = jnp.maximum(q_rows[:, None] + q[None, :] - 2.0 * gram, 0.0)
+        k_c, w = _combine(sq)
+        a_tile = jnp.concatenate([k_c @ scores, w @ xs1], axis=1)  # MXU x2
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
+        return acc, counts + _counts(sq, t)
+
+    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
+    counts0 = jnp.zeros(n_thresh, jnp.float32)
+    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+    a = acc[:n]
+    ks = a[:, :m]
+    wx = a[:, m : 2 * m]
+    w_rowsum = a[:, 2 * m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords)) / n
+    return phi, counts
+
+
 # ----------------------------------------------------------------------
 # Fused phi + median-count sweep (isotropic RBF)
 # ----------------------------------------------------------------------

@@ -203,7 +203,20 @@ class SVGD:
             impl = "generic"
         elif impl == "auto":
             if self._rbf_terms is not None:
-                impl = "rbf_terms"
+                from .kernels.algebra import fused_terms_eligible
+
+                if (
+                    self.num_particles > DENSE_PHI_MAX_PARTICLES
+                    and fused_terms_eligible(
+                        self._rbf_terms, self._adaptive_slots,
+                        self.kernel.parameters,
+                    )
+                ):
+                    # Isotropic composed median kernel at scale: ONE shared
+                    # -sq sweep for all terms + in-sweep median counts.
+                    impl = "fused_terms"
+                else:
+                    impl = "rbf_terms"
             elif not self._is_rbf:
                 impl = "generic"
             elif (
@@ -225,11 +238,22 @@ class SVGD:
             raise ValueError(
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
             )
-        if impl == "rbf_terms" and self._rbf_terms is None:
+        if impl in ("rbf_terms", "fused_terms") and self._rbf_terms is None:
             raise ValueError(
-                "phi_impl='rbf_terms' requires a `+ - * /` composition of "
+                f"phi_impl={impl!r} requires a `+ - * /` composition of "
                 "pure GaussianRBFKernels (see kernels/algebra.py)."
             )
+        if impl == "fused_terms":
+            from .kernels.algebra import fused_terms_eligible
+
+            if not fused_terms_eligible(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            ):
+                raise ValueError(
+                    "phi_impl='fused_terms' requires every adaptive slot to "
+                    "be median-scaled and every constant slot isotropic "
+                    "(gamma * I); use 'rbf_terms' for the general case."
+                )
         if impl in ("fused", "fused_pallas") and (
             getattr(self.kernel, "scale_method", None)
             != GaussianRBFKernel.ScaleMethod.MEDIAN
@@ -338,9 +362,13 @@ class SVGD:
                 jnp.clip(it, 0, annealing_arr.shape[0] - 1)
             ]
 
-        fused = self._phi_impl in ("fused", "fused_pallas")
+        fused = self._phi_impl in ("fused", "fused_pallas", "fused_terms")
         fused_pallas = self._phi_impl == "fused_pallas"
+        fused_terms = self._phi_impl == "fused_terms"
         fused_bins = 8  # same one-pass refinement as warm_median_select
+        if fused_terms:
+            median_slot_idx = [idx for idx, _ in self._adaptive_slots]
+            term_signs = [s for s, _ in self._rbf_terms]
 
         def step_fn(state, _=None):
             coords = state["coords"]
@@ -364,14 +392,39 @@ class SVGD:
                 gamma = (jnp.log(float(n)) / (aux["med"] * aux["med"])).astype(
                     coords.dtype
                 )
-                kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
+                if fused_terms:
+                    # Refill every (median) adaptive slot with the lag-1
+                    # scale; constant slots keep their state values. Each
+                    # term's effective isotropic gamma is the signed sum of
+                    # its slots' gamma = P[0, 0] (isotropy proven at init).
+                    kparams = list(state["kernel_params"])
+                    med_scale = gamma * jnp.eye(m, dtype=coords.dtype)
+                    for idx in median_slot_idx:
+                        kparams[idx] = med_scale
+                    kparams = tuple(kparams)
+                    gammas = [
+                        sum(
+                            float(psign) * kparams[idx][0, 0]
+                            for idx, psign in plist
+                        )
+                        for _, plist in self._rbf_terms
+                    ]
+                else:
+                    kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
                 pad_d = 2.0 * aux["disp"] + 1e-12
                 lo_d = jnp.maximum(aux["lo"] - pad_d, 0.0)
                 hi_d = aux["hi"] + pad_d
                 lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
                 edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
                 thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
-                if fused_pallas:
+                if fused_terms:
+                    from .ops.phi import phi_rbf_terms_fused_counts
+
+                    phi, counts = phi_rbf_terms_fused_counts(
+                        coords, scores, gammas, term_signs, thresholds,
+                        self.options.row_tile,
+                    )
+                elif fused_pallas:
                     from .ops.pallas_phi import phi_rbf_fused_pallas
 
                     phi, counts = phi_rbf_fused_pallas(
@@ -532,6 +585,22 @@ class SVGD:
             # {med, lo, hi, disp}: exact/hybrid median of the INITIAL
             # positions seeds the lag-1 fused pipeline.
             return (self.kernel.init_fused_aux(coords),)
+        if self._phi_impl == "fused_terms":
+            # Composed kernel: same lag-1 seed, computed directly (the root
+            # Kernel has no init_fused_aux — only RBF leaves do).
+            from .ops.median import pairwise_distance_median
+
+            med = pairwise_distance_median(coords, "auto")
+            fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            med = jnp.asarray(med, fdt)
+            return (
+                {
+                    "med": med,
+                    "lo": med * (1.0 - 1e-3),
+                    "hi": med * (1.0 + 1e-3),
+                    "disp": jnp.asarray(0.0, fdt),
+                },
+            )
         return tuple(
             owner.init_scale_aux(coords)
             if hasattr(owner, "init_scale_aux")
@@ -620,6 +689,20 @@ class SVGD:
     def update_kernel_parameters(self, params):
         self.kernel.update_parameters(params)
         self.kernel.initialize()
+        if self._phi_impl == "fused_terms":
+            # The fused-terms sweep reads each constant slot as gamma =
+            # P[0, 0] (isotropy was proven at initialize()); an anisotropic
+            # swap would be silently truncated — reject it instead.
+            from .kernels.algebra import fused_terms_eligible
+
+            if not fused_terms_eligible(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            ):
+                raise ValueError(
+                    "phi_impl='fused_terms' requires isotropic constant "
+                    "slots; the swapped parameters are anisotropic. Rebuild "
+                    "with phi_impl='rbf_terms' for anisotropic compositions."
+                )
 
     def update_model_parameters(self, params):
         self.model.update_parameters(params)

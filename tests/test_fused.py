@@ -202,3 +202,122 @@ def test_fused_median_from_counts_huge_total(rng):
     np.testing.assert_allclose(float(med), expect, rtol=1e-6)
     assert float(lo_b) ** 2 <= lo_sq + 4 * width + 1e-6
     assert float(hi_b) ** 2 >= lo_sq + 5 * width - 1e-6
+
+
+# ----------------------------------------------------------------------
+# Fused multi-term sweep (phi_impl='fused_terms', composed isotropic RBFs)
+# ----------------------------------------------------------------------
+
+
+def _hier_kernel(x0, model, const_gamma=0.1, anisotropic=False):
+    dim = x0.shape[1]
+    p = const_gamma * np.eye(dim)
+    if anisotropic:
+        p = p + 0.03 * (np.ones((dim, dim)) - np.eye(dim))
+    return sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(x0, sv.ScaleMethod.CONSTANT, constant_scale=p)
+
+
+def _composed_svgd(x0, impl, iters, anisotropic=False, lr=0.1):
+    n, dim = x0.shape
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=_hier_kernel(x0, model, anisotropic=anisotropic),
+            model=model, optimizer=sv.AdaGrad(dim, n, lr),
+            phi_impl=impl,
+        )
+    )
+    svgd.initialize()
+    return svgd
+
+
+@pytest.mark.parametrize("m", [2, 7])
+def test_fused_terms_op_matches_term_sweeps(rng, m):
+    """phi == signed sum of per-term closed-form sweeps; counts ==
+    count_le_cross — both diff-form (m<=4) and Gram-form (m>4) branches."""
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms, phi_rbf_terms_fused_counts
+
+    n = 60
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 2.0)  # off-origin
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    gammas = [0.7, 0.05]
+    signs = [1, -1]
+    # Edges start above the f32 Gram-identity noise floor: at exactly 0.0
+    # the diff-form branch counts the n exact self-zeros while the
+    # Gram-form oracle's self-distances carry ~1e-6 rounding noise.
+    thresholds = jnp.asarray(np.linspace(0.5, 40.0, 9))
+
+    phi, counts = phi_rbf_terms_fused_counts(
+        coords, scores, gammas, signs, thresholds, row_tile=16
+    )
+    # reference: two independent closed-form term sweeps with sign
+    kparams = tuple(g * jnp.eye(m) for g in gammas)
+    terms = [(signs[t], ((t, 1),)) for t in range(2)]
+    expect = phi_rbf_terms(coords, scores, kparams, terms, row_tile=16)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(expect), rtol=1e-10)
+    centered = coords - jnp.mean(coords, axis=0)
+    expect_counts = count_le_cross(centered, centered, thresholds, row_tile=16)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(expect_counts))
+
+
+def test_fused_terms_auto_selection_and_eligibility(rng):
+    x0 = rng.normal(size=(1100, 2))
+    assert _composed_svgd(x0, "auto", 1)._phi_impl == "fused_terms"
+    # anisotropic constant slot -> shared-sq trick unavailable
+    assert (
+        _composed_svgd(x0, "auto", 1, anisotropic=True)._phi_impl
+        == "rbf_terms"
+    )
+    with pytest.raises(ValueError, match="fused_terms"):
+        _composed_svgd(x0, "fused_terms", 1, anisotropic=True)
+    # small n: plain term sweeps (no fused machinery below dense threshold)
+    assert _composed_svgd(rng.normal(size=(64, 2)), "auto", 1)._phi_impl == "rbf_terms"
+
+
+def test_fused_terms_median_tracks_exact(rng):
+    """The lag-1 fused median stays within the movement bound of the exact
+    median of the PREVIOUS coordinates, step by step."""
+    n, dim, iters = 1100, 2, 8
+    x0 = rng.normal(size=(n, dim)) * 2
+    svgd = _composed_svgd(x0, "fused_terms", 1)
+    prev_coords = x0.copy()
+    for _ in range(iters):
+        svgd.options.num_iterations = 1
+        cur = np.asarray(svgd.run())
+        med = float(svgd._scale_aux[0]["med"])
+        exact_prev = float(
+            pairwise_distance_median_exact(jnp.asarray(prev_coords))
+        )
+        disp = np.sqrt(((cur - prev_coords) ** 2).sum(1)).max()
+        assert abs(med - exact_prev) <= 2 * disp + 2e-3 * exact_prev + 1e-9
+        prev_coords = cur
+
+
+def test_fused_terms_posterior_matches_rbf_terms(rng):
+    """Lag-1 bandwidth on the composed kernel: posterior moments match the
+    exact-every-step term-sweep path within MC slop."""
+    n, dim, iters = 1100, 2, 120
+    x0 = rng.normal(size=(n, dim)) * 3 + 1.0
+    fused = np.asarray(_composed_svgd(x0, "fused_terms", iters).run())
+    exact = np.asarray(_composed_svgd(x0, "rbf_terms", iters).run())
+    np.testing.assert_allclose(fused.mean(0), exact.mean(0), atol=5e-2)
+    np.testing.assert_allclose(np.cov(fused.T), np.cov(exact.T), atol=5e-2)
+
+
+def test_fused_terms_hot_swap_validation(rng):
+    """Isotropic swaps keep running; an anisotropic swap is rejected
+    (the sweep reads constant slots as gamma = P[0, 0])."""
+    x0 = rng.normal(size=(1100, 2))
+    svgd = _composed_svgd(x0, "fused_terms", 2)
+    svgd.run()
+    params = [np.asarray(p) for p in svgd.kernel.parameters]
+    params[1] = 0.2 * np.eye(2)
+    svgd.update_kernel_parameters(params)  # isotropic: fine
+    svgd.run()
+    bad = [np.asarray(p) for p in svgd.kernel.parameters]
+    bad[1] = np.array([[0.2, 0.1], [0.1, 0.2]])
+    with pytest.raises(ValueError, match="isotropic"):
+        svgd.update_kernel_parameters(bad)
