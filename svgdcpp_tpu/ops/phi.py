@@ -334,6 +334,127 @@ def phi_rbf_terms(
     return phi_rbf_terms_cross(coords, coords, scores, kernel_params, terms, row_tile)
 
 
+def phi_rbf_terms_cross_fused_counts(
+    targets: jnp.ndarray,
+    sources: jnp.ndarray,
+    source_scores: jnp.ndarray,
+    gammas,
+    signs,
+    thresholds_sq: jnp.ndarray,
+    row_tile: int = 1024,
+    axis_name=None,
+):
+    """Cross (sharded) form of :func:`phi_rbf_terms_fused_counts`.
+
+    ``targets`` is a local row shard, ``sources`` the all-gathered global
+    set; the returned counts cover this shard's disjoint row-band of the
+    global n x n pair matrix — psum them over the mesh axis (see
+    :func:`phi_rbf_cross_fused_counts` for the single-term contract).
+
+    Returns (phi_local (n_t, m) normalized by n_src, counts (E,) f32).
+    """
+    from .pairwise import auto_row_tile
+
+    center = jnp.mean(sources, axis=0)
+    targets = targets - center
+    sources = sources - center
+
+    n_t, m = targets.shape
+    n_s = sources.shape[0]
+    row_tile = auto_row_tile(n_s, row_tile)
+    num_tiles = -(-n_t // row_tile)
+    pad = num_tiles * row_tile - n_t
+    gammas = [jnp.asarray(g, targets.dtype) for g in gammas]
+    signs = [float(s) for s in signs]
+    thresholds_sq = jnp.asarray(thresholds_sq, targets.dtype)
+    n_thresh = thresholds_sq.shape[0]
+
+    targets_pad = jnp.pad(targets, ((0, pad), (0, 0)))
+    xs1 = jnp.concatenate(
+        [sources, jnp.ones((n_s, 1), sources.dtype)], axis=1
+    )
+    q_src = jnp.sum(sources * sources, axis=1)
+    q_tgt_pad = jnp.pad(jnp.sum(targets * targets, axis=1), (0, pad))
+    diff_form = m <= 4
+
+    def _counts(sq, t):
+        row_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n_s), 0)
+            + t * row_tile
+        )
+        valid = row_ids < n_t
+        return jnp.sum(
+            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
+            axis=(1, 2),
+            dtype=jnp.float32,
+        )
+
+    def _combine(sq):
+        k_c = None
+        w = None
+        for s, g in zip(signs, gammas):
+            k_t = jnp.exp(-g * sq)
+            k_term = s * k_t
+            w_term = (s * g) * k_t
+            k_c = k_term if k_c is None else k_c + k_term
+            w = w_term if w is None else w + w_term
+        return k_c, w
+
+    if diff_form:
+
+        def tile_body(t, carry):
+            acc, counts = carry
+            rows = jax.lax.dynamic_slice_in_dim(
+                targets_pad, t * row_tile, row_tile, 0
+            )
+            diffs = [rows[:, a, None] - sources[None, :, a] for a in range(m)]
+            sq = jnp.zeros((row_tile, n_s), rows.dtype)
+            for a in range(m):
+                sq = sq + diffs[a] * diffs[a]
+            k_c, w = _combine(sq)
+            ks = k_c @ source_scores
+            t_vec = jnp.stack(
+                [jnp.sum(w * diffs[a], axis=1) for a in range(m)], axis=1
+            )
+            phi_tile = ks + 2.0 * t_vec
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, phi_tile, t * row_tile, 0
+            )
+            return acc, counts + _counts(sq, t)
+
+        acc0 = jnp.zeros((num_tiles * row_tile, m), targets.dtype)
+        counts0 = jnp.zeros(n_thresh, jnp.float32)
+        if axis_name is not None:
+            acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+            counts0 = jax.lax.pcast(counts0, (axis_name,), to="varying")
+        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+        return acc[:n_t] / n_s, counts
+
+    def tile_body(t, carry):
+        acc, counts = carry
+        rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
+        q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
+        gram = rows @ sources.T  # MXU
+        sq = jnp.maximum(q_rows[:, None] + q_src[None, :] - 2.0 * gram, 0.0)
+        k_c, w = _combine(sq)
+        a_tile = jnp.concatenate([k_c @ source_scores, w @ xs1], axis=1)
+        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
+        return acc, counts + _counts(sq, t)
+
+    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), targets.dtype)
+    counts0 = jnp.zeros(n_thresh, jnp.float32)
+    if axis_name is not None:
+        acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+        counts0 = jax.lax.pcast(counts0, (axis_name,), to="varying")
+    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
+    a = acc[:n_t]
+    ks = a[:, :m]
+    wx = a[:, m : 2 * m]
+    w_rowsum = a[:, 2 * m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * targets)) / n_s
+    return phi, counts
+
+
 def phi_rbf_terms_fused_counts(
     coords: jnp.ndarray,
     scores: jnp.ndarray,

@@ -151,7 +151,10 @@ class ShardedSVGDConfig:
     #: ONE cross-shard O(n^2/D) sweep per step: each local tile feeds both
     #: the phi contraction and the (psum'ed) median-selection counts; the
     #: scale lags one step within the movement bound (the sharded mirror of
-    #: the driver's phi_impl='fused'). Gather mode + MEDIAN only.
+    #: the driver's phi_impl='fused'). Gather mode + MEDIAN only. With a
+    #: composed kernel this is the 'fused_terms' mirror: allowed when the
+    #: kernel flattens to isotropic terms whose adaptive slots are all
+    #: median-scaled (kernels/algebra.fused_terms_eligible).
     fused_phi: bool = False
     #: Composed-kernel phi path (only used with kernel=<Kernel>):
     #: 'auto' = algebraic closed-form terms when the kernel is a `+ - * /`
@@ -245,9 +248,22 @@ class ShardedSVGD:
                     "of pure GaussianRBFKernels (see kernels/algebra.py)."
                 )
             if self.config.fused_phi:
-                raise ValueError(
-                    "fused_phi applies to the built-in RBF mode (kernel=None)."
-                )
+                # Composed-kernel fused mode (the sharded mirror of the
+                # driver's phi_impl='fused_terms'): every term must collapse
+                # to an isotropic gamma_t * sq so one cross-shard sq sweep
+                # serves all terms + the median counts.
+                from ..kernels.algebra import fused_terms_eligible
+
+                if not fused_terms_eligible(
+                    self._rbf_terms, self._adaptive_slots, kernel.parameters
+                ):
+                    raise ValueError(
+                        "fused_phi with a kernel requires a `+ - * /` tree "
+                        "of pure RBFs whose adaptive slots are all median-"
+                        "scaled and whose constant slots are isotropic "
+                        "(gamma * I); use kernel_phi='rbf_terms'/'generic' "
+                        "for the general case."
+                    )
         else:
             self._adaptive_slots = []
             self._rbf_terms = None
@@ -291,6 +307,11 @@ class ShardedSVGD:
             None if cfg.upper_bound is None else jnp.asarray(cfg.upper_bound)
         )
 
+        fused_terms = generic and cfg.fused_phi
+        if fused_terms:
+            median_slot_idx = [idx for idx, _ in slots]
+            term_signs = [s for s, _ in self._rbf_terms]
+            fused_term_plists = [plist for _, plist in self._rbf_terms]
         has_median = (
             any(o.scale_method == ScaleMethod.MEDIAN for _, o in slots)
             if generic
@@ -423,7 +444,7 @@ class ShardedSVGD:
                 # One gather shared by bandwidth + phi.
                 sources = jax.lax.all_gather(coords_local, axis, tiled=True)
 
-            if generic:
+            if generic and not fused_terms:
                 kparams, _, scale_aux = _slot_scales(
                     coords_local, sources, model_params, scale_aux,
                     kparams, slot_mparams,
@@ -463,18 +484,43 @@ class ShardedSVGD:
             elif cfg.fused_phi:
                 # ONE cross-shard sweep: phi with the previous step's
                 # verified median (lag-1, movement-bounded) + this step's
-                # psum'ed selection counts (driver phi_impl='fused' mirror).
+                # psum'ed selection counts (driver phi_impl='fused' /
+                # 'fused_terms' mirror).
                 from ..ops.median import fused_median_from_counts
-                from ..ops.phi import phi_rbf_cross_fused_counts
+                from ..ops.phi import (
+                    phi_rbf_cross_fused_counts,
+                    phi_rbf_terms_cross_fused_counts,
+                )
 
                 lo_b, hi_b, disp_a, med = scale_aux
                 fdt = med.dtype
                 gamma = (
                     jnp.log(float(n_global)) / (med * med)
                 ).astype(coords_local.dtype)
-                kparams = (
-                    gamma * jnp.eye(self.dimension, dtype=coords_local.dtype),
-                )
+                if fused_terms:
+                    # Refill the (median) adaptive slots with the lag-1
+                    # scale; each term's effective isotropic gamma is the
+                    # signed sum of its slots' P[0, 0] (isotropy proven at
+                    # construction).
+                    kparams = list(kparams)
+                    med_scale = gamma * jnp.eye(
+                        self.dimension, dtype=coords_local.dtype
+                    )
+                    for idx in median_slot_idx:
+                        kparams[idx] = med_scale
+                    kparams = tuple(kparams)
+                    gammas = [
+                        sum(
+                            float(psign) * kparams[idx][0, 0]
+                            for idx, psign in plist
+                        )
+                        for plist in fused_term_plists
+                    ]
+                else:
+                    kparams = (
+                        gamma
+                        * jnp.eye(self.dimension, dtype=coords_local.dtype),
+                    )
                 pad_d = 2.0 * disp_a + 1e-12
                 lo_d = jnp.maximum(lo_b - pad_d, 0.0)
                 hi_d = hi_b + pad_d
@@ -483,10 +529,16 @@ class ShardedSVGD:
                 edges = jnp.arange(0, fbins + 1, dtype=fdt)
                 thresholds = lo_sq + (hi_sq - lo_sq) * edges / fbins
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-                phi_local, counts_local = phi_rbf_cross_fused_counts(
-                    coords_local, sources, scores, gamma, thresholds,
-                    cfg.row_tile, axis_name=axis,
-                )
+                if fused_terms:
+                    phi_local, counts_local = phi_rbf_terms_cross_fused_counts(
+                        coords_local, sources, scores, gammas, term_signs,
+                        thresholds, cfg.row_tile, axis_name=axis,
+                    )
+                else:
+                    phi_local, counts_local = phi_rbf_cross_fused_counts(
+                        coords_local, sources, scores, gamma, thresholds,
+                        cfg.row_tile, axis_name=axis,
+                    )
                 counts = jax.lax.psum(counts_local, axis)
                 center = jax.lax.psum(
                     jnp.sum(coords_local, axis=0), axis

@@ -321,3 +321,47 @@ def test_fused_terms_hot_swap_validation(rng):
     bad[1] = np.array([[0.2, 0.1], [0.1, 0.2]])
     with pytest.raises(ValueError, match="isotropic"):
         svgd.update_kernel_parameters(bad)
+
+
+def test_sharded_fused_terms_matches_driver(rng):
+    """ShardedSVGDConfig(fused_phi=True) with a composed kernel == the
+    single-chip driver's phi_impl='fused_terms' trajectory (same lag-1
+    median semantics, same initial exact-median seed)."""
+    from svgdcpp_tpu.parallel import (
+        ShardedSVGD,
+        ShardedSVGDConfig,
+        make_particle_mesh,
+    )
+
+    n, dim, iters = 32, 2, 6
+    x0 = rng.normal(size=(n, dim)) * 2
+    single = np.asarray(_composed_svgd(x0, "fused_terms", iters).run())
+
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=make_particle_mesh(),
+        kernel=_hier_kernel(x0, model),
+        config=ShardedSVGDConfig(fused_phi=True, row_tile=4),
+    )
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_fused_terms_rejects_anisotropic(rng):
+    from svgdcpp_tpu.parallel import (
+        ShardedSVGD,
+        ShardedSVGDConfig,
+        make_particle_mesh,
+    )
+
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim))
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    with pytest.raises(ValueError, match="isotropic"):
+        ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+            mesh=make_particle_mesh(),
+            kernel=_hier_kernel(x0, model, anisotropic=True),
+            config=ShardedSVGDConfig(fused_phi=True, row_tile=4),
+        )
