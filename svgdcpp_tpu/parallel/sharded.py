@@ -156,6 +156,9 @@ class ShardedSVGDConfig:
     #: kernel flattens to isotropic terms whose adaptive slots are all
     #: median-scaled (kernels/algebra.fused_terms_eligible).
     fused_phi: bool = False
+    #: Median-selection bins per fused sweep (see SVGDOptions.fused_bins —
+    #: fewer bins = cheaper per-pair compares, coarser per-pass refinement).
+    fused_bins: int = 3
     #: Composed-kernel phi path (only used with kernel=<Kernel>):
     #: 'auto' = algebraic closed-form terms when the kernel is a `+ - * /`
     #: tree of pure RBFs (kernels/algebra.py), generic VJP otherwise;
@@ -525,7 +528,7 @@ class ShardedSVGD:
                 lo_d = jnp.maximum(lo_b - pad_d, 0.0)
                 hi_d = hi_b + pad_d
                 lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
-                fbins = 8
+                fbins = int(cfg.fused_bins)
                 edges = jnp.arange(0, fbins + 1, dtype=fdt)
                 thresholds = lo_sq + (hi_sq - lo_sq) * edges / fbins
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
