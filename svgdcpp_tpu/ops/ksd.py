@@ -31,6 +31,7 @@ def ksd_squared_rbf(
     p_matrix: jnp.ndarray,
     row_tile: int = 1024,
     ustat: bool = False,
+    psd: bool = True,
 ) -> jnp.ndarray:
     """Squared KSD for the RBF kernel, tile-streamed.
 
@@ -69,7 +70,9 @@ def ksd_squared_rbf(
             for b in range(a, m):
                 w = p_sym[a, b] if a != b else p_matrix[a, a]
                 quad = quad + w * diffs[a] * diffs[b]
-        k = jnp.exp(-jnp.maximum(quad, 0.0))
+        if psd:
+            quad = jnp.maximum(quad, 0.0)
+        k = jnp.exp(-quad)
 
         # s(x_i)^T s(x_j) * k
         ss = s_i @ scores.T
@@ -98,12 +101,49 @@ def ksd_squared_rbf(
     return total / (n * n)
 
 
+def ksd_squared_rbf_terms(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    kernel_params,
+    terms,
+    row_tile: int = 1024,
+    ustat: bool = False,
+) -> jnp.ndarray:
+    """Squared KSD for a composed kernel flattened to signed RBF terms.
+
+    The Stein kernel u_p is LINEAR in k (every term is k or a derivative of
+    k), so the composed kernel's KSD^2 is the signed sum of each algebraic
+    term's closed-form RBF KSD^2 (kernels/algebra.py flattening; effective
+    P = signed sum of parameter slots). Division terms carry an indefinite
+    effective P, so their quadratic-form clamp is skipped (psd=False), like
+    the phi path.
+    """
+    from ..kernels.algebra import term_is_psd
+
+    total = None
+    for term in terms:
+        sign, plist = term
+        p = None
+        for idx, psign in plist:
+            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
+            p = contrib if p is None else p + contrib
+        t_ksd2 = ksd_squared_rbf(
+            coords, scores, p, row_tile, ustat=ustat, psd=term_is_psd(term)
+        )
+        t_ksd2 = t_ksd2 if sign > 0 else -t_ksd2
+        total = t_ksd2 if total is None else total + t_ksd2
+    return total
+
+
 def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
-            ustat: bool = True):
+            ustat: bool = True, kernel=None):
     """Convenience: KSD of a particle set against a model's target density.
 
     Uses the model's score and, when ``p_matrix`` is None, the median
-    bandwidth (like the SVGD run itself).
+    bandwidth (like the SVGD run itself). Pass ``kernel=<composed Kernel>``
+    to evaluate the KSD under a `+ - * /` tree of pure RBF kernels (its
+    current parameter values are used; raises if the tree does not flatten
+    — see kernels/algebra.py).
     """
     from ..kernels.gaussian_rbf import median_scale
 
@@ -111,6 +151,20 @@ def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
     scores = jax.vmap(
         lambda x: jax.grad(model.log_density_pure)(x, tuple(model.parameters))
     )(coords)
+    if kernel is not None:
+        from ..kernels.algebra import flatten_rbf_terms
+
+        terms = flatten_rbf_terms(kernel)
+        if terms is None:
+            raise ValueError(
+                "ksd_rbf(kernel=...) requires a `+ - * /` composition of "
+                "pure GaussianRBFKernels (see kernels/algebra.py)."
+            )
+        ksd2 = ksd_squared_rbf_terms(
+            coords, scores, tuple(kernel.parameters), terms, row_tile,
+            ustat=ustat,
+        )
+        return jnp.sqrt(jnp.maximum(ksd2, 0.0))
     if p_matrix is None:
         p_matrix = median_scale(coords)
     ksd2 = ksd_squared_rbf(coords, scores, p_matrix, row_tile, ustat=ustat)

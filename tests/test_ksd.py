@@ -66,3 +66,83 @@ def test_ksd_decreases_along_svgd(rng):
     # finite-n particles keep a residual KSD; a converged run shrinks it
     # several-fold (measured ~4x at n=64 after 200 iters)
     assert ksd_after < 0.4 * ksd_before, (ksd_before, ksd_after)
+
+
+def test_ksd_terms_matches_autodiff_oracle(rng):
+    """Composed-kernel KSD (signed sum of per-term closed forms) == the
+    autodiff Stein-kernel oracle through the composed kernel function."""
+    from svgdcpp_tpu.kernels.algebra import flatten_rbf_terms
+    from svgdcpp_tpu.ops.ksd import ksd_squared_rbf_terms
+
+    n, m = 12, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)))
+    mean = jnp.zeros(m)
+    cov_inv = jnp.asarray(np.linalg.inv(np.eye(m) + 0.3))
+    s_fn = lambda x: -cov_inv @ (x - mean)
+    scores = jax.vmap(s_fn)(coords)
+
+    p1 = jnp.asarray(np.array([[0.7, 0.1], [0.1, 0.5]]))
+    p2 = jnp.asarray(0.1 * np.eye(m))
+    x0 = np.asarray(coords)
+    k_a = sv.GaussianRBFKernel(x0, sv.ScaleMethod.CONSTANT, constant_scale=p1)
+    k_b = sv.GaussianRBFKernel(x0, sv.ScaleMethod.CONSTANT, constant_scale=p2)
+    # product/division exercise the collapsed and indefinite-P branches
+    kernel = (k_a + k_b) / k_b
+    terms = flatten_rbf_terms(kernel)
+    assert terms is not None
+
+    closed = float(
+        ksd_squared_rbf_terms(
+            coords, scores, kernel.parameters, terms, row_tile=4
+        )
+    )
+
+    def k_composed(a, b):
+        ka = jnp.exp(-(a - b) @ p1 @ (a - b))
+        kb = jnp.exp(-(a - b) @ p2 @ (a - b))
+        return (ka + kb) / kb
+
+    def u_p(x, y):
+        gx = jax.grad(k_composed, 0)
+        gy = jax.grad(k_composed, 1)
+        hxy = jax.jacfwd(gy, 0)(x, y)
+        return (
+            s_fn(x) @ s_fn(y) * k_composed(x, y)
+            + s_fn(x) @ gy(x, y)
+            + gx(x, y) @ s_fn(y)
+            + jnp.trace(hxy)
+        )
+
+    oracle = float(
+        np.mean(
+            [
+                float(u_p(coords[i], coords[j]))
+                for i in range(n)
+                for j in range(n)
+            ]
+        )
+    )
+    assert np.isclose(closed, oracle, rtol=1e-7), (closed, oracle)
+
+
+def test_ksd_rbf_kernel_argument(rng):
+    """ksd_rbf(kernel=...) evaluates under the composed kernel and rejects
+    non-flattenable kernels."""
+    import pytest
+
+    n, dim = 32, 2
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    x0 = rng.normal(size=(n, dim))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=np.eye(dim)
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=0.2 * np.eye(dim)
+    )
+    val = float(ksd_rbf(model, x0, kernel=kernel))
+    assert np.isfinite(val) and val > 0
+    custom = sv.Kernel(
+        dimension=dim,
+        kernel_fn=lambda x, p, loc: jnp.exp(-jnp.sum((x - loc) ** 2)),
+    )
+    with pytest.raises(ValueError, match="composition"):
+        ksd_rbf(model, x0, kernel=custom)
