@@ -28,6 +28,7 @@ Two targets:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..core.exceptions import DimensionMismatchError
@@ -62,6 +63,21 @@ class BayesianLogisticRegression(Model):
             log_density_fn=blr_log_density,
             parameters=(features, labels, jnp.asarray(prior_precision, features.dtype)),
         )
+
+    def grad_log_density_pure(self, x, params):
+        """Closed-form score (reference virtual-override pattern,
+        Model.hpp:335-338):
+
+            grad_w log p = sum_i sigmoid(-y_i z_i) y_i x_i - alpha w
+
+        — two data-matrix contractions instead of an AD forward+backward;
+        verified against jax.grad in tests/test_blr.py."""
+        features, labels, alpha = params
+        logits = features @ x
+        s = jax.nn.sigmoid(-labels * logits)
+        # jax.grad returns the tangent in x's dtype even with f64 params
+        # (x64 parity lane) — match it so the scan carry dtype is stable.
+        return ((s * labels) @ features - alpha * x).astype(x.dtype)
 
 
 def hier_blr_log_density(x, params):
@@ -100,6 +116,21 @@ class HierarchicalBayesianLogisticRegression(Model):
                 jnp.asarray(b0, features.dtype),
             ),
         )
+
+    def grad_log_density_pure(self, x, params):
+        """Closed-form score in [w, log alpha] (see BayesianLogisticRegression;
+        the log-alpha component is d/2 - a/2 ||w||^2 + a0 - b0 a)."""
+        features, labels, a0, b0 = params
+        d = features.shape[1]
+        w, log_a = x[:d], x[d]
+        a = jnp.exp(log_a)
+        logits = features @ w
+        s = jax.nn.sigmoid(-labels * logits)
+        score_w = (s * labels) @ features - a * w
+        score_la = 0.5 * d - 0.5 * a * jnp.sum(w * w) + a0 - b0 * a
+        return jnp.concatenate(
+            [score_w, jnp.reshape(score_la.astype(score_w.dtype), (1,))]
+        ).astype(x.dtype)
 
 
 def make_synthetic_classification(rng, n_data: int = 512, dim: int = 50,

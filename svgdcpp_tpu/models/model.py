@@ -129,7 +129,14 @@ class Model:
         return jnp.log(self.density_pure(x, params))
 
     def grad_log_density_pure(self, x: jnp.ndarray, params) -> jnp.ndarray:
-        """score: grad_x log f(x; params)."""
+        """score: grad_x log f(x; params).
+
+        Subclasses may override with a closed form to skip autodiff — the
+        reference's virtual-``Evaluate*`` override pattern (reference
+        Model.hpp:335-338; doc/instructions.md:234-301). The SVGD driver,
+        the sharded step and the KSD diagnostic all route the score through
+        this method, so an override takes effect on every hot path.
+        """
         return jax.grad(self.log_density_pure)(x, params)
 
     # ------------------------------------------------------------------

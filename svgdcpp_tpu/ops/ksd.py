@@ -149,7 +149,7 @@ def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
 
     coords = jnp.asarray(coords)
     scores = jax.vmap(
-        lambda x: jax.grad(model.log_density_pure)(x, tuple(model.parameters))
+        lambda x: model.grad_log_density_pure(x, tuple(model.parameters))
     )(coords)
     if kernel is not None:
         from ..kernels.algebra import flatten_rbf_terms

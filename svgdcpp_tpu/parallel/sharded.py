@@ -433,8 +433,10 @@ class ShardedSVGD:
             coords_local, opt_state_local, model_params, scale_aux,
             kparams, slot_mparams, iteration,
         ):
+            # Through grad_log_density_pure so a model's closed-form score
+            # override is honored (reference virtual Evaluate* pattern).
             scores_local = jax.vmap(
-                lambda x: jax.grad(model.log_density_pure)(x, model_params)
+                lambda x: model.grad_log_density_pure(x, model_params)
             )(coords_local)
             if annealing is not None:
                 tau = annealing(iteration)

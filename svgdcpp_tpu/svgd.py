@@ -383,8 +383,10 @@ class SVGD:
         def step_fn(state, _=None):
             coords = state["coords"]
             mparams = state["model_params"]
+            # Through grad_log_density_pure so a model's closed-form score
+            # override is honored (reference virtual Evaluate* pattern).
             scores = jax.vmap(
-                lambda x: jax.grad(self.model.log_density_pure)(x, mparams)
+                lambda x: self.model.grad_log_density_pure(x, mparams)
             )(coords)
             if annealing is not None:
                 tau = annealing(state["iteration"])

@@ -6,6 +6,7 @@ validates per-step bandwidth adaptation on a composed kernel end-to-end
 against a NumPy per-pair loop.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -241,3 +242,77 @@ def test_hessian_bandwidth_on_blr(rng):
     svgd.initialize()
     out = np.asarray(svgd.run())
     assert np.isfinite(out).all()
+
+
+class TestClosedFormScore:
+    """The models' grad_log_density_pure overrides (reference virtual
+    Evaluate* pattern, Model.hpp:335-338) must equal jax.grad of the log
+    density, and the driver must actually route scores through the
+    override."""
+
+    def test_blr_score_matches_autodiff(self, rng):
+        import jax
+
+        features, labels, _ = make_synthetic_classification(
+            rng, n_data=64, dim=7
+        )
+        model = sv.BayesianLogisticRegression(features, labels, 0.1)
+        params = tuple(model.parameters)
+        for _ in range(3):
+            x = jnp.asarray(rng.normal(size=7))
+            ad = jax.grad(model.log_density_pure)(x, params)
+            closed = model.grad_log_density_pure(x, params)
+            np.testing.assert_allclose(
+                np.asarray(closed), np.asarray(ad), rtol=1e-10
+            )
+
+    def test_hier_score_matches_autodiff(self, rng):
+        import jax
+
+        features, labels, _ = make_synthetic_classification(
+            rng, n_data=64, dim=5
+        )
+        model = sv.HierarchicalBayesianLogisticRegression(features, labels)
+        params = tuple(model.parameters)
+        for _ in range(3):
+            x = jnp.asarray(rng.normal(size=6))
+            ad = jax.grad(model.log_density_pure)(x, params)
+            closed = model.grad_log_density_pure(x, params)
+            np.testing.assert_allclose(
+                np.asarray(closed), np.asarray(ad), rtol=1e-10
+            )
+
+    def test_driver_honors_score_override(self, rng):
+        """A model whose score override doubles the gradient must produce
+        the same trajectory as annealing with tau=2 on the base model —
+        proof the scan calls grad_log_density_pure, not jax.grad directly."""
+        n, dim, iters = 24, 2, 5
+        mean, cov = np.zeros(dim), np.eye(dim)
+        x0 = rng.normal(size=(n, dim))
+
+        class DoubledScore(sv.MultivariateNormal):
+            def grad_log_density_pure(self, x, params):
+                return 2.0 * super().grad_log_density_pure(x, params)
+
+        def run(model, annealing=None):
+            svgd = sv.SVGD(
+                sv.SVGDOptions(
+                    dimension=dim, num_iterations=iters,
+                    coordinate_matrix=x0.copy(),
+                    kernel=sv.GaussianRBFKernel(
+                        x0, sv.ScaleMethod.MEDIAN, model,
+                        median_method="exact",
+                    ),
+                    model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+                    annealing=annealing,
+                )
+            )
+            svgd.initialize()
+            return np.asarray(svgd.run())
+
+        doubled = run(DoubledScore(mean, cov))
+        base_tau2 = run(
+            sv.MultivariateNormal(mean, cov),
+            annealing=np.full(iters, 2.0),
+        )
+        np.testing.assert_allclose(doubled, base_tau2, rtol=1e-12)
