@@ -246,15 +246,18 @@ def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
-    ap.add_argument("--iters", type=int, default=100)
+    # 400 iterations amortize the ONE host-transfer sync (~25 ms through
+    # the tunnel) to <0.1 ms/step; at 100 iters the tail under-reported the
+    # steady-state rate by ~25% (7.5M vs 9.7M updates/s at N=10k).
+    ap.add_argument("--iters", type=int, default=400)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
     ap.add_argument(
-        "--steps-per-call", type=int, default=100,
-        help="scan-segment length; the reference's Run() is ONE call for the "
-        "whole run, so the default matches --iters (one device program per "
-        "measured run). Small segments re-pay the ~0.35 ms/call tunnel "
-        "dispatch (e.g. 10 -> 5.4M instead of 6.0M updates/s at N=10k)",
+        "--steps-per-call", type=int, default=200,
+        help="scan-segment length; the reference's Run() contract is ONE "
+        "call for a whole run, so long segments (amortized dispatch) are "
+        "the faithful comparison. Small segments re-pay the ~0.35 ms/call "
+        "tunnel dispatch",
     )
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
