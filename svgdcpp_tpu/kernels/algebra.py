@@ -135,5 +135,53 @@ def term_is_psd(term: Term) -> bool:
     """True when the term's effective precision is a nonnegative combination
     of (PSD) leaf parameters — lets the phi tile pass clamp the quadratic
     form at zero as a numerical guard. Any negated slot (division) may make
-    it indefinite, so the clamp must be skipped."""
+    it indefinite, so the clamp must be skipped.
+
+    NOTE: this positional rule assumes every leaf parameter is itself PSD,
+    which holds for median/constant-isotropic slots but NOT for Hessian
+    slots on non-log-concave models or arbitrary user constants — call
+    sites with kernel context should use :func:`term_psd_flags` instead.
+    """
     return all(ps > 0 for _, ps in term[1])
+
+
+def term_psd_flags(terms, adaptive_slots, parameters):
+    """Per-term PSD-ness determined from slot TYPES and concrete values.
+
+    A term's quadratic form may be clamped at zero (numerical guard) only
+    when its effective precision is provably PSD:
+
+      * every slot enters with positive sign (division negates),
+      * median-adaptive slots are always PSD (log(n)/med^2 * I),
+      * Hessian-adaptive slots are NEVER assumed PSD — on a non-log-concave
+        model (e.g. a GMM saddle region) -mean(hess log p) is indefinite
+        and the quadratic form is legitimately negative,
+      * non-adaptive (constant) slots are eigenvalue-checked on their
+        current concrete values.
+
+    Returns a list of bools aligned with ``terms``.
+    """
+    import numpy as np
+
+    from .gaussian_rbf import GaussianRBFKernel
+
+    slot_method = {
+        idx: owner.scale_method for idx, owner in adaptive_slots
+    }
+
+    def slot_psd(idx):
+        method = slot_method.get(idx)
+        if method == GaussianRBFKernel.ScaleMethod.MEDIAN:
+            return True
+        if method is not None:  # HESSIAN (or future adaptive methods)
+            return False
+        p = np.asarray(parameters[idx])
+        if p.ndim != 2 or p.shape[0] != p.shape[1]:
+            return False
+        sym = 0.5 * (p + p.T)  # quad uses only the symmetric part
+        return bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+
+    return [
+        all(ps > 0 and slot_psd(idx) for idx, ps in plist)
+        for _, plist in terms
+    ]

@@ -108,6 +108,7 @@ def ksd_squared_rbf_terms(
     terms,
     row_tile: int = 1024,
     ustat: bool = False,
+    psd_flags=None,
 ) -> jnp.ndarray:
     """Squared KSD for a composed kernel flattened to signed RBF terms.
 
@@ -120,15 +121,16 @@ def ksd_squared_rbf_terms(
     """
     from ..kernels.algebra import term_is_psd
 
+    if psd_flags is None:
+        psd_flags = [term_is_psd(t) for t in terms]
     total = None
-    for term in terms:
-        sign, plist = term
+    for (sign, plist), t_psd in zip(terms, psd_flags):
         p = None
         for idx, psign in plist:
             contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
             p = contrib if p is None else p + contrib
         t_ksd2 = ksd_squared_rbf(
-            coords, scores, p, row_tile, ustat=ustat, psd=term_is_psd(term)
+            coords, scores, p, row_tile, ustat=ustat, psd=t_psd
         )
         t_ksd2 = t_ksd2 if sign > 0 else -t_ksd2
         total = t_ksd2 if total is None else total + t_ksd2
@@ -152,7 +154,12 @@ def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
         lambda x: model.grad_log_density_pure(x, tuple(model.parameters))
     )(coords)
     if kernel is not None:
-        from ..kernels.algebra import flatten_rbf_terms
+        if p_matrix is not None:
+            raise ValueError(
+                "ksd_rbf: pass either p_matrix or kernel, not both (the "
+                "composed kernel's own parameters define its bandwidths)."
+            )
+        from ..kernels.algebra import flatten_rbf_terms, term_psd_flags
 
         terms = flatten_rbf_terms(kernel)
         if terms is None:
@@ -163,6 +170,9 @@ def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
         ksd2 = ksd_squared_rbf_terms(
             coords, scores, tuple(kernel.parameters), terms, row_tile,
             ustat=ustat,
+            psd_flags=term_psd_flags(
+                terms, kernel.adaptive_slots(), kernel.parameters
+            ),
         )
         return jnp.sqrt(jnp.maximum(ksd2, 0.0))
     if p_matrix is None:

@@ -27,12 +27,17 @@ def squared_pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(sq, 0.0)
 
 
-def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
+def weighted_quadratic_pairwise(
+    coords: jnp.ndarray, p_matrix: jnp.ndarray, psd: bool = True
+) -> jnp.ndarray:
     """All-pairs (x_i - x_j)^T P (x_i - x_j) for (n, m) coords -> (n, n).
 
     For symmetric-part P: q_i + q_j - x_i^T (P + P^T) x_j, one MXU matmul
     chain. Standalone utility (the phi hot paths build their quadratic
-    forms inline, tile-streamed — see ops/phi.py).
+    forms inline, tile-streamed — see ops/phi.py). ``psd=False`` disables
+    the clamp-at-zero f32-noise guard: an indefinite P (Hessian scale on a
+    non-log-concave model, algebraic division terms) has legitimately
+    negative quadratic forms.
     """
     coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     p_sym = p_matrix + p_matrix.T
@@ -40,7 +45,9 @@ def weighted_quadratic_pairwise(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> j
     q = jnp.sum(xp * coords, axis=1)  # x_i^T P x_i
     cross = coords @ p_sym @ coords.T
     quad = q[:, None] + q[None, :] - cross
-    return jnp.maximum(quad, 0.0)
+    if psd:
+        quad = jnp.maximum(quad, 0.0)
+    return quad
 
 
 def auto_row_tile(n_cols: int, requested: int, elem_bytes: int = 4,

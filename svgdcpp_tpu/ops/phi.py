@@ -137,20 +137,30 @@ def kernel_matrix_and_grad(
 # ----------------------------------------------------------------------
 
 
-def rbf_kernel_matrix(coords: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
-    """K[i, j] = exp(-(x_j - x_i)^T P (x_j - x_i)) via the Gram identity."""
+def rbf_kernel_matrix(
+    coords: jnp.ndarray, p_matrix: jnp.ndarray, psd: bool = True
+) -> jnp.ndarray:
+    """K[i, j] = exp(-(x_j - x_i)^T P (x_j - x_i)) via the Gram identity.
+
+    ``psd=False`` skips the clamp-at-zero noise guard (indefinite P —
+    Hessian scale on a non-log-concave model)."""
     from .pairwise import weighted_quadratic_pairwise
 
-    return jnp.exp(-weighted_quadratic_pairwise(coords, p_matrix))
+    return jnp.exp(-weighted_quadratic_pairwise(coords, p_matrix, psd=psd))
 
 
-def phi_rbf(coords: jnp.ndarray, scores: jnp.ndarray, p_matrix: jnp.ndarray) -> jnp.ndarray:
+def phi_rbf(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    p_matrix: jnp.ndarray,
+    psd: bool = True,
+) -> jnp.ndarray:
     """Closed-form RBF phi: two MXU matmuls against K.
 
     phi = (K S - (K X - rowsum(K) * X)(P + P^T)) / n
     """
     n = coords.shape[0]
-    k = rbf_kernel_matrix(coords, p_matrix)
+    k = rbf_kernel_matrix(coords, p_matrix, psd=psd)
     p_sym = p_matrix + p_matrix.T
     ks = k @ scores
     kx = k @ coords
@@ -279,9 +289,10 @@ def phi_rbf_blocked(
     scores: jnp.ndarray,
     p_matrix: jnp.ndarray,
     row_tile: int = 1024,
+    psd: bool = True,
 ) -> jnp.ndarray:
-    """Streaming RBF phi over row tiles; memory O(row_tile * n)."""
-    return phi_rbf_cross(coords, coords, scores, p_matrix, row_tile)
+    """Tile-streamed single-set RBF phi (see phi_rbf_cross)."""
+    return phi_rbf_cross(coords, coords, scores, p_matrix, row_tile, psd=psd)
 
 
 # ----------------------------------------------------------------------
@@ -297,6 +308,7 @@ def phi_rbf_terms_cross(
     terms,
     row_tile: int = 1024,
     axis_name=None,
+    psd_flags=None,
 ) -> jnp.ndarray:
     """phi for a composed kernel flattened to signed RBF terms.
 
@@ -305,18 +317,25 @@ def phi_rbf_terms_cross(
     closed-form RBF phi (effective P = signed sum of parameter slots). This
     replaces the generic VJP path for `+ - * /` trees of pure RBF kernels
     (reference Kernel.hpp:55-223) with T closed-form MXU sweeps.
+
+    ``psd_flags`` (from kernels/algebra.term_psd_flags, which accounts for
+    Hessian-adaptive and indefinite constant slots) controls the per-term
+    quadratic-form clamp; without it the positional term_is_psd rule is
+    used, which is only safe when every leaf parameter is PSD.
     """
     from ..kernels.algebra import term_is_psd
 
+    if psd_flags is None:
+        psd_flags = [term_is_psd(t) for t in terms]
     phi = None
-    for sign, plist in terms:
+    for (sign, plist), t_psd in zip(terms, psd_flags):
         p = None
         for idx, psign in plist:
             contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
             p = contrib if p is None else p + contrib
         t_phi = phi_rbf_cross(
             targets, sources, source_scores, p, row_tile,
-            axis_name=axis_name, psd=term_is_psd((sign, plist)),
+            axis_name=axis_name, psd=t_psd,
         )
         t_phi = t_phi if sign > 0 else -t_phi
         phi = t_phi if phi is None else phi + t_phi
@@ -329,9 +348,14 @@ def phi_rbf_terms(
     kernel_params,
     terms,
     row_tile: int = 1024,
+    psd_flags=None,
 ) -> jnp.ndarray:
     """Single-chip algebraic composed-RBF phi (see phi_rbf_terms_cross)."""
-    return phi_rbf_terms_cross(coords, coords, scores, kernel_params, terms, row_tile)
+    return phi_rbf_terms_cross(
+        coords, coords, scores, kernel_params, terms, row_tile,
+        psd_flags=psd_flags,
+    )
+
 
 
 def phi_rbf_terms_cross_fused_counts(
@@ -344,12 +368,29 @@ def phi_rbf_terms_cross_fused_counts(
     row_tile: int = 1024,
     axis_name=None,
 ):
-    """Cross (sharded) form of :func:`phi_rbf_terms_fused_counts`.
+    """ONE O(n^2) tile sweep: phi of a signed sum of ISOTROPIC RBF terms
+    AND the median-selection threshold counts, in cross (sharded) form.
 
-    ``targets`` is a local row shard, ``sources`` the all-gathered global
-    set; the returned counts cover this shard's disjoint row-band of the
-    global n x n pair matrix — psum them over the mesh axis (see
-    :func:`phi_rbf_cross_fused_counts` for the single-term contract).
+    This is the single implementation behind all four fused entry points
+    (self/cross x single-term/multi-term — the wrappers below). ``targets``
+    is a local row shard, ``sources`` the (all-gathered) global set; the
+    returned counts cover this shard's disjoint row-band of the global
+    n x n pair matrix — psum them over the mesh axis for the global
+    cumulative ranks (ops/median.fused_median_from_counts). Counts use the
+    n^2-including-self-zeros semantics (reference GaussianRBFKernel.hpp:66).
+
+    ``gammas``/``signs`` come from the driver's algebraic flattening
+    (kernels/algebra.py) restricted to isotropic terms: term t's quadratic
+    form is gamma_t * sq, so every term shares ONE squared-distance tile.
+    For a single positive term the tile contracts K against [S | X | 1] in
+    one MXU matmul (the primary-metric hot path); for T terms it combines
+
+        k_c = sum_t sign_t exp(-gamma_t sq)            (for K S)
+        w   = sum_t sign_t gamma_t exp(-gamma_t sq)    (for the grad part)
+
+    into two matmuls totalling the same columns. A negative combined gamma
+    (division terms) needs no clamp handling: the shared sq is a true
+    distance, always >= 0.
 
     Returns (phi_local (n_t, m) normalized by n_src, counts (E,) f32).
     """
@@ -368,16 +409,26 @@ def phi_rbf_terms_cross_fused_counts(
     signs = [float(s) for s in signs]
     thresholds_sq = jnp.asarray(thresholds_sq, targets.dtype)
     n_thresh = thresholds_sq.shape[0]
+    # Single positive term: one combined contraction per tile.
+    single = len(gammas) == 1 and signs[0] == 1.0
 
     targets_pad = jnp.pad(targets, ((0, pad), (0, 0)))
-    xs1 = jnp.concatenate(
-        [sources, jnp.ones((n_s, 1), sources.dtype)], axis=1
-    )
+    if single:
+        b = jnp.concatenate(
+            [source_scores, sources, jnp.ones((n_s, 1), sources.dtype)],
+            axis=1,
+        )
+    else:
+        xs1 = jnp.concatenate(
+            [sources, jnp.ones((n_s, 1), sources.dtype)], axis=1
+        )
     q_src = jnp.sum(sources * sources, axis=1)
     q_tgt_pad = jnp.pad(jnp.sum(targets * targets, axis=1), (0, pad))
     diff_form = m <= 4
 
     def _counts(sq, t):
+        """Median selection counts on the tile (compare/reduce, VPU);
+        padded target rows excluded."""
         row_ids = (
             jax.lax.broadcasted_iota(jnp.int32, (row_tile, n_s), 0)
             + t * row_tile
@@ -401,7 +452,8 @@ def phi_rbf_terms_cross_fused_counts(
         return k_c, w
 
     if diff_form:
-
+        # Cancellation-free explicit differences; the summed kernel
+        # gradient accumulates directly as sum_j K * diff.
         def tile_body(t, carry):
             acc, counts = carry
             rows = jax.lax.dynamic_slice_in_dim(
@@ -411,12 +463,21 @@ def phi_rbf_terms_cross_fused_counts(
             sq = jnp.zeros((row_tile, n_s), rows.dtype)
             for a in range(m):
                 sq = sq + diffs[a] * diffs[a]
-            k_c, w = _combine(sq)
-            ks = k_c @ source_scores
-            t_vec = jnp.stack(
-                [jnp.sum(w * diffs[a], axis=1) for a in range(m)], axis=1
-            )
-            phi_tile = ks + 2.0 * t_vec
+            if single:
+                k_tile = jnp.exp(-gammas[0] * sq)
+                ks = k_tile @ source_scores  # MXU
+                t_vec = jnp.stack(
+                    [jnp.sum(k_tile * diffs[a], axis=1) for a in range(m)],
+                    axis=1,
+                )
+                phi_tile = ks + 2.0 * gammas[0] * t_vec
+            else:
+                k_c, w = _combine(sq)
+                ks = k_c @ source_scores  # MXU
+                t_vec = jnp.stack(
+                    [jnp.sum(w * diffs[a], axis=1) for a in range(m)], axis=1
+                )
+                phi_tile = ks + 2.0 * t_vec
             acc = jax.lax.dynamic_update_slice_in_dim(
                 acc, phi_tile, t * row_tile, 0
             )
@@ -436,8 +497,12 @@ def phi_rbf_terms_cross_fused_counts(
         q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
         gram = rows @ sources.T  # MXU
         sq = jnp.maximum(q_rows[:, None] + q_src[None, :] - 2.0 * gram, 0.0)
-        k_c, w = _combine(sq)
-        a_tile = jnp.concatenate([k_c @ source_scores, w @ xs1], axis=1)
+        if single:
+            k_tile = jnp.exp(-gammas[0] * sq)
+            a_tile = k_tile @ b  # MXU: K S, K X, rowsum in one contraction
+        else:
+            k_c, w = _combine(sq)
+            a_tile = jnp.concatenate([k_c @ source_scores, w @ xs1], axis=1)
         acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
         return acc, counts + _counts(sq, t)
 
@@ -449,135 +514,14 @@ def phi_rbf_terms_cross_fused_counts(
     acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
     a = acc[:n_t]
     ks = a[:, :m]
-    wx = a[:, m : 2 * m]
-    w_rowsum = a[:, 2 * m]
-    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * targets)) / n_s
+    mid = a[:, m : 2 * m]
+    last = a[:, 2 * m]
+    if single:
+        phi = (ks - 2.0 * gammas[0] * (mid - last[:, None] * targets)) / n_s
+    else:
+        # mid/last already carry the gamma weights (w = sum sign*gamma*k).
+        phi = (ks - 2.0 * (mid - last[:, None] * targets)) / n_s
     return phi, counts
-
-
-def phi_rbf_terms_fused_counts(
-    coords: jnp.ndarray,
-    scores: jnp.ndarray,
-    gammas,
-    signs,
-    thresholds_sq: jnp.ndarray,
-    row_tile: int = 1024,
-):
-    """ONE O(n^2) sweep for a flattened ISOTROPIC composed-RBF kernel:
-    phi of the signed term sum AND the median-selection counts.
-
-    ``gammas``/``signs`` come from the driver's algebraic flattening
-    (kernels/algebra.py) restricted to isotropic terms: term t's quadratic
-    form is gamma_t * ||x_i - x_j||^2, so every term shares ONE squared
-    -distance tile. Per tile the pass combines
-
-        k_c = sum_t sign_t exp(-gamma_t sq)            (for K S)
-        w   = sum_t sign_t gamma_t exp(-gamma_t sq)    (for the grad part)
-
-    and phi = (k_c S - 2 (w X - (w 1) * X)) / n — two MXU contractions
-    totalling the same columns as the single-term fused op. Counts are the
-    same selection counts as :func:`phi_rbf_fused_counts` (lag-1 median,
-    reference GaussianRBFKernel.hpp:66 n^2-including-self-zeros semantics).
-    A negative combined gamma (division terms) needs no clamp handling: the
-    shared sq is a true distance, always >= 0.
-
-    Returns (phi (n, m), counts (E,) f32).
-    """
-    from .pairwise import auto_row_tile
-
-    center = jnp.mean(coords, axis=0)
-    coords = coords - center
-
-    n, m = coords.shape
-    row_tile = auto_row_tile(n, row_tile)
-    num_tiles = -(-n // row_tile)
-    pad = num_tiles * row_tile - n
-    gammas = [jnp.asarray(g, coords.dtype) for g in gammas]
-    signs = [float(s) for s in signs]
-    n_thresh = thresholds_sq.shape[0]
-
-    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
-    xs1 = jnp.concatenate(
-        [coords, jnp.ones((n, 1), coords.dtype)], axis=1
-    )  # (n, m+1)
-    q = jnp.sum(coords * coords, axis=1)
-    q_pad = jnp.pad(q, (0, pad))
-    diff_form = m <= 4
-
-    def _counts(sq, t):
-        row_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n), 0) + t * row_tile
-        )
-        valid = row_ids < n
-        return jnp.sum(
-            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
-            axis=(1, 2),
-            dtype=jnp.float32,
-        )
-
-    def _combine(sq):
-        k_c = None
-        w = None
-        for s, g in zip(signs, gammas):
-            k_t = jnp.exp(-g * sq)
-            k_term = s * k_t
-            w_term = (s * g) * k_t
-            k_c = k_term if k_c is None else k_c + k_term
-            w = w_term if w is None else w + w_term
-        return k_c, w
-
-    if diff_form:
-
-        def tile_body(t, carry):
-            acc, counts = carry
-            rows = jax.lax.dynamic_slice_in_dim(
-                coords_pad, t * row_tile, row_tile, 0
-            )
-            diffs = [rows[:, a, None] - coords[None, :, a] for a in range(m)]
-            sq = jnp.zeros((row_tile, n), rows.dtype)
-            for a in range(m):
-                sq = sq + diffs[a] * diffs[a]
-            k_c, w = _combine(sq)
-            ks = k_c @ scores  # MXU
-            t_vec = jnp.stack(
-                [jnp.sum(w * diffs[a], axis=1) for a in range(m)], axis=1
-            )
-            phi_tile = ks + 2.0 * t_vec
-            acc = jax.lax.dynamic_update_slice_in_dim(
-                acc, phi_tile, t * row_tile, 0
-            )
-            return acc, counts + _counts(sq, t)
-
-        acc0 = jnp.zeros((num_tiles * row_tile, m), coords.dtype)
-        counts0 = jnp.zeros(n_thresh, jnp.float32)
-        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-        return acc[:n] / n, counts
-
-    def tile_body(t, carry):
-        acc, counts = carry
-        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
-        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
-        gram = rows @ coords.T  # MXU
-        sq = jnp.maximum(q_rows[:, None] + q[None, :] - 2.0 * gram, 0.0)
-        k_c, w = _combine(sq)
-        a_tile = jnp.concatenate([k_c @ scores, w @ xs1], axis=1)  # MXU x2
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
-        return acc, counts + _counts(sq, t)
-
-    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
-    counts0 = jnp.zeros(n_thresh, jnp.float32)
-    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-    a = acc[:n]
-    ks = a[:, :m]
-    wx = a[:, m : 2 * m]
-    w_rowsum = a[:, 2 * m]
-    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords)) / n
-    return phi, counts
-
-
-# ----------------------------------------------------------------------
-# Fused phi + median-count sweep (isotropic RBF)
-# ----------------------------------------------------------------------
 
 
 def phi_rbf_cross_fused_counts(
@@ -589,103 +533,25 @@ def phi_rbf_cross_fused_counts(
     row_tile: int = 1024,
     axis_name=None,
 ):
-    """Cross (sharded) form of :func:`phi_rbf_fused_counts`.
-
-    ``targets`` is a local row shard, ``sources`` the all-gathered global
-    set: the returned counts cover this shard's disjoint row-band of the
-    global n x n pair matrix — psum them over the mesh axis to get the
-    global cumulative ranks for :func:`ops.median.fused_median_from_counts`.
-
-    Returns (phi_local (n_t, m) normalized by n_src, counts (E,) f32).
-    """
-    from .pairwise import auto_row_tile
-
-    center = jnp.mean(sources, axis=0)
-    targets = targets - center
-    sources = sources - center
-
-    n_t, m = targets.shape
-    n_s = sources.shape[0]
-    row_tile = auto_row_tile(n_s, row_tile)
-    num_tiles = -(-n_t // row_tile)
-    pad = num_tiles * row_tile - n_t
-    gamma = jnp.asarray(gamma, targets.dtype)
-    thresholds_sq = jnp.asarray(thresholds_sq, targets.dtype)
-    n_thresh = thresholds_sq.shape[0]
-
-    targets_pad = jnp.pad(targets, ((0, pad), (0, 0)))
-    b = jnp.concatenate(
-        [source_scores, sources, jnp.ones((n_s, 1), sources.dtype)], axis=1
+    """Single-term cross fused sweep (see phi_rbf_terms_cross_fused_counts)."""
+    return phi_rbf_terms_cross_fused_counts(
+        targets, sources, source_scores, [gamma], [1], thresholds_sq,
+        row_tile, axis_name,
     )
-    q_src = jnp.sum(sources * sources, axis=1)
-    q_tgt_pad = jnp.pad(jnp.sum(targets * targets, axis=1), (0, pad))
-    diff_form = m <= 4
 
-    def _counts(sq, t):
-        row_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n_s), 0)
-            + t * row_tile
-        )
-        valid = row_ids < n_t
-        return jnp.sum(
-            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
-            axis=(1, 2),
-            dtype=jnp.float32,
-        )
 
-    if diff_form:
-
-        def tile_body(t, carry):
-            acc, counts = carry
-            rows = jax.lax.dynamic_slice_in_dim(
-                targets_pad, t * row_tile, row_tile, 0
-            )
-            diffs = [rows[:, a, None] - sources[None, :, a] for a in range(m)]
-            sq = jnp.zeros((row_tile, n_s), rows.dtype)
-            for a in range(m):
-                sq = sq + diffs[a] * diffs[a]
-            k_tile = jnp.exp(-gamma * sq)
-            ks = k_tile @ source_scores
-            t_vec = jnp.stack(
-                [jnp.sum(k_tile * diffs[a], axis=1) for a in range(m)], axis=1
-            )
-            phi_tile = ks + 2.0 * gamma * t_vec
-            acc = jax.lax.dynamic_update_slice_in_dim(
-                acc, phi_tile, t * row_tile, 0
-            )
-            return acc, counts + _counts(sq, t)
-
-        acc0 = jnp.zeros((num_tiles * row_tile, m), targets.dtype)
-        counts0 = jnp.zeros(n_thresh, jnp.float32)
-        if axis_name is not None:
-            acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
-            counts0 = jax.lax.pcast(counts0, (axis_name,), to="varying")
-        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-        return acc[:n_t] / n_s, counts
-
-    def tile_body(t, carry):
-        acc, counts = carry
-        rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
-        q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
-        gram = rows @ sources.T  # MXU
-        sq = jnp.maximum(q_rows[:, None] + q_src[None, :] - 2.0 * gram, 0.0)
-        k_tile = jnp.exp(-gamma * sq)
-        a_tile = k_tile @ b
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
-        return acc, counts + _counts(sq, t)
-
-    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), targets.dtype)
-    counts0 = jnp.zeros(n_thresh, jnp.float32)
-    if axis_name is not None:
-        acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
-        counts0 = jax.lax.pcast(counts0, (axis_name,), to="varying")
-    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-    a = acc[:n_t]
-    ks = a[:, :m]
-    kx = a[:, m : 2 * m]
-    rowsum = a[:, 2 * m]
-    phi = (ks - 2.0 * gamma * (kx - rowsum[:, None] * targets)) / n_s
-    return phi, counts
+def phi_rbf_terms_fused_counts(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    gammas,
+    signs,
+    thresholds_sq: jnp.ndarray,
+    row_tile: int = 1024,
+):
+    """Single-set multi-term fused sweep (see the cross form)."""
+    return phi_rbf_terms_cross_fused_counts(
+        coords, coords, scores, gammas, signs, thresholds_sq, row_tile
+    )
 
 
 def phi_rbf_fused_counts(
@@ -695,102 +561,9 @@ def phi_rbf_fused_counts(
     thresholds_sq: jnp.ndarray,
     row_tile: int = 1024,
 ):
-    """ONE O(n^2) tile sweep producing both the RBF phi (P = gamma I) and
-    the median-selection threshold counts.
-
-    The median-bandwidth SVGD step is two O(n^2) sweeps over the same
-    pairwise squared distances — the threshold-count pass for the median
-    (ops/median.py count_le_cross) and the phi contraction. For the
-    isotropic median kernel the phi quadratic form is just gamma * sq, so
-    each tile's sq block can be exponentiated AND compared against the
-    selection edges in one pass; the driver then uses the counts to update
-    the median for the NEXT step (scale lags one step — the movement-bound
-    bracket logic is unchanged, see ops/median.fused_median_from_counts).
-
-    Returns (phi (n, m), counts (E,) f32) where counts[e] = #{(i, j):
-    ||x_i - x_j||^2 <= thresholds_sq[e]} over all n^2 pairs including
-    self-zeros (reference GaussianRBFKernel.hpp:66 semantics).
-    """
-    from .pairwise import auto_row_tile
-
-    # Translation-invariant (both phi and distances); protects the Gram
-    # identity from f32 cancellation.
-    center = jnp.mean(coords, axis=0)
-    coords = coords - center
-
-    n, m = coords.shape
-    row_tile = auto_row_tile(n, row_tile)
-    num_tiles = -(-n // row_tile)
-    pad = num_tiles * row_tile - n
-    gamma = jnp.asarray(gamma, coords.dtype)
-    n_thresh = thresholds_sq.shape[0]
-
-    coords_pad = jnp.pad(coords, ((0, pad), (0, 0)))
-    b = jnp.concatenate(
-        [scores, coords, jnp.ones((n, 1), coords.dtype)], axis=1
-    )  # (n, 2m+1)
-    q = jnp.sum(coords * coords, axis=1)  # raw squared norms (centered)
-    q_pad = jnp.pad(q, (0, pad))
-    diff_form = m <= 4
-
-    def _counts(sq, t):
-        """Median selection counts on the tile (compare/reduce, VPU);
-        padded rows excluded."""
-        row_ids = (
-            jax.lax.broadcasted_iota(jnp.int32, (row_tile, n), 0) + t * row_tile
-        )
-        valid = row_ids < n
-        return jnp.sum(
-            (sq[None, :, :] <= thresholds_sq[:, None, None]) & valid[None, :, :],
-            axis=(1, 2),
-            dtype=jnp.float32,
-        )
-
-    if diff_form:
-        # Cancellation-free explicit differences; the summed kernel gradient
-        # accumulates directly as sum_j K * diff (see phi_rbf_cross).
-        def tile_body(t, carry):
-            acc, counts = carry
-            rows = jax.lax.dynamic_slice_in_dim(
-                coords_pad, t * row_tile, row_tile, 0
-            )
-            diffs = [rows[:, a, None] - coords[None, :, a] for a in range(m)]
-            sq = jnp.zeros((row_tile, n), rows.dtype)
-            for a in range(m):
-                sq = sq + diffs[a] * diffs[a]
-            k_tile = jnp.exp(-gamma * sq)
-            ks = k_tile @ scores  # MXU
-            t_vec = jnp.stack(
-                [jnp.sum(k_tile * diffs[a], axis=1) for a in range(m)], axis=1
-            )
-            phi_tile = ks + 2.0 * gamma * t_vec
-            acc = jax.lax.dynamic_update_slice_in_dim(
-                acc, phi_tile, t * row_tile, 0
-            )
-            return acc, counts + _counts(sq, t)
-
-        acc0 = jnp.zeros((num_tiles * row_tile, m), coords.dtype)
-        counts0 = jnp.zeros(n_thresh, jnp.float32)
-        acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-        return acc[:n] / n, counts
-
-    def tile_body(t, carry):
-        acc, counts = carry
-        rows = jax.lax.dynamic_slice_in_dim(coords_pad, t * row_tile, row_tile, 0)
-        q_rows = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile)
-        gram = rows @ coords.T  # MXU
-        sq = jnp.maximum(q_rows[:, None] + q[None, :] - 2.0 * gram, 0.0)
-        k_tile = jnp.exp(-gamma * sq)
-        a_tile = k_tile @ b  # MXU: K S, K X, rowsum in one contraction
-        acc = jax.lax.dynamic_update_slice_in_dim(acc, a_tile, t * row_tile, 0)
-        return acc, counts + _counts(sq, t)
-
-    acc0 = jnp.zeros((num_tiles * row_tile, 2 * m + 1), coords.dtype)
-    counts0 = jnp.zeros(n_thresh, jnp.float32)
-    acc, counts = jax.lax.fori_loop(0, num_tiles, tile_body, (acc0, counts0))
-    a = acc[:n]
-    ks = a[:, :m]
-    kx = a[:, m : 2 * m]
-    rowsum = a[:, 2 * m]
-    phi = (ks - 2.0 * gamma * (kx - rowsum[:, None] * coords)) / n
-    return phi, counts
+    """Single-set single-term fused sweep: ONE O(n^2) pass producing both
+    the RBF phi (P = gamma I) and the median-selection counts — the
+    primary-metric hot path (see phi_rbf_terms_cross_fused_counts)."""
+    return phi_rbf_terms_cross_fused_counts(
+        coords, coords, scores, [gamma], [1], thresholds_sq, row_tile
+    )

@@ -90,24 +90,26 @@ def ring_phi_rbf_terms(
     terms,
     axis_name: str,
     n_global: int,
+    psd_flags=None,
 ) -> jnp.ndarray:
     """Gather-free phi for a composed kernel flattened to signed RBF terms.
 
     phi is linear in k, so each algebraic term (kernels/algebra.py) runs its
     own closed-form ring sweep and the signed results sum — T Gram-identity
-    ring passes instead of one VJP-replaying generic pass per rotation."""
+    ring passes instead of one VJP-replaying generic pass per rotation.
+    ``psd_flags`` as in ops/phi.phi_rbf_terms_cross."""
     from ..kernels.algebra import term_is_psd
 
+    if psd_flags is None:
+        psd_flags = [term_is_psd(t) for t in terms]
     phi = None
-    for term in terms:
-        sign, plist = term
+    for (sign, plist), t_psd in zip(terms, psd_flags):
         p = None
         for idx, psign in plist:
             contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
             p = contrib if p is None else p + contrib
         t_phi = ring_phi_rbf(
-            coords_local, scores_local, p, axis_name, n_global,
-            psd=term_is_psd(term),
+            coords_local, scores_local, p, axis_name, n_global, psd=t_psd
         )
         t_phi = t_phi if sign > 0 else -t_phi
         phi = t_phi if phi is None else phi + t_phi

@@ -270,6 +270,27 @@ class ShardedSVGD:
         else:
             self._adaptive_slots = []
             self._rbf_terms = None
+        # PSD-ness of the clamped quadratic forms: MEDIAN scales are PSD by
+        # construction, HESSIAN scales may be indefinite (skip the clamp),
+        # constant matrices are eigenvalue-checked (see kernels/algebra).
+        from ..kernels.algebra import term_psd_flags
+
+        if self._rbf_terms is not None:
+            self._term_psd = term_psd_flags(
+                self._rbf_terms, self._adaptive_slots, kernel.parameters
+            )
+        else:
+            self._term_psd = None
+        if self.config.scale_method == ScaleMethod.HESSIAN:
+            self._rbf_psd = False
+        elif self.config.scale_method == ScaleMethod.CONSTANT:
+            import numpy as np
+
+            p = np.asarray(self.config.constant_scale)
+            sym = 0.5 * (p + p.T)
+            self._rbf_psd = bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+        else:
+            self._rbf_psd = True
         self._state = None
         self.stats = None
         self._build()
@@ -461,7 +482,7 @@ class ShardedSVGD:
 
                         phi_local = ring_phi_rbf_terms(
                             coords_local, scores_local, kparams, terms,
-                            axis, n_global,
+                            axis, n_global, psd_flags=self._term_psd,
                         )
                     else:
                         from .ring import ring_phi_generic
@@ -479,6 +500,7 @@ class ShardedSVGD:
                         phi_local = phi_rbf_terms_cross(
                             coords_local, sources, scores, kparams, terms,
                             cfg.row_tile, axis_name=axis,
+                            psd_flags=self._term_psd,
                         )
                     else:
                         phi_local = phi_generic_cross(
@@ -586,7 +608,7 @@ class ShardedSVGD:
                 kparams = (p_matrix,)
                 phi_local = ring_phi_rbf(
                     coords_local, scores_local, p_matrix, axis,
-                    self.num_particles,
+                    self.num_particles, psd=self._rbf_psd,
                 )
             else:
                 if warm:
@@ -599,7 +621,7 @@ class ShardedSVGD:
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
                 phi_local = phi_rbf_cross(
                     coords_local, sources, scores, p_matrix, cfg.row_tile,
-                    axis_name=axis,
+                    axis_name=axis, psd=self._rbf_psd,
                 )
             opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
             new_coords = coords_local + inc
@@ -808,7 +830,7 @@ class ShardedSVGD:
                 k: np.concatenate([self.stats[k], host[k]]) for k in host
             }
 
-    def run(self, coords=None, num_iterations: int = 0):
+    def run(self, coords=None, num_iterations: int = None):
         """Run num_iterations sharded steps.
 
         ``coords`` given -> fresh start from those positions (zeroed
@@ -816,6 +838,13 @@ class ShardedSVGD:
         continue from the previous run's final state (in-place semantics).
         Use init_state()/run_state() for explicit checkpoint-resume.
         """
+        if num_iterations is None or int(num_iterations) <= 0:
+            # A defaulted/zero count would silently reset state, run a
+            # length-0 scan and hand back the inputs unchanged.
+            raise ValueError(
+                "run() requires a positive num_iterations "
+                f"(got {num_iterations!r})."
+            )
         if coords is not None:
             self._state = self.init_state(coords)
             self.stats = None

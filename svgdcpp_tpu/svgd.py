@@ -205,6 +205,7 @@ class SVGD:
         self._rbf_terms = (
             None if self._is_rbf else flatten_rbf_terms(self.kernel)
         )
+        self._refresh_psd()
         impl = opts.phi_impl
         if self.log_intermediate_matrices:
             # The debug dump needs the explicit K / grad-K stacks, which only
@@ -274,6 +275,37 @@ class SVGD:
             )
         self._phi_impl = impl
 
+    def _refresh_psd(self):
+        """PSD-ness of the quadratic forms the closed-form paths clamp.
+
+        MEDIAN scales are PSD by construction; HESSIAN scales may be
+        indefinite (non-log-concave models) so the clamp-at-zero noise
+        guard must be skipped; constant matrices are eigenvalue-checked on
+        their current values (re-run on parameter hot-swap).
+        """
+        from .kernels.algebra import term_psd_flags
+
+        if self._rbf_terms is not None:
+            self._term_psd = term_psd_flags(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+        else:
+            self._term_psd = None
+        if self._is_rbf:
+            method = self.kernel.scale_method
+            if method == GaussianRBFKernel.ScaleMethod.MEDIAN:
+                self._rbf_psd = True
+            elif method == GaussianRBFKernel.ScaleMethod.HESSIAN:
+                self._rbf_psd = False
+            else:
+                import numpy as np
+
+                p = np.asarray(self.kernel.parameters[0])
+                sym = 0.5 * (p + p.T)
+                self._rbf_psd = bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+        else:
+            self._rbf_psd = True
+
     # Hooks: a custom (user-overridden) per-step hook cannot run inside the
     # jitted scan; fall back to an eager per-iteration loop, mirroring the
     # reference's hook-then-phi step order (SVGD.hpp:373-400).
@@ -316,12 +348,16 @@ class SVGD:
             )
         if self._phi_impl == "rbf_terms":
             return phi_rbf_terms(
-                coords, scores, kparams, self._rbf_terms, self.options.row_tile
+                coords, scores, kparams, self._rbf_terms,
+                self.options.row_tile, psd_flags=self._term_psd,
             )
         if self._phi_impl == "dense":
-            return phi_rbf(coords, scores, kparams[0])
+            return phi_rbf(coords, scores, kparams[0], psd=self._rbf_psd)
         if self._phi_impl == "blocked":
-            return phi_rbf_blocked(coords, scores, kparams[0], self.options.row_tile)
+            return phi_rbf_blocked(
+                coords, scores, kparams[0], self.options.row_tile,
+                psd=self._rbf_psd,
+            )
         if self._phi_impl == "pallas":
             from .ops.pallas_phi import phi_rbf_pallas
 
@@ -715,6 +751,14 @@ class SVGD:
                     "slots; the swapped parameters are anisotropic. Rebuild "
                     "with phi_impl='rbf_terms' for anisotropic compositions."
                 )
+        # Constant-slot values feed the PSD clamp decisions, which are
+        # trace-time constants in the compiled step — re-derive them and
+        # rebuild the step if they flipped.
+        if getattr(self, "_initialized", False):
+            before = (self._rbf_psd, self._term_psd)
+            self._refresh_psd()
+            if (self._rbf_psd, self._term_psd) != before:
+                self._build_step()
 
     def update_model_parameters(self, params):
         self.model.update_parameters(params)

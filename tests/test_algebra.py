@@ -271,3 +271,132 @@ def test_driver_auto_custom_kernel_still_generic(rng):
     )
     svgd, _ = _run(x0, model, custom, "auto", steps=2)
     assert svgd._phi_impl == "generic"
+
+
+# ----------------------------------------------------------------------
+# Indefinite (non-PSD) precision matrices: the clamp must be skipped
+# ----------------------------------------------------------------------
+
+
+def _saddle_gmm_setup(rng, n=20, m=2):
+    """GMM with modes at x0 = +-4: hessian-scale P is indefinite for
+    particles straddling the saddle region (eigenvalues of mixed sign)."""
+    m1 = sv.MultivariateNormal(np.array([4.0, 0.0]), np.eye(m))
+    m2 = sv.MultivariateNormal(np.array([-4.0, 0.0]), np.eye(m))
+    gmm = m1 + m2
+    coords = rng.normal(size=(n, m)) * 1.5  # centered on the saddle
+    return gmm, np.asarray(coords)
+
+
+def test_hessian_slot_term_not_clamped(rng):
+    """Composed kernel with a HESSIAN slot on a non-log-concave model:
+    the algebraic path must match the generic VJP path exactly (the
+    quadratic form is legitimately negative; regression for the psd
+    misclassification that clamped it)."""
+    from svgdcpp_tpu.kernels.algebra import flatten_rbf_terms, term_psd_flags
+
+    gmm, x0 = _saddle_gmm_setup(rng)
+    n, m = x0.shape
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, gmm) + rbf(
+        x0, 0.1 * np.eye(m)
+    )
+    kernel.initialize()
+    terms = flatten_rbf_terms(kernel)
+    flags = term_psd_flags(terms, kernel.adaptive_slots(), kernel.parameters)
+    assert flags == [False, True]  # hessian slot unknown-PSD, constant PSD
+    # make the indefiniteness real before comparing phi
+    p_hess = np.asarray(kernel.parameters[0])
+    ev = np.linalg.eigvalsh(0.5 * (p_hess + p_hess.T))
+    assert ev.min() < -1e-3, ev
+
+    coords = jnp.asarray(x0)
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    got = phi_rbf_terms(
+        coords, scores, kernel.parameters, terms, row_tile=8, psd_flags=flags
+    )
+    expect = phi_generic(
+        coords, scores, kernel._kernel_fn, kernel.parameters, row_tile=8
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-9)
+
+
+def test_driver_auto_hessian_composed_matches_generic(rng):
+    """End-to-end: auto-selected algebraic path on the saddle-region GMM
+    with a Hessian slot equals the forced-generic trajectory."""
+    gmm, x0 = _saddle_gmm_setup(rng)
+    n, m = x0.shape
+
+    def build(impl):
+        model = sv.MultivariateNormal(np.array([4.0, 0.0]), np.eye(m)) + \
+            sv.MultivariateNormal(np.array([-4.0, 0.0]), np.eye(m))
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, model) + rbf(
+            x0, 0.1 * np.eye(m)
+        )
+        return _run(x0, model, kernel, impl, steps=4)
+
+    svgd_a, traj_a = build("auto")
+    assert svgd_a._phi_impl == "rbf_terms"
+    assert svgd_a._term_psd == [False, True]
+    _, traj_g = build("generic")
+    np.testing.assert_allclose(traj_a, traj_g, rtol=1e-8)
+
+
+def test_single_kernel_hessian_blocked_not_clamped(rng):
+    """Uncomposed RBF with HESSIAN scale on a non-log-concave model: the
+    blocked/dense closed forms must match the generic path (latent clamp
+    bug on indefinite P, independent of the algebra feature)."""
+    from svgdcpp_tpu.ops.phi import phi_rbf, phi_rbf_blocked
+
+    gmm, x0 = _saddle_gmm_setup(rng)
+    n, m = x0.shape
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, gmm)
+    kernel.initialize()
+    p = kernel.parameters[0]
+    assert np.linalg.eigvalsh(0.5 * np.asarray(p + p.T)).min() < -1e-3
+
+    coords = jnp.asarray(x0)
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    expect = phi_generic(
+        coords, scores, kernel._kernel_fn, kernel.parameters, row_tile=8
+    )
+    for got in (
+        phi_rbf(coords, scores, p, psd=False),
+        phi_rbf_blocked(coords, scores, p, row_tile=8, psd=False),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(expect), rtol=1e-9
+        )
+    # and the driver's own psd classification picks psd=False
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=m, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, gmm),
+            model=gmm, optimizer=sv.AdaGrad(m, n, 0.05), phi_impl="blocked",
+        )
+    )
+    svgd.initialize()
+    assert svgd._rbf_psd is False
+
+
+def test_sharded_run_requires_iterations(rng):
+    from svgdcpp_tpu.parallel import ShardedSVGD, make_particle_mesh
+
+    n, m = 16, 2
+    model = sv.MultivariateNormal(np.zeros(m), np.eye(m))
+    sh = ShardedSVGD(
+        model, sv.AdaGrad(m, n, 0.1), num_particles=n, dimension=m,
+        mesh=make_particle_mesh(),
+    )
+    with pytest.raises(ValueError, match="num_iterations"):
+        sh.run(rng.normal(size=(n, m)))
+
+
+def test_ksd_rejects_p_matrix_with_kernel(rng):
+    from svgdcpp_tpu.ops.ksd import ksd_rbf
+
+    n, m = 16, 2
+    model = sv.MultivariateNormal(np.zeros(m), np.eye(m))
+    x0 = rng.normal(size=(n, m))
+    kernel = rbf(x0, np.eye(m)) + rbf(x0, 0.2 * np.eye(m))
+    with pytest.raises(ValueError, match="not both"):
+        ksd_rbf(model, x0, p_matrix=np.eye(m), kernel=kernel)
