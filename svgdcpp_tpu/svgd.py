@@ -237,8 +237,17 @@ class SVGD:
             ):
                 # Median-adaptive at scale: ONE fused O(n^2) sweep per step
                 # (phi contraction + next step's median counts) instead of
-                # separate count and phi sweeps.
-                impl = "fused"
+                # separate count and phi sweeps. On a real TPU the Mosaic
+                # kernel wins: it keeps the squared-distance tile in VMEM
+                # where XLA's fusion splits the tile body into several
+                # kernels with an HBM round-trip (measured 10.15M vs 9.61M
+                # updates/s at N=10k, docs/perf.md); on CPU the Pallas
+                # interpreter would be far slower, so keep the XLA sweep.
+                impl = (
+                    "fused_pallas"
+                    if jax.default_backend() == "tpu"
+                    else "fused"
+                )
             elif self.num_particles <= DENSE_PHI_MAX_PARTICLES:
                 impl = "dense"
             else:
