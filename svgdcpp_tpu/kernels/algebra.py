@@ -131,6 +131,30 @@ def fused_terms_eligible(terms, adaptive_slots, parameters) -> bool:
     return True
 
 
+def fused_terms_statically_positive(terms, adaptive_slots, parameters) -> bool:
+    """True when every term's effective isotropic gamma is provably > 0
+    at trace time: all slot signs positive (no division) and every
+    constant slot's scalar positive (median slots are log(n)/med^2 > 0).
+
+    The Mosaic fused-terms kernel relies on padded rows carrying huge
+    squared norms so exp(-gamma sq) -> 0; a negative effective gamma would
+    blow them up instead, so such compositions stay on the XLA sweep
+    (which masks padding explicitly).
+    """
+    import numpy as np
+
+    adaptive = {idx for idx, _ in adaptive_slots}
+    for _, plist in terms:
+        for idx, psign in plist:
+            if psign <= 0:
+                return False
+            if idx not in adaptive:
+                p = np.asarray(parameters[idx])
+                if float(p[0, 0]) <= 0.0:
+                    return False
+    return True
+
+
 def term_is_psd(term: Term) -> bool:
     """True when the term's effective precision is a nonnegative combination
     of (PSD) leaf parameters — lets the phi tile pass clamp the quadratic

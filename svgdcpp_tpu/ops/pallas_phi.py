@@ -345,3 +345,151 @@ def count_le_pallas(
         interpret=interpret,
     )(thr, x_p, qi_p, xj_p, qj_p)
     return out[0]
+
+
+# ----------------------------------------------------------------------
+# fused multi-term phi + median-count kernel (composed isotropic RBFs)
+# ----------------------------------------------------------------------
+
+
+def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
+                        qj_ref, bs_ref, xs1_ref, acc_ref, cnt_ref):
+    """Per (i, j) tile: shared sq block -> T exps combined into k_c / w
+    (see ops/phi.phi_rbf_terms_cross_fused_counts) -> two MXU contractions
+    + selection counts, all in VMEM. ``signs`` is a static tuple closed
+    over by the wrapper; gammas arrive in SMEM (all provably positive, so
+    padded rows' huge q still decay to zero)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
+    sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
+    k_c = None
+    w = None
+    for t, s in enumerate(signs):
+        g = gammas_ref[0, t]
+        k_t = jnp.exp(-g * sq)
+        k_term = s * k_t
+        w_term = (s * g) * k_t
+        k_c = k_term if k_c is None else k_c + k_term
+        w = w_term if w is None else w + w_term
+    a_tile = jnp.concatenate(
+        [
+            jnp.dot(k_c, bs_ref[:], preferred_element_type=jnp.float32),
+            jnp.dot(w, xs1_ref[:], preferred_element_type=jnp.float32),
+        ],
+        axis=1,
+    )
+    acc_ref[:] += a_tile
+    num_t = cnt_ref.shape[1]
+    counts = jnp.stack(
+        [jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32)) for t in range(num_t)]
+    )
+    cnt_ref[:] += counts.reshape(1, num_t)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "signs", "num_thresholds", "tile_i", "tile_j", "interpret"
+    ),
+)
+def _phi_rbf_terms_fused_pallas_impl(
+    coords, scores, gammas, signs, thresholds_sq, num_thresholds,
+    tile_i, tile_j, interpret,
+):
+    n, m = coords.shape
+    num_terms = len(signs)
+    coords32 = coords.astype(jnp.float32)
+    coords32 = coords32 - jnp.mean(coords32, axis=0)  # translation-invariant
+    gammas32 = jnp.reshape(
+        jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas]),
+        (1, num_terms),
+    )
+    q = jnp.sum(coords32 * coords32, axis=1)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_i)
+    qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk
+    xj_p = _pad_rows(coords32, tile_j)
+    qj_p = _pad_rows(q[:, None], tile_j, value=big)  # K -> 0, counts skip
+    bs_p = _pad_rows(scores.astype(jnp.float32), tile_j)
+    xs1_p = _pad_rows(xs1, tile_j)
+    n_i = x_p.shape[0]
+    n_j = xj_p.shape[0]
+    bw = 2 * m + 1
+    thr = jnp.reshape(
+        thresholds_sq.astype(jnp.float32), (1, num_thresholds)
+    )
+
+    grid = (n_i // tile_i, n_j // tile_j)
+    acc, counts = pl.pallas_call(
+        functools.partial(_fused_terms_kernel, tuple(float(s) for s in signs)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_terms), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_j, m + 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_i, bw), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_thresholds), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_i * n_j * (m + bw + num_thresholds + 2 * num_terms),
+            bytes_accessed=4 * (n_i + n_j) * (2 * m + 2 + bw),
+            transcendentals=num_terms * n_i * n_j,
+        ),
+        interpret=interpret,
+    )(gammas32, thr, x_p, qi_p, xj_p, qj_p, bs_p, xs1_p)
+
+    a = acc[:n]
+    ks = a[:, :m]
+    wx = a[:, m : 2 * m]
+    w_rowsum = a[:, 2 * m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
+    return phi.astype(coords.dtype), counts[0]
+
+
+def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
+                               tile_i: int = 512, tile_j: int = 1024,
+                               interpret=None):
+    """Pallas twin of ops/phi.phi_rbf_terms_fused_counts: the composed
+    isotropic-RBF single sweep as ONE Mosaic kernel. Only valid when every
+    effective gamma is positive (kernels/algebra.fused_terms_statically_
+    positive) — the padded-row decay trick requires it."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _phi_rbf_terms_fused_pallas_impl(
+        coords, scores, tuple(gammas), tuple(float(s) for s in signs),
+        thresholds_sq, int(thresholds_sq.shape[0]), tile_i, tile_j,
+        bool(interpret),
+    )

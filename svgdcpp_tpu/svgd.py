@@ -224,8 +224,24 @@ class SVGD:
                     )
                 ):
                     # Isotropic composed median kernel at scale: ONE shared
-                    # -sq sweep for all terms + in-sweep median counts.
-                    impl = "fused_terms"
+                    # -sq sweep for all terms + in-sweep median counts. On a
+                    # real TPU the Mosaic kernel keeps the tile in VMEM
+                    # (same reasoning as 'fused_pallas'); it requires every
+                    # effective gamma provably positive (padded-row decay).
+                    from .kernels.algebra import (
+                        fused_terms_statically_positive,
+                    )
+
+                    if (
+                        jax.default_backend() == "tpu"
+                        and fused_terms_statically_positive(
+                            self._rbf_terms, self._adaptive_slots,
+                            self.kernel.parameters,
+                        )
+                    ):
+                        impl = "fused_terms_pallas"
+                    else:
+                        impl = "fused_terms"
                 else:
                     impl = "rbf_terms"
             elif not self._is_rbf:
@@ -258,21 +274,38 @@ class SVGD:
             raise ValueError(
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
             )
-        if impl in ("rbf_terms", "fused_terms") and self._rbf_terms is None:
+        if (
+            impl in ("rbf_terms", "fused_terms", "fused_terms_pallas")
+            and self._rbf_terms is None
+        ):
             raise ValueError(
                 f"phi_impl={impl!r} requires a `+ - * /` composition of "
                 "pure GaussianRBFKernels (see kernels/algebra.py)."
             )
-        if impl == "fused_terms":
-            from .kernels.algebra import fused_terms_eligible
+        if impl in ("fused_terms", "fused_terms_pallas"):
+            from .kernels.algebra import (
+                fused_terms_eligible,
+                fused_terms_statically_positive,
+            )
 
             if not fused_terms_eligible(
                 self._rbf_terms, self._adaptive_slots, self.kernel.parameters
             ):
                 raise ValueError(
-                    "phi_impl='fused_terms' requires every adaptive slot to "
+                    f"phi_impl={impl!r} requires every adaptive slot to "
                     "be median-scaled and every constant slot isotropic "
                     "(gamma * I); use 'rbf_terms' for the general case."
+                )
+            if impl == "fused_terms_pallas" and not (
+                fused_terms_statically_positive(
+                    self._rbf_terms, self._adaptive_slots,
+                    self.kernel.parameters,
+                )
+            ):
+                raise ValueError(
+                    "phi_impl='fused_terms_pallas' requires every effective "
+                    "term gamma to be provably positive (no division terms, "
+                    "positive constant scales); use 'fused_terms'."
                 )
         if impl in ("fused", "fused_pallas") and (
             getattr(self.kernel, "scale_method", None)
@@ -417,9 +450,12 @@ class SVGD:
                 jnp.clip(it, 0, annealing_arr.shape[0] - 1)
             ]
 
-        fused = self._phi_impl in ("fused", "fused_pallas", "fused_terms")
+        fused = self._phi_impl in (
+            "fused", "fused_pallas", "fused_terms", "fused_terms_pallas"
+        )
         fused_pallas = self._phi_impl == "fused_pallas"
-        fused_terms = self._phi_impl == "fused_terms"
+        fused_terms = self._phi_impl in ("fused_terms", "fused_terms_pallas")
+        fused_terms_pallas = self._phi_impl == "fused_terms_pallas"
         fused_bins = int(self.options.fused_bins)
         if fused_terms:
             median_slot_idx = [idx for idx, _ in self._adaptive_slots]
@@ -474,7 +510,13 @@ class SVGD:
                 lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
                 edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
                 thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
-                if fused_terms:
+                if fused_terms_pallas:
+                    from .ops.pallas_phi import phi_rbf_terms_fused_pallas
+
+                    phi, counts = phi_rbf_terms_fused_pallas(
+                        coords, scores, gammas, term_signs, thresholds
+                    )
+                elif fused_terms:
                     from .ops.phi import phi_rbf_terms_fused_counts
 
                     phi, counts = phi_rbf_terms_fused_counts(
@@ -642,7 +684,7 @@ class SVGD:
             # {med, lo, hi, disp}: exact/hybrid median of the INITIAL
             # positions seeds the lag-1 fused pipeline.
             return (self.kernel.init_fused_aux(coords),)
-        if self._phi_impl == "fused_terms":
+        if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
             # Composed kernel: same lag-1 seed, computed directly (the root
             # Kernel has no init_fused_aux — only RBF leaves do).
             from .ops.median import pairwise_distance_median
@@ -746,7 +788,7 @@ class SVGD:
     def update_kernel_parameters(self, params):
         self.kernel.update_parameters(params)
         self.kernel.initialize()
-        if self._phi_impl == "fused_terms":
+        if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
             # The fused-terms sweep reads each constant slot as gamma =
             # P[0, 0] (isotropy was proven at initialize()); an anisotropic
             # swap would be silently truncated — reject it instead.

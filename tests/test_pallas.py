@@ -119,3 +119,85 @@ def test_fused_pallas_through_driver(rng):
     np.testing.assert_allclose(
         run("fused_pallas"), run("fused"), rtol=2e-3, atol=2e-4
     )
+
+
+def test_fused_terms_pallas_matches_xla(rng):
+    """Multi-term Mosaic kernel (interpreter on CPU) == the XLA multi-term
+    fused sweep: phi and counts."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_terms_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n, m = 700, 3
+    coords = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32) + 2.0)
+    scores = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))
+    gammas = [jnp.float32(0.6), jnp.float32(0.08)]
+    signs = [1, -1]
+    thresholds = jnp.asarray(np.linspace(0.5, 40.0, 4), jnp.float32)
+
+    phi_p, cnt_p = phi_rbf_terms_fused_pallas(
+        coords, scores, gammas, signs, thresholds
+    )
+    phi_x, cnt_x = phi_rbf_terms_fused_counts(
+        coords, scores, gammas, signs, thresholds, row_tile=256
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=2e-4, atol=2e-6
+    )
+    # boundary-tie noise only (Gram rounding differs per implementation)
+    assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
+
+
+def test_fused_terms_pallas_through_driver(rng):
+    """phi_impl='fused_terms_pallas' (interpreter on CPU) behaves like
+    'fused_terms' on the hier-bench kernel shape; positivity validation
+    rejects division compositions."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+
+    n, dim, iters = 1100, 2, 3
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 2
+
+    def run(impl):
+        model = sv.MultivariateNormal(
+            np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+        )
+        kernel = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(dim, dtype=np.float32),
+        )
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl=impl,
+            )
+        )
+        svgd.initialize()
+        return np.asarray(svgd.run())
+
+    np.testing.assert_allclose(
+        run("fused_terms_pallas"), run("fused_terms"), rtol=2e-3, atol=2e-4
+    )
+
+    # division term -> negative effective gamma -> pallas variant rejected
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) / sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=0.05 * np.eye(dim, dtype=np.float32),
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused_terms_pallas",
+        )
+    )
+    with pytest.raises(ValueError, match="positive"):
+        svgd.initialize()
