@@ -169,6 +169,21 @@ def term_is_psd(term: Term) -> bool:
     return all(ps > 0 for _, ps in term[1])
 
 
+def matrix_is_psd(p, tol: float = -1e-12) -> bool:
+    """PSD check on the symmetric part (the quadratic form only sees it).
+
+    The single definition used by the driver, the sharded driver and the
+    term flags — keep the symmetrization rule and tolerance here.
+    """
+    import numpy as np
+
+    p = np.asarray(p)
+    if p.ndim != 2 or p.shape[0] != p.shape[1]:
+        return False
+    sym = 0.5 * (p + p.T)
+    return bool(np.linalg.eigvalsh(sym).min() >= tol)
+
+
 def term_psd_flags(terms, adaptive_slots, parameters):
     """Per-term PSD-ness determined from slot TYPES and concrete values.
 
@@ -185,8 +200,6 @@ def term_psd_flags(terms, adaptive_slots, parameters):
 
     Returns a list of bools aligned with ``terms``.
     """
-    import numpy as np
-
     from .gaussian_rbf import GaussianRBFKernel
 
     slot_method = {
@@ -199,11 +212,7 @@ def term_psd_flags(terms, adaptive_slots, parameters):
             return True
         if method is not None:  # HESSIAN (or future adaptive methods)
             return False
-        p = np.asarray(parameters[idx])
-        if p.ndim != 2 or p.shape[0] != p.shape[1]:
-            return False
-        sym = 0.5 * (p + p.T)  # quad uses only the symmetric part
-        return bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+        return matrix_is_psd(parameters[idx])
 
     return [
         all(ps > 0 and slot_psd(idx) for idx, ps in plist)

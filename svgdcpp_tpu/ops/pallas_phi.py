@@ -45,7 +45,7 @@ def _pad_rows(arr, multiple, value=0.0):
 # ----------------------------------------------------------------------
 
 
-def _phi_kernel(x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
+def _phi_kernel(psd, x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -54,7 +54,9 @@ def _phi_kernel(x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
 
     cross = jnp.dot(x_ref[:], xps_ref[:].T, preferred_element_type=jnp.float32)
     quad = qi_ref[:] + qj_ref[:].T - cross  # (TI, TJ)
-    k_tile = jnp.exp(-jnp.maximum(quad, 0.0))
+    if psd:
+        quad = jnp.maximum(quad, 0.0)
+    k_tile = jnp.exp(-quad)
     out_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -65,7 +67,7 @@ def _default_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_i", "tile_j", "interpret")
+    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "psd")
 )
 def _phi_rbf_pallas_impl(
     coords: jnp.ndarray,
@@ -74,6 +76,7 @@ def _phi_rbf_pallas_impl(
     tile_i: int,
     tile_j: int,
     interpret: bool,
+    psd: bool,
 ) -> jnp.ndarray:
     """Fused RBF phi: phi = (K S - (K X - rowsum(K) X) (P+P^T)) / n.
 
@@ -107,7 +110,7 @@ def _phi_rbf_pallas_impl(
 
     grid = (n_i // tile_i, n_j // tile_j)
     out = pl.pallas_call(
-        _phi_kernel,
+        functools.partial(_phi_kernel, psd),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -137,11 +140,14 @@ def _phi_rbf_pallas_impl(
 
 
 def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
-                   tile_j: int = 1024, interpret=None):
+                   tile_j: int = 1024, interpret=None, psd: bool = True):
+    """``psd=False`` skips the quadratic-form clamp (indefinite P — Hessian
+    scale on a non-log-concave model); padded rows stay safe either way
+    because their +big squared norms dominate the form."""
     if interpret is None:
         interpret = _default_interpret()
     return _phi_rbf_pallas_impl(coords, scores, p_matrix, tile_i, tile_j,
-                                bool(interpret))
+                                bool(interpret), bool(psd))
 
 
 # ----------------------------------------------------------------------

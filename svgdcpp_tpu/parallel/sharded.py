@@ -284,11 +284,9 @@ class ShardedSVGD:
         if self.config.scale_method == ScaleMethod.HESSIAN:
             self._rbf_psd = False
         elif self.config.scale_method == ScaleMethod.CONSTANT:
-            import numpy as np
+            from ..kernels.algebra import matrix_is_psd
 
-            p = np.asarray(self.config.constant_scale)
-            sym = 0.5 * (p + p.T)
-            self._rbf_psd = bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+            self._rbf_psd = matrix_is_psd(self.config.constant_scale)
         else:
             self._rbf_psd = True
         self._state = None

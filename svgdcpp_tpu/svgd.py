@@ -340,11 +340,9 @@ class SVGD:
             elif method == GaussianRBFKernel.ScaleMethod.HESSIAN:
                 self._rbf_psd = False
             else:
-                import numpy as np
+                from .kernels.algebra import matrix_is_psd
 
-                p = np.asarray(self.kernel.parameters[0])
-                sym = 0.5 * (p + p.T)
-                self._rbf_psd = bool(np.linalg.eigvalsh(sym).min() >= -1e-12)
+                self._rbf_psd = matrix_is_psd(self.kernel.parameters[0])
         else:
             self._rbf_psd = True
 
@@ -403,7 +401,7 @@ class SVGD:
         if self._phi_impl == "pallas":
             from .ops.pallas_phi import phi_rbf_pallas
 
-            return phi_rbf_pallas(coords, scores, kparams[0])
+            return phi_rbf_pallas(coords, scores, kparams[0], psd=self._rbf_psd)
         raise ValueError(f"unknown phi_impl {self._phi_impl!r}")
 
     def _scale_params(self, coords, mparams, kparams, scale_aux, slot_mparams):
@@ -792,7 +790,10 @@ class SVGD:
             # The fused-terms sweep reads each constant slot as gamma =
             # P[0, 0] (isotropy was proven at initialize()); an anisotropic
             # swap would be silently truncated — reject it instead.
-            from .kernels.algebra import fused_terms_eligible
+            from .kernels.algebra import (
+                fused_terms_eligible,
+                fused_terms_statically_positive,
+            )
 
             if not fused_terms_eligible(
                 self._rbf_terms, self._adaptive_slots, self.kernel.parameters
@@ -801,6 +802,19 @@ class SVGD:
                     "phi_impl='fused_terms' requires isotropic constant "
                     "slots; the swapped parameters are anisotropic. Rebuild "
                     "with phi_impl='rbf_terms' for anisotropic compositions."
+                )
+            if self._phi_impl == "fused_terms_pallas" and not (
+                fused_terms_statically_positive(
+                    self._rbf_terms, self._adaptive_slots,
+                    self.kernel.parameters,
+                )
+            ):
+                # A non-positive constant gamma would invert the Mosaic
+                # kernel's padded-row decay into exp(+gamma*big) = inf.
+                raise ValueError(
+                    "phi_impl='fused_terms_pallas' requires every constant "
+                    "slot gamma to stay positive; the swapped parameters "
+                    "violate that. Rebuild with phi_impl='fused_terms'."
                 )
         # Constant-slot values feed the PSD clamp decisions, which are
         # trace-time constants in the compiled step — re-derive them and

@@ -201,3 +201,72 @@ def test_fused_terms_pallas_through_driver(rng):
     )
     with pytest.raises(ValueError, match="positive"):
         svgd.initialize()
+
+
+def test_fused_terms_pallas_hot_swap_rejects_negative(rng):
+    """Hot-swapping a NEGATIVE isotropic constant into a running
+    fused_terms_pallas driver must be rejected (isotropy alone passed the
+    old check, then exp(-gamma*big) inverted to inf -> NaN particles)."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+
+    n, dim = 1100, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=0.1 * np.eye(dim, dtype=np.float32),
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused_terms_pallas",
+        )
+    )
+    svgd.initialize()
+    bad = [np.asarray(p) for p in svgd.kernel.parameters]
+    bad[1] = -0.1 * np.eye(dim, dtype=np.float32)
+    with pytest.raises(ValueError, match="positive"):
+        svgd.update_kernel_parameters(bad)
+
+
+def test_phi_pallas_indefinite_p_not_clamped(rng):
+    """phi_rbf_pallas(psd=False) matches the unclamped closed form on an
+    indefinite (Hessian-style) P; the driver's 'pallas' impl threads its
+    PSD classification through."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf
+
+    n, m = 64, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))
+    scores = jnp.asarray(rng.normal(size=(n, m)).astype(np.float32))
+    p = jnp.asarray(np.array([[0.4, 0.0], [0.0, -0.3]], np.float32))
+
+    got = phi_rbf_pallas(coords, scores, p, psd=False)
+    expect = phi_rbf(coords, scores, p, psd=False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=5e-4, atol=5e-6
+    )
+
+    # driver classification: HESSIAN scale on a GMM -> psd False on the
+    # pallas impl too
+    m1 = sv.MultivariateNormal(np.array([4.0, 0.0]), np.eye(2))
+    m2 = sv.MultivariateNormal(np.array([-4.0, 0.0]), np.eye(2))
+    gmm = m1 + m2
+    x0 = rng.normal(size=(32, 2)) * 1.5
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=2, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=sv.GaussianRBFKernel(x0, sv.ScaleMethod.HESSIAN, gmm),
+            model=gmm, optimizer=sv.AdaGrad(2, 32, 0.05), phi_impl="pallas",
+        )
+    )
+    svgd.initialize()
+    assert svgd._rbf_psd is False
