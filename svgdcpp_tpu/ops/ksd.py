@@ -97,8 +97,11 @@ def ksd_squared_rbf(
     total = jax.lax.fori_loop(0, num_tiles, tile_body, jnp.asarray(0.0, coords.dtype))
     if ustat:
         diag = jnp.sum(scores * scores) + n * tr_psym  # u_p(x_i, x_i) summed
-        return (total - diag) / (n * (n - 1))
-    return total / (n * n)
+        # float divisor: the Python int n*(n-1) exceeds int32 weak typing
+        # once n > ~46k (the f64 parity lane masks this; the f32 TPU path
+        # would fail at trace time).
+        return (total - diag) / (float(n) * float(n - 1))
+    return total / (float(n) * float(n))
 
 
 def ksd_squared_rbf_terms(

@@ -77,3 +77,15 @@ def test_gmm_example_covers_both_modes():
     c2 = final[d2 <= d1].mean(axis=0)
     assert np.linalg.norm(c1 - mean1) < 1.5
     assert np.linalg.norm(c2 - mean2) < 1.5
+
+
+def test_large_scale_example_runs_and_improves_ksd():
+    """The large-scale example (sized down for CPU) runs the fused path and
+    shrinks the KSD."""
+    import large_scale_example
+
+    out, ksd_before, ksd_after = large_scale_example.run(
+        num_particles=2048, num_iterations=40, verbose=False
+    )
+    assert out.shape == (2048, 2)
+    assert ksd_after < 0.8 * ksd_before

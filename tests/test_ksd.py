@@ -146,3 +146,27 @@ def test_ksd_rbf_kernel_argument(rng):
     )
     with pytest.raises(ValueError, match="composition"):
         ksd_rbf(model, x0, kernel=custom)
+
+
+def test_ksd_huge_n_no_int32_overflow():
+    """The n^2 normalization must not overflow int32 weak typing when
+    x64 is disabled (n > ~46k on the TPU path). Trace-only check via
+    eval_shape on a non-x64 closure — no O(n^2) compute."""
+    from svgdcpp_tpu.ops.ksd import ksd_squared_rbf
+
+    n, m = 100_000, 2
+    coords = jax.ShapeDtypeStruct((n, m), jnp.float32)
+    scores = jax.ShapeDtypeStruct((n, m), jnp.float32)
+    p = jnp.eye(m, dtype=jnp.float32)
+    prev = jax.config.jax_enable_x64
+    try:
+        jax.config.update("jax_enable_x64", False)
+        for ustat in (False, True):
+            out = jax.eval_shape(
+                lambda c, s: ksd_squared_rbf(c, s, p, row_tile=4096,
+                                             ustat=ustat),
+                coords, scores,
+            )
+            assert out.shape == ()
+    finally:
+        jax.config.update("jax_enable_x64", prev)
