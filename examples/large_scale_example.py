@@ -25,10 +25,10 @@ from svgdcpp_tpu.utils.workloads import flagship_mvn
 
 
 def run(num_particles=100_000, num_iterations=100, seed=0, verbose=True):
-    mean, cov, x0 = flagship_mvn(num_particles, dtype=np.float32)
+    mean, cov, x0 = flagship_mvn(num_particles, seed=seed, dtype=np.float32)
     dim = x0.shape[1]
 
-    model = sv.MultivariateNormal(mean.astype(np.float32), cov.astype(np.float32))
+    model = sv.MultivariateNormal(mean, cov)
     kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
     svgd = sv.SVGD(
         sv.SVGDOptions(
@@ -46,15 +46,19 @@ def run(num_particles=100_000, num_iterations=100, seed=0, verbose=True):
 
     ksd_before = float(sv.ksd_rbf(model, x0))
 
-    # Warm-up run compiles the whole-run device program; the timed run then
-    # measures steady state (sync via host transfer — this transport's
-    # block_until_ready can return before remote completion).
+    # First run compiles the whole-run device program and IS the advertised
+    # num_iterations trajectory: convergence stats come from its output. The
+    # second run (continuing in place, reference in-place contract
+    # SVGD.hpp:393) is timed for steady-state throughput only — it excludes
+    # compile time, and per-step cost is shape- not value-dependent. Sync via
+    # host transfer: this transport's block_until_ready can return before
+    # remote completion.
     out = np.asarray(svgd.run())
-    t0 = time.perf_counter()
-    out = np.asarray(svgd.run())
-    dt = time.perf_counter() - t0
-
     ksd_after = float(sv.ksd_rbf(model, out))
+
+    t0 = time.perf_counter()
+    np.asarray(svgd.run())
+    dt = time.perf_counter() - t0
     rate = num_particles * num_iterations / dt
     if verbose:
         print(

@@ -2,9 +2,10 @@
 
 Single definition of the flagship MVN configuration (the reference
 mvn_example target, examples/multivariate_normal/mvn_example.cpp:9-35) so
-bench.py, bench_scaling.py and __graft_entry__ cannot drift apart. The
-examples keep explicit literals on purpose — they are pedagogical mirrors
-of the reference sources.
+bench.py, bench_scaling.py, __graft_entry__ and the large-scale example
+cannot drift apart. The small pedagogical examples (mvn/gmm/blr/
+hierarchical) keep explicit literals on purpose — they are mirrors of the
+reference sources.
 """
 
 from __future__ import annotations
