@@ -33,23 +33,36 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 # ----------------------------------------------------------------------
 
 
-def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
-    """One SVGD step exactly as the reference computes it, vectorized."""
+def _numpy_median_gamma(x):
+    """Median bandwidth exactly as the reference computes it (n^2 dists
+    including self-zeros, even-count averaging; GaussianRBFKernel.hpp:164-187).
+
+    Memory note: at n=10k each n^2 f64 array is 800 MB, so the distance
+    vector is partitioned IN PLACE (no np.partition copy).
+    """
     n = x.shape[0]
-    # median bandwidth (GaussianRBFKernel.hpp:164-187): n^2 dists incl. zeros
     sq_norms = (x * x).sum(1)
     sq = np.maximum(sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T), 0.0)
     d = np.sqrt(sq.ravel())
     half = d.size // 2
     if d.size % 2 == 0:
-        part = np.partition(d, [half - 1, half])
-        med = 0.5 * (part[half - 1] + part[half])
+        d.partition([half - 1, half])
+        med = 0.5 * (d[half - 1] + d[half])
     else:
         # odd count: the single middle element (GaussianRBFKernel.hpp:246-253)
-        med = np.partition(d, half)[half]
-    gamma = np.log(n) / med**2
-    # phi (SVGD.hpp:407-454), closed-form RBF
-    k = np.exp(-gamma * sq)
+        d.partition(half)
+        med = d[half]
+    return np.log(n) / med**2, sq
+
+
+def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
+    """One SVGD step exactly as the reference computes it, vectorized."""
+    n = x.shape[0]
+    gamma, sq = _numpy_median_gamma(x)
+    # phi (SVGD.hpp:407-454), closed-form RBF; k consumes sq in place (one
+    # live n^2 buffer instead of two).
+    k = np.multiply(sq, -gamma, out=sq)
+    np.exp(k, out=k)
     scores = -(x - mean) @ cov_inv.T
     ks = k @ scores
     kx = k @ x
@@ -59,22 +72,6 @@ def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
     s_accum += phi * phi
     x = x + lr * phi / (eps + np.sqrt(s_accum))
     return x, s_accum
-
-
-def _numpy_median_gamma(x):
-    """Median bandwidth exactly as the reference computes it (n^2 dists
-    including self-zeros, even-count averaging; GaussianRBFKernel.hpp:164-187)."""
-    n = x.shape[0]
-    sq_norms = (x * x).sum(1)
-    sq = np.maximum(sq_norms[:, None] + sq_norms[None, :] - 2.0 * (x @ x.T), 0.0)
-    d = np.sqrt(sq.ravel())
-    half = d.size // 2
-    if d.size % 2 == 0:
-        part = np.partition(d, [half - 1, half])
-        med = 0.5 * (part[half - 1] + part[half])
-    else:
-        med = np.partition(d, half)[half]
-    return np.log(n) / med**2, sq
 
 
 def _numpy_blr_scores(x, features, labels, hierarchical, alpha=0.1, a0=1.0, b0=0.01):
@@ -105,11 +102,15 @@ def numpy_blr_step(x, opt, features, labels, hierarchical, lr, b1, b2, eps=1e-8,
     n = x.shape[0]
     scores = _numpy_blr_scores(x, features, labels, hierarchical)
     gamma, sq = _numpy_median_gamma(x)
-    k = np.exp(-gamma * sq)
+    # Two n^2 f64 buffers alive at peak (k + sq; the composed term then
+    # consumes sq in place) — at the hier config's n=10k each is 800 MB.
+    k = np.multiply(sq, -gamma)
+    np.exp(k, out=k)
     rowsum = k.sum(1)
     phi = k @ scores + 2.0 * gamma * (rowsum[:, None] * x - k @ x)
     if hierarchical:
-        k2 = np.exp(-const_gamma * sq)
+        k2 = np.multiply(sq, -const_gamma, out=sq)
+        np.exp(k2, out=k2)
         rs2 = k2.sum(1)
         phi += k2 @ scores + 2.0 * const_gamma * (rs2[:, None] * x - k2 @ x)
     phi /= n

@@ -218,3 +218,48 @@ def term_psd_flags(terms, adaptive_slots, parameters):
         all(ps > 0 and slot_psd(idx) for idx, ps in plist)
         for _, plist in terms
     ]
+
+
+def term_precision(plist, kernel_params):
+    """Effective precision matrix of one term: sum_i psign * params[idx].
+
+    Single definition of the slot-to-P reduction used by every consumer of
+    flattened terms (phi term sweeps, the ring variant, composed-kernel
+    KSD) so a change to the term representation has one home.
+    """
+    p = None
+    for idx, psign in plist:
+        contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
+        p = contrib if p is None else p + contrib
+    return p
+
+
+def term_gamma(plist, kernel_params):
+    """Effective isotropic gamma of one term: sum_i psign * params[idx][0, 0].
+
+    Only meaningful once ``fused_terms_eligible`` proved every slot is
+    isotropic (gamma * I) — the scalar twin of ``term_precision`` used by
+    the fused multi-term sweeps.
+    """
+    return sum(
+        float(psign) * kernel_params[idx][0, 0] for idx, psign in plist
+    )
+
+
+def refill_median_slots(kernel_params, median_slot_idx, gamma, dim, dtype,
+                        plists):
+    """Refill every median adaptive slot with ``gamma * I`` and return the
+    per-term effective gammas (``term_gamma`` over the refreshed tuple).
+
+    The in-scan half of the fused multi-term sweep's parameter refresh
+    (constant slots keep their state values), shared by the driver and
+    ShardedSVGD.
+    """
+    import jax.numpy as jnp
+
+    kparams = list(kernel_params)
+    med_scale = gamma * jnp.eye(dim, dtype=dtype)
+    for idx in median_slot_idx:
+        kparams[idx] = med_scale
+    kparams = tuple(kparams)
+    return kparams, [term_gamma(plist, kparams) for plist in plists]

@@ -154,17 +154,9 @@ class GaussianRBFKernel(Kernel):
         the initial positions' median (exact/hybrid, one-time cost) seeds
         the lag-1 scale; the bracket starts tight around it and is expanded
         by the movement bound each step."""
-        n, m = coords.shape
-        method = "auto" if self.median_method == "warm" else self.median_method
-        med = pairwise_distance_median(coords, method)
-        fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-        med = jnp.asarray(med, fdt)
-        return {
-            "med": med,
-            "lo": med * (1.0 - 1e-3),
-            "hi": med * (1.0 + 1e-3),
-            "disp": jnp.asarray(0.0, fdt),
-        }
+        from ..ops.median import fused_median_seed
+
+        return fused_median_seed(coords, self.median_method)
 
     def compute_scale_with_aux(self, coords, model_params=None, aux=None):
         """Scale computation threading warm-start aux through the scan."""

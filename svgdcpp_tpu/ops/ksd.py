@@ -122,16 +122,13 @@ def ksd_squared_rbf_terms(
     effective P, so their quadratic-form clamp is skipped (psd=False), like
     the phi path.
     """
-    from ..kernels.algebra import term_is_psd
+    from ..kernels.algebra import term_is_psd, term_precision
 
     if psd_flags is None:
         psd_flags = [term_is_psd(t) for t in terms]
     total = None
     for (sign, plist), t_psd in zip(terms, psd_flags):
-        p = None
-        for idx, psign in plist:
-            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
-            p = contrib if p is None else p + contrib
+        p = term_precision(plist, kernel_params)
         t_ksd2 = ksd_squared_rbf(
             coords, scores, p, row_tile, ustat=ustat, psd=t_psd
         )

@@ -669,3 +669,45 @@ def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.n
     if method == "histogram":
         return pairwise_distance_median_histogram(coords)
     raise ValueError(f"unknown median method: {method!r}")
+
+
+def fused_median_seed(coords: jnp.ndarray, method: str = "auto") -> dict:
+    """{med, lo, hi, disp} seed for the fused phi+median-count pipeline.
+
+    The INITIAL positions' median (a one-time cost, honoring the owning
+    kernel's ``median_method``) with a tight bracket that the per-step
+    movement bound then expands. Single definition shared by
+    GaussianRBFKernel.init_fused_aux, the driver's fused_terms seeding and
+    ShardedSVGD._init_scale_aux so the lag-1 contract cannot drift.
+    """
+    med = pairwise_distance_median(coords, method)
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    med = jnp.asarray(med, fdt)
+    return {
+        "med": med,
+        "lo": med * (1.0 - 1e-3),
+        "hi": med * (1.0 + 1e-3),
+        "disp": jnp.asarray(0.0, fdt),
+    }
+
+
+def fused_lag1_plan(med, lo, hi, disp, n_total, fused_bins, compute_dtype):
+    """Lag-1 scale + selection thresholds for the fused phi+median sweep.
+
+    Returns ``(gamma, lo_sq, hi_sq, thresholds)``: the PREVIOUS step's
+    verified median as this step's bandwidth (gamma = log(n)/med^2), and
+    the squared-distance bracket expanded by the movement bound (each
+    particle moved at most ``disp``, so any pairwise distance changed by at
+    most 2*disp) split into ``fused_bins`` selection edges. Single
+    definition shared by the driver step and ShardedSVGD.local_step so the
+    bracket/threshold numerics cannot drift between the two.
+    """
+    fdt = med.dtype
+    gamma = (jnp.log(float(n_total)) / (med * med)).astype(compute_dtype)
+    pad_d = 2.0 * disp + 1e-12
+    lo_d = jnp.maximum(lo - pad_d, 0.0)
+    hi_d = hi + pad_d
+    lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
+    edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
+    thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
+    return gamma, lo_sq, hi_sq, thresholds

@@ -323,16 +323,13 @@ def phi_rbf_terms_cross(
     quadratic-form clamp; without it the positional term_is_psd rule is
     used, which is only safe when every leaf parameter is PSD.
     """
-    from ..kernels.algebra import term_is_psd
+    from ..kernels.algebra import term_is_psd, term_precision
 
     if psd_flags is None:
         psd_flags = [term_is_psd(t) for t in terms]
     phi = None
     for (sign, plist), t_psd in zip(terms, psd_flags):
-        p = None
-        for idx, psign in plist:
-            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
-            p = contrib if p is None else p + contrib
+        p = term_precision(plist, kernel_params)
         t_phi = phi_rbf_cross(
             targets, sources, source_scores, p, row_tile,
             axis_name=axis_name, psd=t_psd,

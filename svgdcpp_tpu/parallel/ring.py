@@ -98,16 +98,13 @@ def ring_phi_rbf_terms(
     own closed-form ring sweep and the signed results sum — T Gram-identity
     ring passes instead of one VJP-replaying generic pass per rotation.
     ``psd_flags`` as in ops/phi.phi_rbf_terms_cross."""
-    from ..kernels.algebra import term_is_psd
+    from ..kernels.algebra import term_is_psd, term_precision
 
     if psd_flags is None:
         psd_flags = [term_is_psd(t) for t in terms]
     phi = None
     for (sign, plist), t_psd in zip(terms, psd_flags):
-        p = None
-        for idx, psign in plist:
-            contrib = kernel_params[idx] if psign > 0 else -kernel_params[idx]
-            p = contrib if p is None else p + contrib
+        p = term_precision(plist, kernel_params)
         t_phi = ring_phi_rbf(
             coords_local, scores_local, p, axis_name, n_global, psd=t_psd
         )

@@ -250,37 +250,11 @@ class ShardedSVGD:
                     "kernel_phi='rbf_terms' requires a `+ - * /` composition "
                     "of pure GaussianRBFKernels (see kernels/algebra.py)."
                 )
-            if self.config.fused_phi:
-                # Composed-kernel fused mode (the sharded mirror of the
-                # driver's phi_impl='fused_terms'): every term must collapse
-                # to an isotropic gamma_t * sq so one cross-shard sq sweep
-                # serves all terms + the median counts.
-                from ..kernels.algebra import fused_terms_eligible
-
-                if not fused_terms_eligible(
-                    self._rbf_terms, self._adaptive_slots, kernel.parameters
-                ):
-                    raise ValueError(
-                        "fused_phi with a kernel requires a `+ - * /` tree "
-                        "of pure RBFs whose adaptive slots are all median-"
-                        "scaled and whose constant slots are isotropic "
-                        "(gamma * I); use kernel_phi='rbf_terms'/'generic' "
-                        "for the general case."
-                    )
+            self._validate_fused_kernel()
         else:
             self._adaptive_slots = []
             self._rbf_terms = None
-        # PSD-ness of the clamped quadratic forms: MEDIAN scales are PSD by
-        # construction, HESSIAN scales may be indefinite (skip the clamp),
-        # constant matrices are eigenvalue-checked (see kernels/algebra).
-        from ..kernels.algebra import term_psd_flags
-
-        if self._rbf_terms is not None:
-            self._term_psd = term_psd_flags(
-                self._rbf_terms, self._adaptive_slots, kernel.parameters
-            )
-        else:
-            self._term_psd = None
+        self._refresh_psd()
         if self.config.scale_method == ScaleMethod.HESSIAN:
             self._rbf_psd = False
         elif self.config.scale_method == ScaleMethod.CONSTANT:
@@ -292,6 +266,72 @@ class ShardedSVGD:
         self._state = None
         self.stats = None
         self._build()
+
+    def _validate_fused_kernel(self):
+        """Composed-kernel fused mode (the sharded mirror of the driver's
+        phi_impl='fused_terms'): every term must collapse to an isotropic
+        gamma_t * sq so one cross-shard sq sweep serves all terms + the
+        median counts. Re-run on parameter hot-swap (the fused sweep reads
+        each constant slot as gamma = P[0, 0]; an anisotropic swap would be
+        silently truncated)."""
+        if not self.config.fused_phi:
+            return
+        from ..kernels.algebra import fused_terms_eligible
+
+        if not fused_terms_eligible(
+            self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+        ):
+            raise ValueError(
+                "fused_phi with a kernel requires a `+ - * /` tree "
+                "of pure RBFs whose adaptive slots are all median-"
+                "scaled and whose constant slots are isotropic "
+                "(gamma * I); use kernel_phi='rbf_terms'/'generic' "
+                "for the general case."
+            )
+
+    def _refresh_psd(self):
+        """PSD-ness of the clamped quadratic forms: MEDIAN scales are PSD by
+        construction, HESSIAN scales may be indefinite (skip the clamp),
+        constant matrices are eigenvalue-checked on their CURRENT values
+        (see kernels/algebra; re-run on parameter hot-swap, like the
+        driver's _refresh_psd)."""
+        from ..kernels.algebra import term_psd_flags
+
+        if self._rbf_terms is not None:
+            self._term_psd = term_psd_flags(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+        else:
+            self._term_psd = None
+
+    def update_kernel_parameters(self, params):
+        """Hot-swap composed-kernel parameters (the sharded mirror of the
+        driver's update_kernel_parameters; reference
+        SVGD::UpdateKernelParameters, SVGD.hpp:304-318).
+
+        Fused-sweep isotropy eligibility and the PSD clamp flags are
+        trace-time constants of the compiled step — they are re-derived
+        from the NEW values here and the step is rebuilt if a flag flipped.
+        Takes effect at the next init_state()/run(coords); a live state
+        pytree keeps the kernel_params it was built with.
+        """
+        if self.kernel is None:
+            from ..core.exceptions import UnsetError
+
+            raise UnsetError(
+                "update_kernel_parameters requires a composed/user kernel; "
+                "the built-in RBF fast path's scale is governed by "
+                "config.scale_method."
+            )
+        self.kernel.update_parameters(params)
+        self.kernel.initialize()
+        self._validate_fused_kernel()
+        before = self._term_psd
+        self._refresh_psd()
+        if self._term_psd != before:
+            self._build()
+
+    UpdateKernelParameters = update_kernel_parameters
 
     # ------------------------------------------------------------------
     def _scale(self, coords_local, sources_global, model_params):
@@ -511,7 +551,10 @@ class ShardedSVGD:
                 # verified median (lag-1, movement-bounded) + this step's
                 # psum'ed selection counts (driver phi_impl='fused' /
                 # 'fused_terms' mirror).
-                from ..ops.median import fused_median_from_counts
+                from ..ops.median import (
+                    fused_lag1_plan,
+                    fused_median_from_counts,
+                )
                 from ..ops.phi import (
                     phi_rbf_cross_fused_counts,
                     phi_rbf_terms_cross_fused_counts,
@@ -519,40 +562,26 @@ class ShardedSVGD:
 
                 lo_b, hi_b, disp_a, med = scale_aux
                 fdt = med.dtype
-                gamma = (
-                    jnp.log(float(n_global)) / (med * med)
-                ).astype(coords_local.dtype)
+                fbins = int(cfg.fused_bins)
+                gamma, lo_sq, hi_sq, thresholds = fused_lag1_plan(
+                    med, lo_b, hi_b, disp_a,
+                    n_global, fbins, coords_local.dtype,
+                )
                 if fused_terms:
                     # Refill the (median) adaptive slots with the lag-1
-                    # scale; each term's effective isotropic gamma is the
-                    # signed sum of its slots' P[0, 0] (isotropy proven at
-                    # construction).
-                    kparams = list(kparams)
-                    med_scale = gamma * jnp.eye(
-                        self.dimension, dtype=coords_local.dtype
+                    # scale; constant slots keep their state values
+                    # (isotropy proven at construction).
+                    from ..kernels.algebra import refill_median_slots
+
+                    kparams, gammas = refill_median_slots(
+                        kparams, median_slot_idx, gamma, self.dimension,
+                        coords_local.dtype, fused_term_plists,
                     )
-                    for idx in median_slot_idx:
-                        kparams[idx] = med_scale
-                    kparams = tuple(kparams)
-                    gammas = [
-                        sum(
-                            float(psign) * kparams[idx][0, 0]
-                            for idx, psign in plist
-                        )
-                        for plist in fused_term_plists
-                    ]
                 else:
                     kparams = (
                         gamma
                         * jnp.eye(self.dimension, dtype=coords_local.dtype),
                     )
-                pad_d = 2.0 * disp_a + 1e-12
-                lo_d = jnp.maximum(lo_b - pad_d, 0.0)
-                hi_d = hi_b + pad_d
-                lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
-                fbins = int(cfg.fused_bins)
-                edges = jnp.arange(0, fbins + 1, dtype=fdt)
-                thresholds = lo_sq + (hi_sq - lo_sq) * edges / fbins
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
                 if fused_terms:
                     phi_local, counts_local = phi_rbf_terms_cross_fused_counts(
@@ -724,6 +753,17 @@ class ShardedSVGD:
             raise DimensionMismatchError(
                 f"coords must be ({self.num_particles}, {self.dimension})."
             )
+        if self.kernel is not None:
+            # Catch direct kernel.update_parameters() mutations that bypassed
+            # update_kernel_parameters(): the PSD clamp / fused-isotropy
+            # flags are trace-time constants, so stale ones silently
+            # mis-clamp the quadratic forms. Re-derive on the current values
+            # (cheap (m, m) eigenvalue checks) and rebuild if flipped.
+            self._validate_fused_kernel()
+            before = self._term_psd
+            self._refresh_psd()
+            if self._term_psd != before:
+                self._build()
         sharding = NamedSharding(self.mesh, P(self.axis, None))
 
         def place(x):
@@ -777,16 +817,22 @@ class ShardedSVGD:
 
     def _init_scale_aux(self, coords, fdt):
         if self.config.fused_phi:
-            # Exact/hybrid median of the INITIAL positions seeds the lag-1
-            # fused pipeline (same contract as the driver's init_fused_aux).
-            from ..ops.median import pairwise_distance_median
+            # Median of the INITIAL positions seeds the lag-1 fused
+            # pipeline (the same fused_median_seed contract as the driver,
+            # honoring the adaptive leaves' median_method).
+            from ..ops.median import fused_median_seed
 
-            med = jnp.asarray(pairwise_distance_median(coords), fdt)
+            method = (
+                self._adaptive_slots[0][1].median_method
+                if self._adaptive_slots
+                else "auto"
+            )
+            seed = fused_median_seed(coords, method)
             return (
-                med * (1.0 - 1e-3),
-                med * (1.0 + 1e-3),
-                jnp.asarray(0.0, fdt),
-                med,
+                jnp.asarray(seed["lo"], fdt),
+                jnp.asarray(seed["hi"], fdt),
+                jnp.asarray(seed["disp"], fdt),
+                jnp.asarray(seed["med"], fdt),
             )
         return (
             jnp.asarray(0.0, fdt),

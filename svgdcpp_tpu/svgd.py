@@ -474,40 +474,32 @@ class SVGD:
                 # ONE O(n^2) sweep: phi with the PREVIOUS step's verified
                 # median (lag-1 — within the 2*disp movement bound of the
                 # current median) + this step's selection counts.
-                from .ops.median import count_le_cross, fused_median_from_counts
+                from .ops.median import (
+                    count_le_cross,
+                    fused_lag1_plan,
+                    fused_median_from_counts,
+                )
                 from .ops.phi import phi_rbf_fused_counts
 
                 n, m = coords.shape
                 aux = state["scale_aux"][0]
                 fdt = aux["med"].dtype
-                gamma = (jnp.log(float(n)) / (aux["med"] * aux["med"])).astype(
-                    coords.dtype
+                gamma, lo_sq, hi_sq, thresholds = fused_lag1_plan(
+                    aux["med"], aux["lo"], aux["hi"], aux["disp"],
+                    n, fused_bins, coords.dtype,
                 )
                 if fused_terms:
                     # Refill every (median) adaptive slot with the lag-1
-                    # scale; constant slots keep their state values. Each
-                    # term's effective isotropic gamma is the signed sum of
-                    # its slots' gamma = P[0, 0] (isotropy proven at init).
-                    kparams = list(state["kernel_params"])
-                    med_scale = gamma * jnp.eye(m, dtype=coords.dtype)
-                    for idx in median_slot_idx:
-                        kparams[idx] = med_scale
-                    kparams = tuple(kparams)
-                    gammas = [
-                        sum(
-                            float(psign) * kparams[idx][0, 0]
-                            for idx, psign in plist
-                        )
-                        for _, plist in self._rbf_terms
-                    ]
+                    # scale; constant slots keep their state values
+                    # (isotropy proven at init).
+                    from .kernels.algebra import refill_median_slots
+
+                    kparams, gammas = refill_median_slots(
+                        state["kernel_params"], median_slot_idx, gamma, m,
+                        coords.dtype, [p for _, p in self._rbf_terms],
+                    )
                 else:
                     kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
-                pad_d = 2.0 * aux["disp"] + 1e-12
-                lo_d = jnp.maximum(aux["lo"] - pad_d, 0.0)
-                hi_d = aux["hi"] + pad_d
-                lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
-                edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
-                thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
                 if fused_terms_pallas:
                     from .ops.pallas_phi import phi_rbf_terms_fused_pallas
 
@@ -683,21 +675,19 @@ class SVGD:
             # positions seeds the lag-1 fused pipeline.
             return (self.kernel.init_fused_aux(coords),)
         if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
-            # Composed kernel: same lag-1 seed, computed directly (the root
-            # Kernel has no init_fused_aux — only RBF leaves do).
-            from .ops.median import pairwise_distance_median
+            # Composed kernel: same lag-1 seed as init_fused_aux, computed
+            # at the root (only RBF leaves have init_fused_aux). Honor the
+            # adaptive leaves' median_method — a leaf built with
+            # median_method='exact' keeps the strict reference-parity seed
+            # it would get on the uncomposed fused path.
+            from .ops.median import fused_median_seed
 
-            med = pairwise_distance_median(coords, "auto")
-            fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-            med = jnp.asarray(med, fdt)
-            return (
-                {
-                    "med": med,
-                    "lo": med * (1.0 - 1e-3),
-                    "hi": med * (1.0 + 1e-3),
-                    "disp": jnp.asarray(0.0, fdt),
-                },
+            method = (
+                self._adaptive_slots[0][1].median_method
+                if self._adaptive_slots
+                else "auto"
             )
+            return (fused_median_seed(coords, method),)
         return tuple(
             owner.init_scale_aux(coords)
             if hasattr(owner, "init_scale_aux")

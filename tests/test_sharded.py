@@ -591,3 +591,87 @@ def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(final["coords"]), full, rtol=1e-12, atol=1e-15
     )
+
+
+def test_sharded_kernel_hotswap_revalidates_psd(mesh, rng):
+    """Swapping a composed kernel's constant slot to an INDEFINITE matrix
+    must flip the trace-time PSD clamp flag (and match the driver, which
+    re-validates in update_kernel_parameters) — regression for the sharded
+    path silently keeping the stale clamp and truncating k > 1 values."""
+    n, dim, iters = 32, 2, 4
+    mean = np.array([0.5, -1.0])
+    cov = np.array([[1.0, 0.2], [0.2, 0.8]])
+    x0 = rng.normal(size=(n, dim)) * 2
+    indefinite = np.diag([0.05, -0.08])  # exp(-d^T P d) legitimately > 1
+
+    def swapped_params(kernel):
+        params = list(kernel.parameters)
+        params[1] = indefinite
+        return tuple(params)
+
+    model = sv.MultivariateNormal(mean, cov)
+    kernel = _composed_kernel(x0, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="rbf_terms",
+        )
+    )
+    svgd.initialize()
+    assert svgd._term_psd == [True, True]
+    svgd.update_kernel_parameters(swapped_params(kernel))
+    assert svgd._term_psd == [True, False]
+    single = np.asarray(svgd.run())
+
+    model2 = sv.MultivariateNormal(mean, cov)
+    kernel2 = _composed_kernel(x0, model2)
+    sharded = ShardedSVGD(
+        model2, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel2,
+        config=ShardedSVGDConfig(
+            median_bins=1024, median_passes=4, row_tile=4, warm_start=False,
+            kernel_phi="rbf_terms",
+        ),
+    )
+    assert sharded._term_psd == [True, True]
+    sharded.update_kernel_parameters(swapped_params(kernel2))
+    assert sharded._term_psd == [True, False]
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    np.testing.assert_allclose(out, single, rtol=1e-5, atol=1e-5)
+
+    # Direct kernel mutation (bypassing update_kernel_parameters) is caught
+    # by init_state's staleness check.
+    model3 = sv.MultivariateNormal(mean, cov)
+    kernel3 = _composed_kernel(x0, model3)
+    sharded3 = ShardedSVGD(
+        model3, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel3,
+        config=ShardedSVGDConfig(
+            median_bins=1024, median_passes=4, row_tile=4, warm_start=False,
+            kernel_phi="rbf_terms",
+        ),
+    )
+    kernel3.update_parameters(swapped_params(kernel3))
+    out3 = np.asarray(sharded3.run(x0.copy(), iters))
+    assert sharded3._term_psd == [True, False]
+    np.testing.assert_allclose(out3, single, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_fused_hotswap_rejects_anisotropic(mesh, rng):
+    """fused_phi reads each constant slot as gamma = P[0, 0]; an
+    anisotropic hot-swap must be rejected, not silently truncated (same
+    contract as the driver's fused_terms update_kernel_parameters)."""
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim)) * 2
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = _composed_kernel(x0, model)
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel,
+        config=ShardedSVGDConfig(fused_phi=True, row_tile=4),
+    )
+    params = list(kernel.parameters)
+    params[1] = np.diag([0.3, 0.1])  # anisotropic
+    with pytest.raises(ValueError, match="isotropic"):
+        sharded.update_kernel_parameters(tuple(params))
