@@ -365,3 +365,39 @@ def test_sharded_fused_terms_rejects_anisotropic(rng):
             kernel=_hier_kernel(x0, model, anisotropic=True),
             config=ShardedSVGDConfig(fused_phi=True, row_tile=4),
         )
+
+
+def test_fused_terms_seed_honors_exact_median_method(rng):
+    """A composed kernel whose adaptive leaves were built with
+    median_method='exact' must get the EXACT median as the lag-1 fused
+    seed, not the 'auto' (hybrid-at-scale) one — regression for the seed
+    drift between init_fused_aux and the driver's fused_terms branch."""
+    from svgdcpp_tpu.ops.median import (
+        EXACT_MEDIAN_MAX_PARTICLES,
+        pairwise_distance_median_exact,
+        pairwise_distance_median_hybrid,
+    )
+
+    n, dim = 600, 2
+    assert n > EXACT_MEDIAN_MAX_PARTICLES  # 'auto' would pick hybrid here
+    x0 = rng.normal(size=(n, dim))
+    exact = float(pairwise_distance_median_exact(jnp.asarray(x0)))
+    hybrid = float(pairwise_distance_median_hybrid(jnp.asarray(x0)))
+    assert exact != hybrid  # the drift is observable at this n
+
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model, median_method="exact"
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=0.25 * np.eye(dim)
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused_terms",
+        )
+    )
+    svgd.initialize()
+    seed = svgd._current_scale_aux(jnp.asarray(x0))[0]
+    assert float(seed["med"]) == exact
