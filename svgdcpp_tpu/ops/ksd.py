@@ -126,6 +126,13 @@ def ksd_squared_rbf_terms(
 
     if psd_flags is None:
         psd_flags = [term_is_psd(t) for t in terms]
+    elif len(psd_flags) != len(terms):
+        # zip() would silently drop trailing terms (stale flags
+        # from a filtered/hot-swapped term list) — fail loudly.
+        raise ValueError(
+            f"psd_flags has {len(psd_flags)} entries for "
+            f"{len(terms)} terms"
+        )
     total = None
     for (sign, plist), t_psd in zip(terms, psd_flags):
         p = term_precision(plist, kernel_params)

@@ -104,18 +104,19 @@ def kth_smallest_hist(hist_fn, k, lo, hi, *, bins: int = 1024, passes: int = 3,
 
 
 def cross_sq_hist(rows_coords: jnp.ndarray, cols_coords: jnp.ndarray, lo, hi, *,
-                  bins: int, row_tile: int, count_dtype=jnp.int32,
-                  axis_name=None):
+                  bins: int, row_tile: int, count_dtype=jnp.int32):
     """Histogram of ||r_i - c_j||^2 over all (rows x cols) pairs in [lo, hi).
 
     Tile-streamed over row blocks: memory O(row_tile * n_cols), never
-    O(n^2) (the ring-attention-shaped requirement from SURVEY.md §5). In the
-    sharded median, ``rows_coords`` is the local particle shard and
-    ``cols_coords`` the all-gathered global set — each shard then covers a
-    disjoint row-block of the global n x n pair matrix.
+    O(n^2) (the ring-attention-shaped requirement from SURVEY.md §5).
+    Inputs are shifted by the column mean like count_le_cross (f32
+    Gram-identity cancellation guard; exact for the distances).
     """
     from .pairwise import auto_row_tile
 
+    center = jnp.mean(cols_coords, axis=0)
+    rows_coords = rows_coords - center
+    cols_coords = cols_coords - center
     n_r = rows_coords.shape[0]
     n_c = cols_coords.shape[0]
     row_tile = auto_row_tile(n_c, row_tile)
@@ -170,6 +171,8 @@ def pairwise_distance_median_histogram(
     averaged exactly like the reference's even-count rule
     (GaussianRBFKernel.hpp:224-245).
     """
+    coords = jnp.asarray(coords)
+    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
     cdt = _count_dtype(total)
@@ -180,6 +183,9 @@ def pairwise_distance_median_histogram(
         coords, lo, hi, bins=bins, row_tile=row_tile, count_dtype=cdt
     )
     if total % 2 == 0:
+        # Two independent refinements (2*passes full sweeps); fine for this
+        # parity-only cross-validation path — the hot paths batch both
+        # middle ranks per pass (kth_smallest_bisect).
         a = kth_smallest_hist(hist_fn, total // 2, 0.0, hi0, bins=bins,
                               passes=passes, count_dtype=cdt)
         b = kth_smallest_hist(hist_fn, total // 2 + 1, 0.0, hi0, bins=bins,
@@ -209,9 +215,19 @@ def count_le_cross(rows_coords, cols_coords, thresholds, *, row_tile: int = 2048
     Tile-streamed (memory O(row_tile * n_cols)); counts accumulate in f32 —
     at n=100k the ~2^-24 relative rounding is a rank slop of a few hundred
     out of 1e10, invisible to a bandwidth median.
+
+    Both inputs are shifted by the COLUMN mean internally (distances are
+    translation-invariant; the shared shift preserves them exactly): the
+    Gram-identity squared distances lose ~eps * |x|^2 in f32, so an
+    off-origin cluster at offset 1e4 would otherwise produce garbage counts.
+    Under shard_map, pass the gathered GLOBAL set as ``cols_coords`` so the
+    shift is identical on every shard.
     """
     from .pairwise import auto_row_tile
 
+    center = jnp.mean(cols_coords, axis=0)
+    rows_coords = rows_coords - center
+    cols_coords = cols_coords - center
     n_r = rows_coords.shape[0]
     n_c = cols_coords.shape[0]
     row_tile = auto_row_tile(n_c, row_tile)

@@ -327,6 +327,13 @@ def phi_rbf_terms_cross(
 
     if psd_flags is None:
         psd_flags = [term_is_psd(t) for t in terms]
+    elif len(psd_flags) != len(terms):
+        # zip() would silently drop trailing terms (stale flags
+        # from a filtered/hot-swapped term list) — fail loudly.
+        raise ValueError(
+            f"psd_flags has {len(psd_flags)} entries for "
+            f"{len(terms)} terms"
+        )
     phi = None
     for (sign, plist), t_psd in zip(terms, psd_flags):
         p = term_precision(plist, kernel_params)

@@ -305,3 +305,33 @@ def test_warm_full_fallback_end_to_end(rng):
     exact = np_pairwise_median(coords)
     assert abs(float(med) - exact) <= 1e-4 * exact
     assert float(lo) - 1e-9 <= exact <= float(hi) + 1e-9
+
+
+def test_count_le_cross_off_center_f32(rng):
+    """count_le_cross centers internally (column mean), so counts at the
+    exact median stay correct for an offset-1e4 f32 cluster — regression for
+    the uncentered Gram identity destroying the sharded/warm medians."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import count_le_cross
+
+    n = 400
+    coords = (rng.normal(size=(n, 2)) + 1e4).astype(np.float32)
+    exact = np_pairwise_median(coords.astype(np.float64))
+    c = float(
+        count_le_cross(
+            jnp.asarray(coords), jnp.asarray(coords),
+            jnp.asarray([exact * exact], jnp.float32), row_tile=128,
+        )[0]
+    )
+    # The exact median's rank among all n^2 squared distances.
+    assert abs(c - n * n / 2) <= n, c
+
+
+def test_histogram_median_off_center_f32(rng):
+    """The scatter-histogram (parity) median centers like every other path."""
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_histogram
+
+    coords = (rng.normal(size=(300, 2)) + 1e4).astype(np.float32)
+    exact = np_pairwise_median(coords.astype(np.float64))
+    approx = float(pairwise_distance_median_histogram(coords, row_tile=128))
+    assert abs(approx - exact) <= 1e-3 * exact, (approx, exact)
