@@ -143,9 +143,13 @@ class GaussianRBFKernel(Kernel):
         ):
             return None
         fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        # One bracket per middle order statistic (ops/median.two_rank_edges);
+        # hi < lo marks a cold start.
         return {
-            "lo": jnp.asarray(0.0, fdt),
-            "hi": jnp.asarray(-1.0, fdt),  # hi < lo => cold start
+            "lo1": jnp.asarray(0.0, fdt),
+            "hi1": jnp.asarray(-1.0, fdt),
+            "lo2": jnp.asarray(0.0, fdt),
+            "hi2": jnp.asarray(-1.0, fdt),
             "disp": jnp.asarray(0.0, fdt),
         }
 
@@ -165,11 +169,15 @@ class GaussianRBFKernel(Kernel):
         from ..ops.median import pairwise_distance_median_warm
 
         n, m = coords.shape
-        med, lo, hi = pairwise_distance_median_warm(
-            coords, aux["lo"], aux["hi"], aux["disp"]
+        med, lo1, hi1, lo2, hi2 = pairwise_distance_median_warm(
+            coords, aux["lo1"], aux["hi1"], aux["lo2"], aux["hi2"],
+            aux["disp"],
         )
         scale = scale_from_median(med, n, m, coords.dtype)
-        return scale, {"lo": lo, "hi": hi, "disp": aux["disp"]}
+        return scale, {
+            "lo1": lo1, "hi1": hi1, "lo2": lo2, "hi2": hi2,
+            "disp": aux["disp"],
+        }
 
     def compute_scale_pure(self, coords: jnp.ndarray, model_params=None) -> jnp.ndarray:
         """Pure inverse-scale computation — the jit/scan-safe hot path.

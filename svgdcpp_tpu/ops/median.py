@@ -274,6 +274,21 @@ def kth_smallest_bisect(count_le_fn, ks, lo, hi, *, bins: int = 16,
     (hi - lo) / bins**passes; midpoints are returned, shape (R,)
     (defaults: ~6e-8 relative).
     """
+    mids, _, _ = kth_smallest_bisect_intervals(
+        count_le_fn, ks, lo, hi, bins=bins, passes=passes
+    )
+    return mids
+
+
+def kth_smallest_bisect_intervals(count_le_fn, ks, lo, hi, *, bins: int = 16,
+                                  passes: int = 6):
+    """kth_smallest_bisect also returning the final PER-RANK intervals.
+
+    Returns (midpoints (R,), lo (R,), hi (R,)): each rank's value is
+    guaranteed inside its own [lo_r, hi_r] — the seed for warm-started
+    per-rank bracket tracking (each rank refines independently, so a
+    distance gap between two ranks never stalls the refinement).
+    """
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     ks = jnp.atleast_1d(jnp.asarray(ks, jnp.float32))
     r = ks.shape[0]
@@ -287,7 +302,123 @@ def kth_smallest_bisect(count_le_fn, ks, lo, hi, *, bins: int = 16,
         b = jnp.argmax(cum >= ks[:, None], axis=1)  # first edge with rank >= k
         lo = lo + b.astype(fdt) * width
         hi = lo + width
-    return 0.5 * (lo + hi)
+    return 0.5 * (lo + hi), lo, hi
+
+
+# ----------------------------------------------------------------------
+# Two-rank bracket tracking (the median's k1 = total//2 and k2 = k1 + 1)
+# ----------------------------------------------------------------------
+#
+# The two middle order statistics are ADJACENT ranks, yet their VALUES can
+# straddle an arbitrarily wide distance gap (two equal clusters: s[k1] is
+# the largest within-cluster distance, s[k2] the smallest cross-cluster
+# one). A single shared bracket can therefore never shrink below the gap —
+# a joint-hull refinement silently returns gap-scale-biased "medians" while
+# its containment check keeps passing. Every selector below tracks ONE
+# bracket PER RANK instead: overlapping brackets share uniform edges over
+# their hull (the unimodal common case, cost identical to a single
+# bracket); disjoint brackets spend the same edge budget refining the WIDER
+# bracket (the other is kept, padded by the movement bound), so both shrink
+# geometrically across steps/passes with a fixed per-pass edge count.
+
+
+def two_rank_edges(lo1, hi1, lo2, hi2, num_edges: int, dtype):
+    """Monotone squared-distance edge vector covering both rank brackets.
+
+    Returns (edges (num_edges,), upd1, upd2) where upd_r says whether
+    bracket r should be updated from this round's first-crossing selection:
+
+    * overlapping brackets — uniform edges over the hull [lo1, hi2], both
+      updated (the unimodal common case; identical cost to a single
+      bracket);
+    * disjoint, num_edges >= 7 — the edge budget splits between the two
+      brackets (~half each), both updated;
+    * disjoint, small budget — all refinement edges go to the WIDER
+      bracket (the other keeps its current, movement-padded interval,
+      whose containment the pad guarantees); the far end of the kept
+      bracket still gets one edge so the global containment check
+      (count(edges[0]) < k1 <= k2 <= count(edges[-1])) always holds.
+
+    Requires num_edges >= 3.
+    """
+    e = num_edges
+    idx = jnp.arange(e, dtype=dtype)
+    hull = lo1 + (hi2 - lo1) * idx / (e - 1)
+    merged = lo2 <= hi1
+    if e >= 7:
+        # split-both: h edges (h-1 bins) on bracket 1, the rest on bracket 2
+        h = (e + 1) // 2
+        e_1 = lo1 + (hi1 - lo1) * idx / (h - 1)
+        e_2 = lo2 + (hi2 - lo2) * (idx - h) / (e - 1 - h)
+        split_edges = jnp.where(idx < h, e_1, e_2)
+        edges = jnp.where(merged, hull, split_edges)
+        always = jnp.asarray(True)
+        return edges, always, always
+    width1 = hi1 - lo1
+    width2 = hi2 - lo2
+    refine1 = width1 >= width2
+    # refine bracket 1: [lo1 .. hi1] uniformly, last edge at hi2
+    e_a = jnp.where(idx <= e - 2, lo1 + (hi1 - lo1) * idx / (e - 2), hi2)
+    # refine bracket 2: first edge at lo1, [lo2 .. hi2] uniformly
+    e_b = jnp.where(idx == 0, lo1, lo2 + (hi2 - lo2) * (idx - 1) / (e - 2))
+    split_edges = jnp.where(refine1, e_a, e_b)
+    edges = jnp.where(merged, hull, split_edges)
+    return edges, merged | refine1, merged | ~refine1
+
+
+def _rank_interval(edges, cum, kf):
+    """First-crossing interval (edges[i-1], edges[i]] containing rank kf.
+
+    ``edges`` monotone, ``cum`` the cumulative counts at them. Only valid
+    when cum[0] < kf <= cum[-1] (checked by the caller)."""
+    i = jnp.argmax(cum >= kf)
+    lo = edges[jnp.maximum(i - 1, 0)]
+    return lo, edges[i]
+
+
+def _select_two_ranks(edges, cum, k1f, k2f, upd1, upd2,
+                      lo1, hi1, lo2, hi2):
+    """Per-rank interval update from one count pass over ``edges``.
+
+    A bracket with upd_r False keeps its current (movement-padded)
+    interval — see two_rank_edges."""
+    s1_lo, s1_hi = _rank_interval(edges, cum, k1f)
+    s2_lo, s2_hi = _rank_interval(edges, cum, k2f)
+    new1 = (jnp.where(upd1, s1_lo, lo1), jnp.where(upd1, s1_hi, hi1))
+    new2 = (jnp.where(upd2, s2_lo, lo2), jnp.where(upd2, s2_hi, hi2))
+    return new1[0], new1[1], new2[0], new2[1]
+
+
+def _refine_two_ranks(count_fn, k1, k2, lo1, hi1, lo2, hi2, *, bins: int,
+                      passes: int):
+    """Localize ranks k1 <= k2 with per-rank intervals (squared space).
+
+    Each pass issues bins + 1 thresholds built by :func:`two_rank_edges`
+    and shrinks the refined bracket(s) by the available bin count — a
+    distance gap between the two ranks splits the brackets instead of
+    stalling the refinement (the old joint-hull scheme never shrank across
+    a gap). Returns (v1, v2, valid, (lo1, hi1, lo2, hi2)) with v_r the
+    final interval midpoints; ``valid`` confirms both ranks were inside
+    the initial brackets.
+    """
+    fdt = lo1.dtype
+    k1f = jnp.asarray(k1, jnp.float32)
+    k2f = jnp.asarray(k2, jnp.float32)
+    valid = (hi1 > lo1) & (hi2 >= lo2) & (lo2 >= lo1)
+    for p in range(passes):
+        edges, upd1, upd2 = two_rank_edges(
+            lo1, hi1, lo2, hi2, bins + 1, fdt
+        )
+        cum = count_fn(edges)
+        if p == 0:
+            # containment: k-th values must lie inside (edges[0], edges[-1]]
+            valid = valid & (cum[0] < k1f) & (cum[-1] >= k2f)
+        lo1, hi1, lo2, hi2 = _select_two_ranks(
+            edges, cum, k1f, k2f, upd1, upd2, lo1, hi1, lo2, hi2
+        )
+    v1 = 0.5 * (lo1 + hi1)
+    v2 = 0.5 * (lo2 + hi2)
+    return v1, v2, valid, (lo1, hi1, lo2, hi2)
 
 
 @partial(jax.jit, static_argnames=("bins", "passes", "row_tile"))
@@ -374,38 +505,32 @@ def median_sq_bracket_from_sample(coords: jnp.ndarray, num_samples: int,
     return s[r_lo], s[r_hi]
 
 
-def _refine_pair_in_bracket(count_fn, k1, k2, lo, hi, *, bins: int, passes: int):
-    """Localize ranks k1 <= k2 inside [lo, hi) with SHARED edge batches.
+def _middle_ranks(total: int):
+    """The reference's even/odd median ranks (GaussianRBFKernel.hpp:224-253):
+    (total//2, total//2 + 1) averaged for even counts, the single middle
+    rank twice for odd ones."""
+    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
+    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    return k1, k2
 
-    Each pass issues bins+1 thresholds (the bracket edges); both ranks'
-    buckets are read off the same cumulative counts and the interval shrinks
-    to the hull of the two buckets (>= bins/2 shrink per pass; bins when the
-    ranks share a bucket, the common case). Returns (value_k1, value_k2,
-    bracket_valid, (final_lo, final_hi)) where bracket_valid confirms both
-    ranks were inside the initial bracket and the final hull still contains
-    both order statistics (seed for warm-started selection next step).
-    """
-    fdt = lo.dtype
-    k1 = jnp.asarray(k1, jnp.float32)
-    k2 = jnp.asarray(k2, jnp.float32)
-    edges01 = jnp.arange(0, bins + 1, dtype=fdt)
-    valid = hi > lo  # degenerate/uninitialized brackets are invalid
-    v1 = v2 = None
-    for p in range(passes):
-        width = (hi - lo) / bins
-        thresholds = lo + width * edges01  # (bins+1,) incl. both ends
-        cum = count_fn(thresholds)
-        if p == 0:
-            # bracket verification: k-th values must lie inside (lo, hi]
-            valid = valid & (cum[0] < k1) & (cum[-1] >= k2)
-        b1 = jnp.argmax(cum[1:] >= k1)  # bucket of k1 among bins buckets
-        b2 = jnp.argmax(cum[1:] >= k2)
-        v1 = lo + (b1.astype(fdt) + 0.5) * width
-        v2 = lo + (b2.astype(fdt) + 0.5) * width
-        new_lo = lo + b1.astype(fdt) * width
-        new_hi = lo + (b2.astype(fdt) + 1.0) * width
-        lo, hi = new_lo, new_hi
-    return v1, v2, valid, (lo, hi)
+
+def _full_bisect_two_ranks(count_fn, total: int, hi0, *, bins: int,
+                           passes: int):
+    """Cold-start fallback: full-range per-rank bisection of both middle
+    order statistics. Returns (median_distance, (lo1, hi1, lo2, hi2)) with
+    the brackets in DISTANCE space, slack-expanded so they genuinely
+    contain the order statistics (else the next warm containment check
+    could fail forever once the movement pad ~ 0)."""
+    k1, k2 = _middle_ranks(total)
+    ks = (k1, k2) if k2 != k1 else (k1,)
+    mids, lo_sq, hi_sq = kth_smallest_bisect_intervals(
+        count_fn, ks, 0.0, hi0, bins=bins, passes=passes
+    )
+    med = jnp.mean(jnp.sqrt(mids))
+    slack = hi0 / (float(bins) ** passes)
+    lo_d = jnp.sqrt(jnp.maximum(lo_sq - slack, 0.0))
+    hi_d = jnp.sqrt(hi_sq + slack)
+    return med, (lo_d[0], hi_d[0], lo_d[-1], hi_d[-1])
 
 
 def pairwise_distance_median_hybrid(
@@ -428,8 +553,7 @@ def pairwise_distance_median_hybrid(
     coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
-    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
-    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    k1, k2 = _middle_ranks(total)
 
     count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
     lo_s, hi_s = median_sq_bracket_from_sample(coords, min(num_samples, total))
@@ -437,19 +561,24 @@ def pairwise_distance_median_hybrid(
     lo_s = lo_s.astype(fdt)
     hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
 
-    v1, v2, valid, _ = _refine_pair_in_bracket(
-        count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
+    v1, v2, valid, (r1l, r1h, r2l, r2h) = _refine_two_ranks(
+        count_fn, k1, k2, lo_s, hi_s, lo_s, hi_s, bins=bins, passes=passes
     )
+    # Resolution quality gate: when the median straddles a distance gap
+    # (balanced bimodal data) the low pass count can leave one rank's
+    # interval coarse — take the exact per-rank bisection instead of
+    # returning a bucket-midpoint guess.
+    valid = valid & ((r1h - r1l) <= 2e-3 * v1 + 1e-30)
+    valid = valid & ((r2h - r2l) <= 2e-3 * v2 + 1e-30)
     fast = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
 
     def fallback(_):
         sq_norms = jnp.sum(coords * coords, axis=1)
         hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
-        ks = (k1, k2) if total % 2 == 0 else (k1,)
-        mids = kth_smallest_bisect(
-            count_fn, ks, 0.0, hi0, bins=fallback_bins, passes=fallback_passes
+        med, _ = _full_bisect_two_ranks(
+            count_fn, total, hi0, bins=fallback_bins, passes=fallback_passes
         )
-        return jnp.mean(jnp.sqrt(mids))
+        return med
 
     return jax.lax.cond(valid, lambda _: fast, fallback, operand=None)
 
@@ -463,8 +592,10 @@ def warm_median_select(
     count_fn,
     total: int,
     hi0,
-    bracket_lo_d,
-    bracket_hi_d,
+    lo1_d,
+    hi1_d,
+    lo2_d,
+    hi2_d,
     max_disp,
     *,
     sample_bracket_fn=None,
@@ -480,19 +611,20 @@ def warm_median_select(
     Between consecutive steps every particle moves by at most ``max_disp``,
     so every pairwise DISTANCE — and hence every order statistic, including
     the median — changes by at most 2 * max_disp. Expanding the previous
-    step's localization interval by that guaranteed bound gives a tight,
-    deterministic bracket with no per-step pair sampling or sorting; the
-    count pass itself verifies containment, chaining to the sample bracket
-    (when ``sample_bracket_fn`` is given) and then the full [0, hi0]
-    bisection on (rare) failure. ``count_fn`` may psum over a mesh axis —
-    the selection is then replicated on every shard.
+    step's PER-RANK localization intervals by that guaranteed bound gives
+    tight, deterministic brackets with no per-step pair sampling or sorting
+    (one bracket per middle order statistic: a distance gap between them —
+    two balanced clusters — would stall a shared bracket forever, see
+    two_rank_edges); the count pass itself verifies containment, chaining
+    to the sample bracket (when ``sample_bracket_fn`` is given) and then
+    the full [0, hi0] bisection on (rare) failure. ``count_fn`` may psum
+    over a mesh axis — the selection is then replicated on every shard.
 
-    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d); brackets
-    live in DISTANCE space (the movement bound is additive there). Pass an
-    empty bracket (hi < lo, e.g. (0, -1)) on the first step.
+    Returns (median_distance, lo1, hi1, lo2, hi2); brackets live in
+    DISTANCE space (the movement bound is additive there). Pass empty
+    brackets (hi < lo, e.g. (0, -1, 0, -1)) on the first step.
     """
-    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
-    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    k1, k2 = _middle_ranks(total)
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
     # Sentinel check BEFORE any arithmetic: an uninitialized bracket is
@@ -500,32 +632,25 @@ def warm_median_select(
     # manufacture a plausible-looking [0, ~1] squared bracket that the
     # count verification can wrongly accept when the median happens to lie
     # inside it.
-    bracket_initialized = bracket_hi_d >= bracket_lo_d
+    bracket_initialized = (hi1_d >= lo1_d) & (hi2_d >= lo2_d)
     pad = 2.0 * max_disp + 1e-12
-    lo_d = jnp.maximum(bracket_lo_d - pad, 0.0).astype(fdt)
-    hi_d = jnp.maximum(bracket_hi_d + pad, 0.0).astype(fdt)
-    # The warm bracket is only a few displacement-bounds wide, so a single
+    lo1 = jnp.maximum(lo1_d - pad, 0.0).astype(fdt)
+    hi1 = jnp.maximum(hi1_d + pad, 0.0).astype(fdt)
+    lo2 = jnp.maximum(lo2_d - pad, 0.0).astype(fdt)
+    hi2 = jnp.maximum(hi2_d + pad, 0.0).astype(fdt)
+    # The warm brackets are only a few displacement-bounds wide, so a single
     # refinement pass already localizes to ~(bracket/bins); the cold branch
     # (sample bracket ~1e-3 of range) keeps the deeper refinement.
-    v1, v2, warm_valid, (flo, fhi) = _refine_pair_in_bracket(
-        count_fn, k1, k2, lo_d * lo_d, hi_d * hi_d, bins=warm_bins,
-        passes=warm_passes,
+    v1, v2, warm_valid, (f1l, f1h, f2l, f2h) = _refine_two_ranks(
+        count_fn, k1, k2, lo1 * lo1, hi1 * hi1, lo2 * lo2, hi2 * hi2,
+        bins=warm_bins, passes=warm_passes,
     )
     warm_valid = warm_valid & bracket_initialized
 
     def full(_):
-        mids = kth_smallest_bisect(
-            count_fn, (k1, k2), 0.0, hi0, bins=fallback_bins,
-            passes=fallback_passes,
+        return _full_bisect_two_ranks(
+            count_fn, total, hi0, bins=fallback_bins, passes=fallback_passes
         )
-        med = jnp.mean(jnp.sqrt(mids))
-        # mids are bucket MIDPOINTS; expand by the final bucket width so the
-        # returned bracket genuinely contains the order statistics (else the
-        # next warm containment check can fail forever once disp ~ 0).
-        slack = hi0 / (float(fallback_bins) ** fallback_passes)
-        lo_b = jnp.sqrt(jnp.maximum(mids[0] - slack, 0.0))
-        hi_b = jnp.sqrt(mids[-1] + slack)
-        return med, lo_b, hi_b
 
     if sample_bracket_fn is not None:
 
@@ -533,13 +658,23 @@ def warm_median_select(
             lo_s, hi_s = sample_bracket_fn()
             lo_s = lo_s.astype(fdt)
             hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
-            c_v1, c_v2, c_valid, (c_lo, c_hi) = _refine_pair_in_bracket(
-                count_fn, k1, k2, lo_s, hi_s, bins=bins, passes=passes
+            c_v1, c_v2, c_valid, (c1l, c1h, c2l, c2h) = _refine_two_ranks(
+                count_fn, k1, k2, lo_s, hi_s, lo_s, hi_s,
+                bins=bins, passes=passes,
             )
+            # Same resolution gate as the hybrid one-shot: a gap-straddling
+            # cold start takes the exact bisection instead of a coarse
+            # bucket midpoint (the warm per-step branch is instead bounded
+            # by the movement pad, so it needs no gate).
+            c_valid = c_valid & ((c1h - c1l) <= 2e-3 * c_v1 + 1e-30)
+            c_valid = c_valid & ((c2h - c2l) <= 2e-3 * c_v2 + 1e-30)
 
             def ok(_):
                 med = 0.5 * (jnp.sqrt(c_v1) + jnp.sqrt(c_v2))
-                return med, jnp.sqrt(jnp.maximum(c_lo, 0.0)), jnp.sqrt(c_hi)
+                return med, (
+                    jnp.sqrt(jnp.maximum(c1l, 0.0)), jnp.sqrt(c1h),
+                    jnp.sqrt(jnp.maximum(c2l, 0.0)), jnp.sqrt(c2h),
+                )
 
             return jax.lax.cond(c_valid, ok, full, operand=None)
 
@@ -548,15 +683,23 @@ def warm_median_select(
 
     def warm(_):
         med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
-        return med, jnp.sqrt(jnp.maximum(flo, 0.0)), jnp.sqrt(fhi)
+        return med, (
+            jnp.sqrt(jnp.maximum(f1l, 0.0)), jnp.sqrt(f1h),
+            jnp.sqrt(jnp.maximum(f2l, 0.0)), jnp.sqrt(f2h),
+        )
 
-    return jax.lax.cond(warm_valid, warm, cold, operand=None)
+    med, (b1l, b1h, b2l, b2h) = jax.lax.cond(
+        warm_valid, warm, cold, operand=None
+    )
+    return med, b1l, b1h, b2l, b2h
 
 
 def pairwise_distance_median_warm(
     coords: jnp.ndarray,
-    bracket_lo_d: jnp.ndarray,
-    bracket_hi_d: jnp.ndarray,
+    lo1_d: jnp.ndarray,
+    hi1_d: jnp.ndarray,
+    lo2_d: jnp.ndarray,
+    hi2_d: jnp.ndarray,
     max_disp: jnp.ndarray,
     *,
     num_samples: int = 1 << 16,
@@ -580,7 +723,7 @@ def pairwise_distance_median_warm(
         coords, min(num_samples, total)
     )
     return warm_median_select(
-        count_fn, total, hi0, bracket_lo_d, bracket_hi_d, max_disp,
+        count_fn, total, hi0, lo1_d, hi1_d, lo2_d, hi2_d, max_disp,
         sample_bracket_fn=sample_bracket_fn,
         bins=bins, passes=passes, warm_bins=warm_bins, warm_passes=warm_passes,
     )
@@ -588,71 +731,68 @@ def pairwise_distance_median_warm(
 
 def fused_median_from_counts(
     counts,
-    lo_sq,
-    hi_sq,
+    sel,
     total: int,
     count_fn,
     hi0,
     *,
-    bins: int,
     initialized,
     fallback_bins: int = 16,
     fallback_passes: int = 6,
 ):
     """Median update from the counts a fused phi sweep already produced.
 
-    ``counts`` are cumulative pair counts at the ``bins + 1`` equal-width
-    squared-distance edges of [lo_sq, hi_sq] — exactly what ONE warm
-    refinement pass would have measured (see warm_median_select); this
+    ``counts`` are cumulative pair counts at the squared-distance edges a
+    :func:`fused_lag1_plan` built (``sel`` is that plan) — exactly what ONE
+    warm refinement pass would have measured (see warm_median_select); this
     function is the post-processing half of that pass, split out so the
     count sweep can ride inside the phi tile loop. Verification is
-    identical: if the bracket did not contain both middle order statistics,
-    a full count-bisection on the current coordinates recovers exactly
-    (``count_fn`` as in kth_smallest_bisect).
+    identical: if the brackets did not contain both middle order
+    statistics, a full count-bisection on the current coordinates recovers
+    exactly (``count_fn`` as in kth_smallest_bisect).
 
-    Returns (median_distance, new_bracket_lo_d, new_bracket_hi_d).
+    Returns (median_distance, lo1, hi1, lo2, hi2) in DISTANCE space.
     """
-    k1 = total // 2 if total % 2 == 0 else (total + 1) // 2
-    k2 = total // 2 + 1 if total % 2 == 0 else k1
+    k1, k2 = _middle_ranks(total)
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     # Ranks as f32 like every other selector here (kth_smallest_bisect,
-    # _refine_pair_in_bracket): a raw Python int rank overflows int32 weak
+    # _refine_two_ranks): a raw Python int rank overflows int32 weak
     # typing once n^2/2 > 2^31 (n > ~65k, hit by the fused auto path).
     k1f = jnp.asarray(k1, jnp.float32)
     k2f = jnp.asarray(k2, jnp.float32)
-    lo_sq = jnp.asarray(lo_sq, fdt)
-    hi_sq = jnp.asarray(hi_sq, fdt)
     cum = counts
+    edges = sel["edges"]
     valid = (
         jnp.asarray(initialized)
-        & (hi_sq > lo_sq)
+        & (edges[-1] > edges[0])
         & (cum[0] < k1f)
         & (cum[-1] >= k2f)
     )
-    width = (hi_sq - lo_sq) / bins
-    b1 = jnp.argmax(cum[1:] >= k1f)
-    b2 = jnp.argmax(cum[1:] >= k2f)
-    v1 = lo_sq + (b1.astype(fdt) + 0.5) * width
-    v2 = lo_sq + (b2.astype(fdt) + 0.5) * width
+    lo1, hi1, lo2, hi2 = _select_two_ranks(
+        edges, cum, k1f, k2f, sel["upd1"], sel["upd2"],
+        sel["lo1_sq"], sel["hi1_sq"], sel["lo2_sq"], sel["hi2_sq"],
+    )
 
     def ok(_):
-        med = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
-        lo_b = jnp.sqrt(jnp.maximum(lo_sq + b1.astype(fdt) * width, 0.0))
-        hi_b = jnp.sqrt(lo_sq + (b2.astype(fdt) + 1.0) * width)
-        return med, lo_b, hi_b
+        med = 0.5 * (jnp.sqrt(0.5 * (lo1 + hi1)) + jnp.sqrt(0.5 * (lo2 + hi2)))
+        return med.astype(fdt), (
+            jnp.sqrt(jnp.maximum(lo1, 0.0)).astype(fdt),
+            jnp.sqrt(hi1).astype(fdt),
+            jnp.sqrt(jnp.maximum(lo2, 0.0)).astype(fdt),
+            jnp.sqrt(hi2).astype(fdt),
+        )
 
     def full(_):
-        ks = (k1, k2) if total % 2 == 0 else (k1,)
-        mids = kth_smallest_bisect(
-            count_fn, ks, 0.0, hi0, bins=fallback_bins, passes=fallback_passes
+        med, (b1l, b1h, b2l, b2h) = _full_bisect_two_ranks(
+            count_fn, total, hi0, bins=fallback_bins, passes=fallback_passes
         )
-        med = jnp.mean(jnp.sqrt(mids))
-        slack = hi0 / (float(fallback_bins) ** fallback_passes)
-        lo_b = jnp.sqrt(jnp.maximum(mids[0] - slack, 0.0))
-        hi_b = jnp.sqrt(mids[-1] + slack)
-        return med, lo_b, hi_b
+        return med.astype(fdt), (
+            b1l.astype(fdt), b1h.astype(fdt),
+            b2l.astype(fdt), b2h.astype(fdt),
+        )
 
-    return jax.lax.cond(valid, ok, full, operand=None)
+    med, (b1l, b1h, b2l, b2h) = jax.lax.cond(valid, ok, full, operand=None)
+    return med, b1l, b1h, b2l, b2h
 
 
 # ----------------------------------------------------------------------
@@ -688,11 +828,11 @@ def pairwise_distance_median(coords: jnp.ndarray, method: str = "auto") -> jnp.n
 
 
 def fused_median_seed(coords: jnp.ndarray, method: str = "auto") -> dict:
-    """{med, lo, hi, disp} seed for the fused phi+median-count pipeline.
+    """{med, lo1, hi1, lo2, hi2, disp} seed for the fused phi+median sweep.
 
     The INITIAL positions' median (a one-time cost, honoring the owning
-    kernel's ``median_method``) with a tight bracket that the per-step
-    movement bound then expands. Single definition shared by
+    kernel's ``median_method``) with tight per-rank brackets that the
+    per-step movement bound then expands. Single definition shared by
     GaussianRBFKernel.init_fused_aux, the driver's fused_terms seeding and
     ShardedSVGD._init_scale_aux so the lag-1 contract cannot drift.
     """
@@ -701,29 +841,49 @@ def fused_median_seed(coords: jnp.ndarray, method: str = "auto") -> dict:
     med = jnp.asarray(med, fdt)
     return {
         "med": med,
-        "lo": med * (1.0 - 1e-3),
-        "hi": med * (1.0 + 1e-3),
+        "lo1": med * (1.0 - 1e-3),
+        "hi1": med * (1.0 + 1e-3),
+        "lo2": med * (1.0 - 1e-3),
+        "hi2": med * (1.0 + 1e-3),
         "disp": jnp.asarray(0.0, fdt),
     }
 
 
-def fused_lag1_plan(med, lo, hi, disp, n_total, fused_bins, compute_dtype):
-    """Lag-1 scale + selection thresholds for the fused phi+median sweep.
+def fused_lag1_plan(aux, n_total, fused_bins, compute_dtype):
+    """Lag-1 scale + selection-edge plan for the fused phi+median sweep.
 
-    Returns ``(gamma, lo_sq, hi_sq, thresholds)``: the PREVIOUS step's
-    verified median as this step's bandwidth (gamma = log(n)/med^2), and
-    the squared-distance bracket expanded by the movement bound (each
-    particle moved at most ``disp``, so any pairwise distance changed by at
-    most 2*disp) split into ``fused_bins`` selection edges. Single
-    definition shared by the driver step and ShardedSVGD.local_step so the
+    ``aux`` carries {med, lo1, hi1, lo2, hi2, disp} — the previous step's
+    verified median (this step's bandwidth, gamma = log(n)/med^2) and the
+    PER-RANK distance brackets of the two middle order statistics. Each
+    bracket is expanded by the movement bound (every particle moved at most
+    ``disp``, so any pairwise distance changed by at most 2*disp) and the
+    ``fused_bins + 1`` squared-distance selection edges are laid over them
+    by :func:`two_rank_edges`. Returns ``(gamma, sel)`` where
+    ``sel["edges"]`` is the threshold vector for the sweep and the rest is
+    the state :func:`fused_median_from_counts` needs. Single definition
+    shared by the driver step and ShardedSVGD.local_step so the
     bracket/threshold numerics cannot drift between the two.
     """
+    med = aux["med"]
     fdt = med.dtype
     gamma = (jnp.log(float(n_total)) / (med * med)).astype(compute_dtype)
-    pad_d = 2.0 * disp + 1e-12
-    lo_d = jnp.maximum(lo - pad_d, 0.0)
-    hi_d = hi + pad_d
-    lo_sq, hi_sq = lo_d * lo_d, hi_d * hi_d
-    edges = jnp.arange(0, fused_bins + 1, dtype=fdt)
-    thresholds = lo_sq + (hi_sq - lo_sq) * edges / fused_bins
-    return gamma, lo_sq, hi_sq, thresholds
+    pad_d = 2.0 * aux["disp"] + 1e-12
+    lo1 = jnp.maximum(aux["lo1"] - pad_d, 0.0)
+    hi1 = jnp.maximum(aux["hi1"] + pad_d, 0.0)
+    lo2 = jnp.maximum(aux["lo2"] - pad_d, 0.0)
+    hi2 = jnp.maximum(aux["hi2"] + pad_d, 0.0)
+    lo1_sq, hi1_sq = lo1 * lo1, hi1 * hi1
+    lo2_sq, hi2_sq = lo2 * lo2, hi2 * hi2
+    edges, upd1, upd2 = two_rank_edges(
+        lo1_sq, hi1_sq, lo2_sq, hi2_sq, fused_bins + 1, fdt
+    )
+    sel = {
+        "edges": edges,
+        "upd1": upd1,
+        "upd2": upd2,
+        "lo1_sq": lo1_sq,
+        "hi1_sq": hi1_sq,
+        "lo2_sq": lo2_sq,
+        "hi2_sq": hi2_sq,
+    }
+    return gamma, sel

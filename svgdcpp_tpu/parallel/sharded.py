@@ -395,7 +395,7 @@ class ShardedSVGD:
                 warm_median_select,
             )
 
-            lo_d, hi_d, disp = scale_aux
+            lo1_d, hi1_d, lo2_d, hi2_d, disp = scale_aux
             center_mean = jax.lax.psum(
                 jnp.sum(coords_local, axis=0), axis
             ) / n_global
@@ -431,8 +431,8 @@ class ShardedSVGD:
                         jax.lax.pmax(hi_s, axis),
                     )
 
-            med, new_lo, new_hi = warm_median_select(
-                count_fn, total, hi0, lo_d, hi_d, disp,
+            med, n_lo1, n_hi1, n_lo2, n_hi2 = warm_median_select(
+                count_fn, total, hi0, lo1_d, hi1_d, lo2_d, hi2_d, disp,
                 sample_bracket_fn=sample_fn,
                 bins=cfg.median_bins, passes=cfg.median_passes,
             )
@@ -440,7 +440,7 @@ class ShardedSVGD:
 
             m = coords_local.shape[1]
             scale = scale_from_median(med, n_global, m, coords_local.dtype)
-            return scale, (new_lo, new_hi, disp)
+            return scale, (n_lo1, n_hi1, n_lo2, n_hi2, disp)
 
         def _slot_scales(
             coords_local, sources, model_params, scale_aux, kparams,
@@ -560,13 +560,17 @@ class ShardedSVGD:
                     phi_rbf_terms_cross_fused_counts,
                 )
 
-                lo_b, hi_b, disp_a, med = scale_aux
+                lo1_b, hi1_b, lo2_b, hi2_b, disp_a, med = scale_aux
                 fdt = med.dtype
                 fbins = int(cfg.fused_bins)
-                gamma, lo_sq, hi_sq, thresholds = fused_lag1_plan(
-                    med, lo_b, hi_b, disp_a,
-                    n_global, fbins, coords_local.dtype,
+                aux_d = {
+                    "med": med, "lo1": lo1_b, "hi1": hi1_b,
+                    "lo2": lo2_b, "hi2": hi2_b, "disp": disp_a,
+                }
+                gamma, sel = fused_lag1_plan(
+                    aux_d, n_global, fbins, coords_local.dtype
                 )
+                thresholds = sel["edges"]
                 if fused_terms:
                     # Refill the (median) adaptive slots with the lag-1
                     # scale; constant slots keep their state values
@@ -609,13 +613,14 @@ class ShardedSVGD:
                     ),
                     axis,
                 )
-                med_new, lo_new, hi_new = fused_median_from_counts(
-                    counts, lo_sq, hi_sq, total, count_fn, hi0,
-                    bins=fbins, initialized=hi_b >= lo_b,
+                med_new, lo1_n, hi1_n, lo2_n, hi2_n = fused_median_from_counts(
+                    counts, sel, total, count_fn, hi0,
+                    initialized=hi1_b >= lo1_b,
                 )
                 scale_aux = (
-                    lo_new.astype(fdt), hi_new.astype(fdt), disp_a,
-                    med_new.astype(fdt),
+                    lo1_n.astype(fdt), hi1_n.astype(fdt),
+                    lo2_n.astype(fdt), hi2_n.astype(fdt),
+                    disp_a, med_new.astype(fdt),
                 )
             elif cfg.phi_mode == "ring":
                 # Gather-free: bandwidth + phi via ppermute rotations.
@@ -662,17 +667,13 @@ class ShardedSVGD:
                     jnp.sum((new_coords - coords_local) ** 2, axis=1)
                 )
                 disp = jnp.sqrt(jax.lax.pmax(local_disp_sq, axis))
-                if cfg.fused_phi:
-                    scale_aux = (
-                        scale_aux[0], scale_aux[1],
-                        disp.astype(scale_aux[2].dtype), scale_aux[3],
-                    )
-                else:
-                    scale_aux = (
-                        scale_aux[0],
-                        scale_aux[1],
-                        disp.astype(scale_aux[2].dtype),
-                    )
+                # Brackets occupy slots 0-3; disp is slot 4 in both layouts
+                # ((lo1, hi1, lo2, hi2, disp[, med])).
+                scale_aux = (
+                    scale_aux[:4]
+                    + (disp.astype(scale_aux[4].dtype),)
+                    + scale_aux[5:]
+                )
             if cfg.track_stats:
                 m = coords_local.shape[1]
                 phi_rms = jnp.sqrt(
@@ -829,12 +830,18 @@ class ShardedSVGD:
             )
             seed = fused_median_seed(coords, method)
             return (
-                jnp.asarray(seed["lo"], fdt),
-                jnp.asarray(seed["hi"], fdt),
+                jnp.asarray(seed["lo1"], fdt),
+                jnp.asarray(seed["hi1"], fdt),
+                jnp.asarray(seed["lo2"], fdt),
+                jnp.asarray(seed["hi2"], fdt),
                 jnp.asarray(seed["disp"], fdt),
                 jnp.asarray(seed["med"], fdt),
             )
+        # Warm (non-fused) layout: per-rank brackets + disp; hi < lo marks
+        # a cold start.
         return (
+            jnp.asarray(0.0, fdt),
+            jnp.asarray(-1.0, fdt),
             jnp.asarray(0.0, fdt),
             jnp.asarray(-1.0, fdt),
             jnp.asarray(0.0, fdt),

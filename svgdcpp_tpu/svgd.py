@@ -484,10 +484,10 @@ class SVGD:
                 n, m = coords.shape
                 aux = state["scale_aux"][0]
                 fdt = aux["med"].dtype
-                gamma, lo_sq, hi_sq, thresholds = fused_lag1_plan(
-                    aux["med"], aux["lo"], aux["hi"], aux["disp"],
-                    n, fused_bins, coords.dtype,
+                gamma, sel = fused_lag1_plan(
+                    aux, n, fused_bins, coords.dtype
                 )
+                thresholds = sel["edges"]
                 if fused_terms:
                     # Refill every (median) adaptive slot with the lag-1
                     # scale; constant slots keep their state values
@@ -532,15 +532,17 @@ class SVGD:
                 count_fn = lambda thr: count_le_cross(
                     centered, centered, thr, row_tile=self.options.row_tile
                 )
-                med_new, lo_new, hi_new = fused_median_from_counts(
-                    counts, lo_sq, hi_sq, n * n, count_fn, hi0,
-                    bins=fused_bins, initialized=aux["hi"] >= aux["lo"],
+                med_new, lo1_n, hi1_n, lo2_n, hi2_n = fused_median_from_counts(
+                    counts, sel, n * n, count_fn, hi0,
+                    initialized=aux["hi1"] >= aux["lo1"],
                 )
                 scale_aux = (
                     {
                         "med": med_new.astype(fdt),
-                        "lo": lo_new.astype(fdt),
-                        "hi": hi_new.astype(fdt),
+                        "lo1": lo1_n.astype(fdt),
+                        "hi1": hi1_n.astype(fdt),
+                        "lo2": lo2_n.astype(fdt),
+                        "hi2": hi2_n.astype(fdt),
                         "disp": aux["disp"],
                     },
                 )

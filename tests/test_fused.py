@@ -123,8 +123,10 @@ def test_fused_fallback_on_stale_bracket(rng):
     svgd._scale_aux = (
         {
             "med": jnp.asarray(1.0, fdt),   # wrong but finite scale
-            "lo": jnp.asarray(0.0, fdt),
-            "hi": jnp.asarray(-1.0, fdt),   # hi < lo => uninitialized
+            "lo1": jnp.asarray(0.0, fdt),
+            "hi1": jnp.asarray(-1.0, fdt),  # hi < lo => uninitialized
+            "lo2": jnp.asarray(0.0, fdt),
+            "hi2": jnp.asarray(-1.0, fdt),
             "disp": jnp.asarray(0.0, fdt),
         },
     )
@@ -173,15 +175,29 @@ def test_fused_median_from_counts_huge_total(rng):
     OverflowError at trace time). Counts are synthetic; no O(n^2) work."""
     import jax
 
-    from svgdcpp_tpu.ops.median import fused_median_from_counts
+    from svgdcpp_tpu.ops.median import fused_lag1_plan, fused_median_from_counts
 
     n = 100_000
     total = n * n  # 10^10; k1 = 5*10^9 > int32 max
-    k1 = total // 2
     bins = 8
     lo_sq, hi_sq = 1.0, 2.0
-    # Monotone cumulative counts at the 9 edges straddling k1 between
+    fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    aux = {
+        "med": jnp.asarray(np.sqrt(1.5), fdt),
+        "lo1": jnp.asarray(1.0, fdt), "hi1": jnp.asarray(np.sqrt(2.0), fdt),
+        "lo2": jnp.asarray(1.0, fdt), "hi2": jnp.asarray(np.sqrt(2.0), fdt),
+        "disp": jnp.asarray(0.0, fdt),
+    }
+    _, sel = fused_lag1_plan(aux, n, bins, jnp.float32)
+    # Re-pin the plan's edges to the exact [1, 2] squared bracket (the pad
+    # is 1e-12-scale); monotone cumulative counts straddle k1 = 5e9 between
     # edges 4 and 5 -> both middle ranks in bucket index 4.
+    sel = dict(sel)
+    sel["edges"] = jnp.linspace(lo_sq, hi_sq, bins + 1).astype(sel["edges"].dtype)
+    sel["lo1_sq"] = jnp.asarray(lo_sq, fdt)
+    sel["hi1_sq"] = jnp.asarray(hi_sq, fdt)
+    sel["lo2_sq"] = jnp.asarray(lo_sq, fdt)
+    sel["hi2_sq"] = jnp.asarray(hi_sq, fdt)
     cum = jnp.asarray(
         [0.0, 1e9, 2e9, 3e9, 4e9, 6e9, 7e9, 8e9, float(total)], jnp.float32
     )
@@ -191,17 +207,17 @@ def test_fused_median_from_counts_huge_total(rng):
         called.append(True)
         return jnp.full(thr.shape, float(total), jnp.float32)
 
-    med, lo_b, hi_b = jax.jit(
+    med, lo1_b, hi1_b, lo2_b, hi2_b = jax.jit(
         lambda c: fused_median_from_counts(
-            c, lo_sq, hi_sq, total, count_fn, 10.0, bins=bins,
+            c, sel, total, count_fn, 10.0,
             initialized=jnp.asarray(True),
         )
     )(cum)
     width = (hi_sq - lo_sq) / bins
     expect = np.sqrt(lo_sq + 4.5 * width)  # midpoint of bucket 4
     np.testing.assert_allclose(float(med), expect, rtol=1e-6)
-    assert float(lo_b) ** 2 <= lo_sq + 4 * width + 1e-6
-    assert float(hi_b) ** 2 >= lo_sq + 5 * width - 1e-6
+    assert float(lo1_b) ** 2 <= lo_sq + 4 * width + 1e-6
+    assert float(hi2_b) ** 2 >= lo_sq + 5 * width - 1e-6
 
 
 # ----------------------------------------------------------------------

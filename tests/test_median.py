@@ -133,7 +133,7 @@ def test_hybrid_fallback_on_bad_bracket(rng):
     """Force the bracket check to fail and confirm the bisect fallback."""
     import jax.numpy as jnp
     from svgdcpp_tpu.ops.median import (
-        _refine_pair_in_bracket,
+        _refine_two_ranks,
         count_le_cross,
         pairwise_distance_median_exact,
     )
@@ -141,9 +141,11 @@ def test_hybrid_fallback_on_bad_bracket(rng):
     coords = rng.normal(size=(64, 2))
     count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=16)
     # Bracket far below the true median: validity flag must be False
-    _, _, valid, _ = _refine_pair_in_bracket(
+    lo = jnp.asarray(1e-8)
+    hi = jnp.asarray(2e-8)
+    _, _, valid, _ = _refine_two_ranks(
         count_fn, 64 * 64 // 2, 64 * 64 // 2 + 1,
-        jnp.asarray(1e-8), jnp.asarray(2e-8), bins=16, passes=1,
+        lo, hi, lo, hi, bins=16, passes=1,
     )
     assert not bool(valid)
 
@@ -155,21 +157,26 @@ def test_warm_median_tracks_moving_particles(rng):
 
     n = 256
     coords = rng.normal(size=(n, 3))
-    lo, hi = jnp.asarray(0.0), jnp.asarray(-1.0)  # cold start
+    lo1, hi1 = jnp.asarray(0.0), jnp.asarray(-1.0)  # cold start
+    lo2, hi2 = jnp.asarray(0.0), jnp.asarray(-1.0)
     disp = jnp.asarray(0.0)
     for step in range(5):
-        med, lo, hi = pairwise_distance_median_warm(
-            coords, lo, hi, disp, num_samples=1 << 12, passes=2, row_tile=64
+        med, lo1, hi1, lo2, hi2 = pairwise_distance_median_warm(
+            coords, lo1, hi1, lo2, hi2, disp,
+            num_samples=1 << 12, passes=2, row_tile=64,
         )
         exact = np_pairwise_median(coords)
         # Warm single-pass error bound: (bracket width + 4*disp) /
         # warm_bins (=8), with 2x safety; cold start (step 0) ~1e-4.
-        width = max(float(hi - lo), 0.0)
+        width = max(float(hi2 - lo1), 0.0)
         bound = max(2e-4 * exact, (width + 4.0 * float(disp) + 1e-6) / 8 * 2)
         err = abs(float(med) - exact)
         assert err <= bound, (step, err, bound)
-        # the returned bracket must genuinely contain the exact median
-        assert float(lo) - 1e-9 <= exact <= float(hi) + 1e-9
+        # the per-rank brackets must genuinely contain the exact median
+        # (median = avg of the two bracketed order statistics)
+        mlo = 0.5 * (float(lo1) + float(lo2))
+        mhi = 0.5 * (float(hi1) + float(hi2))
+        assert mlo - 1e-9 <= exact <= mhi + 1e-9
         # move particles like an SVGD update would
         delta = 0.02 * rng.normal(size=(n, 3))
         coords = coords + delta
@@ -183,8 +190,9 @@ def test_warm_median_fallback_when_bracket_stale(rng):
     from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
 
     coords = rng.normal(size=(128, 2))
-    med, _, _ = pairwise_distance_median_warm(
-        coords, jnp.asarray(95.0), jnp.asarray(100.0), jnp.asarray(0.0),
+    med, *_ = pairwise_distance_median_warm(
+        coords, jnp.asarray(95.0), jnp.asarray(100.0),
+        jnp.asarray(95.0), jnp.asarray(100.0), jnp.asarray(0.0),
         num_samples=1 << 12, row_tile=64,
     )
     exact = np_pairwise_median(coords)
@@ -208,14 +216,17 @@ def test_warm_median_cold_start_small_scale(rng):
     from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
 
     coords = rng.normal(size=(300, 2)) * 0.1  # median << 1
-    med, lo, hi = pairwise_distance_median_warm(
-        coords, jnp.asarray(0.0), jnp.asarray(-1.0), jnp.asarray(0.0),
+    med, lo1, hi1, lo2, hi2 = pairwise_distance_median_warm(
+        coords, jnp.asarray(0.0), jnp.asarray(-1.0),
+        jnp.asarray(0.0), jnp.asarray(-1.0), jnp.asarray(0.0),
         num_samples=1 << 14, row_tile=64,
     )
     exact = np_pairwise_median(coords)
     assert abs(float(med) - exact) <= 1e-3 * exact, (float(med), exact)
-    # and the returned bracket contains the exact median
-    assert float(lo) - 1e-12 <= exact <= float(hi) + 1e-12
+    # and the returned brackets contain the exact median
+    mlo = 0.5 * (float(lo1) + float(lo2))
+    mhi = 0.5 * (float(hi1) + float(hi2))
+    assert mlo - 1e-12 <= exact <= mhi + 1e-12
 
 
 class TestOffCenterF32:
@@ -298,13 +309,16 @@ def test_warm_full_fallback_end_to_end(rng):
     centered = coords - coords.mean(0)
     count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=64)
     hi0 = 4.0 * (centered ** 2).sum(1).max() * (1 + 1e-6)
-    med, lo, hi = warm_median_select(
+    med, lo1, hi1, lo2, hi2 = warm_median_select(
         count_fn, 256 * 256, jnp.asarray(hi0),
+        jnp.asarray(0.0), jnp.asarray(-1.0),
         jnp.asarray(0.0), jnp.asarray(-1.0), jnp.asarray(0.0),
     )
     exact = np_pairwise_median(coords)
     assert abs(float(med) - exact) <= 1e-4 * exact
-    assert float(lo) - 1e-9 <= exact <= float(hi) + 1e-9
+    mlo = 0.5 * (float(lo1) + float(lo2))
+    mhi = 0.5 * (float(hi1) + float(hi2))
+    assert mlo - 1e-9 <= exact <= mhi + 1e-9
 
 
 def test_count_le_cross_off_center_f32(rng):
@@ -335,3 +349,95 @@ def test_histogram_median_off_center_f32(rng):
     exact = np_pairwise_median(coords.astype(np.float64))
     approx = float(pairwise_distance_median_histogram(coords, row_tile=128))
     assert abs(approx - exact) <= 1e-3 * exact, (approx, exact)
+
+
+def _two_clusters(rng, n_half=300, gap=10.0, sigma=0.1, m=2):
+    """Balanced bimodal set: the two middle order statistics of the n^2
+    pairwise distances straddle the within/cross-cluster gap (s[k1] = max
+    within-cluster, s[k2] = min cross-cluster)."""
+    a = sigma * rng.normal(size=(n_half, m))
+    b = sigma * rng.normal(size=(n_half, m)) + np.array([gap] + [0.0] * (m - 1))
+    return np.concatenate([a, b])
+
+
+def test_hybrid_median_two_balanced_clusters(rng):
+    """The median of two balanced clusters sits in the distance gap: a
+    joint-hull refinement stalls there (8.6% bias measured before the
+    per-rank fix); per-rank brackets must stay near-exact."""
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_hybrid
+
+    coords = _two_clusters(rng)
+    exact = np_pairwise_median(coords)
+    approx = float(pairwise_distance_median_hybrid(coords, row_tile=128))
+    assert abs(approx - exact) <= 1e-3 * exact, (approx, exact)
+
+
+def test_warm_median_tracks_two_clusters(rng):
+    """Warm per-rank tracking across steps on bimodal data: each bracket
+    refines inside its own cluster mode; the gap never stalls it."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_warm
+
+    coords = _two_clusters(rng, n_half=256)
+    lo1 = lo2 = jnp.asarray(0.0)
+    hi1 = hi2 = jnp.asarray(-1.0)
+    disp = jnp.asarray(0.0)
+    errs = []
+    for step in range(6):
+        med, lo1, hi1, lo2, hi2 = pairwise_distance_median_warm(
+            coords, lo1, hi1, lo2, hi2, disp,
+            num_samples=1 << 12, passes=2, row_tile=128,
+        )
+        exact = np_pairwise_median(coords)
+        errs.append(abs(float(med) - exact) / exact)
+        mlo = 0.5 * (float(lo1) + float(lo2))
+        mhi = 0.5 * (float(hi1) + float(hi2))
+        assert mlo - 1e-9 <= exact <= mhi + 1e-9, (step, mlo, exact, mhi)
+        delta = 0.002 * rng.normal(size=coords.shape)
+        coords = coords + delta
+        disp = jnp.asarray(np.sqrt((delta**2).sum(1)).max())
+    # per-rank tracking holds every step at pad-scale error (the old joint
+    # hull stalled at the gap width: ~8% error regardless of disp)
+    assert max(errs) <= 1e-2, errs
+
+
+def test_fused_median_two_clusters_driver(rng):
+    """End-to-end fused sweep on a balanced two-mode GMM: the lag-1 median
+    must track the exact median within the movement bound + per-rank
+    resolution (the old joint hull held a permanent gap-scale bias)."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.ops.median import pairwise_distance_median_exact
+    import jax.numpy as jnp
+
+    n, dim = 600, 2
+    x0 = _two_clusters(rng, n_half=n // 2, gap=8.0, sigma=0.5)
+    m1 = sv.MultivariateNormal(np.array([0.0, 0.0]), np.eye(dim))
+    m2 = sv.MultivariateNormal(np.array([8.0, 0.0]), np.eye(dim))
+    gmm = m1 + m2
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, gmm)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=gmm, optimizer=sv.AdaGrad(dim, n, 0.05),
+            phi_impl="fused",
+        )
+    )
+    svgd.initialize()
+    prev = x0.copy()
+    rel_errs = []
+    for _ in range(10):
+        cur = np.asarray(svgd.run())
+        med = float(svgd._scale_aux[0]["med"])
+        exact_prev = float(
+            pairwise_distance_median_exact(jnp.asarray(prev))
+        )
+        disp = np.sqrt(((cur - prev) ** 2).sum(1)).max()
+        rel_errs.append(abs(med - exact_prev) / exact_prev)
+        assert abs(med - exact_prev) <= 2 * disp + 0.3 * exact_prev, rel_errs
+        prev = cur
+    # Steady-state error bound with fused_bins=3 (refine-the-wider-bracket
+    # mode): each bracket is refined every other step (2x shrink) and grows
+    # by the 2*disp movement pad between refinements, so widths equilibrate
+    # near 4*pad and the midpoint error near 4*disp — the same order as the
+    # lag itself. The joint hull was ~9% biased forever regardless of disp.
+    assert rel_errs[-1] <= (5 * disp + 1e-2 * exact_prev) / exact_prev, rel_errs
