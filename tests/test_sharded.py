@@ -675,3 +675,39 @@ def test_sharded_fused_hotswap_rejects_anisotropic(mesh, rng):
     params[1] = np.diag([0.3, 0.1])  # anisotropic
     with pytest.raises(ValueError, match="isotropic"):
         sharded.update_kernel_parameters(tuple(params))
+
+
+def test_sharded_fused_bimodal_matches_driver(mesh, rng):
+    """Bimodal (gap-straddling median) data through the fused sharded path:
+    the per-rank bracket plumbing (6-slot aux tuple, split-mode edges) must
+    reproduce the driver's fused trajectory exactly."""
+    n, dim, iters = 32, 2, 12
+    half = n // 2
+    x0 = np.concatenate([
+        0.3 * rng.normal(size=(half, dim)),
+        0.3 * rng.normal(size=(half, dim)) + np.array([8.0, 0.0]),
+    ])
+    m1 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    m2 = sv.MultivariateNormal(np.array([8.0, 0.0]), np.eye(dim))
+
+    gmm = m1 + m2
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, gmm)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=gmm, optimizer=sv.AdaGrad(dim, n, 0.05),
+            phi_impl="fused",
+        )
+    )
+    svgd.initialize()
+    single = np.asarray(svgd.run())
+
+    gmm2 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim)) + \
+        sv.MultivariateNormal(np.array([8.0, 0.0]), np.eye(dim))
+    sharded = ShardedSVGD(
+        gmm2, sv.AdaGrad(dim, n, 0.05), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(row_tile=4, fused_phi=True),
+    )
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    np.testing.assert_allclose(out, single, rtol=1e-8, atol=1e-10)
