@@ -37,6 +37,21 @@ class Optimizer:
         """Map (state, grad (n, m)) -> (new_state, increment (n, m))."""
         raise NotImplementedError
 
+    def state_is_particle_sharded(self, state) -> Any:
+        """Pytree of bools over ``state``: which leaves are particle-major
+        (num_particles, dimension) arrays to row-shard over the particle
+        mesh axis (ShardedSVGD / GSPMD placement). Scalars like Adam's step
+        counter stay replicated. Override in a custom optimizer whose state
+        carries non-particle matrices (e.g. an (m, m) preconditioner) —
+        a bare shape heuristic would mis-shard those.
+        """
+        import jax
+
+        expect = (self.num_particles, self.dimension)
+        return jax.tree.map(
+            lambda x: getattr(x, "shape", None) == expect, state
+        )
+
     # Convenience: stateful OO parity -----------------------------------
     def initialize(self, dtype=jnp.float32):
         """Reset held state (reference Optimizer::Initialize)."""

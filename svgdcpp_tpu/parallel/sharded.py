@@ -353,7 +353,10 @@ class ShardedSVGD:
                 self.axis,
                 self.num_particles,
             )
-        return jnp.asarray(cfg.constant_scale)
+        # Cast to the coords dtype like the median/Hessian branches: under
+        # x64 an f64 constant with f32 coords would otherwise break the
+        # scan carry (kernel_params is seeded f32 in init_state).
+        return jnp.asarray(cfg.constant_scale, coords_local.dtype)
 
     def _build(self):
         axis = self.axis
@@ -704,11 +707,14 @@ class ShardedSVGD:
 
         shard_spec = P(axis, None)
         # Optimizer state mixes (n, m) arrays (sharded) with scalars like
-        # Adam's step counter (replicated) — specs must follow the leaves.
-        # eval_shape: structure only, no device allocation.
+        # Adam's step counter (replicated) — the optimizer itself declares
+        # which leaves are particle-major (state_is_particle_sharded), so a
+        # custom optimizer with e.g. an (m, m) preconditioner is not
+        # mis-sharded by a shape heuristic. eval_shape: structure only.
         opt_template = jax.eval_shape(lambda: optimizer.init(jnp.float32))
         opt_specs = jax.tree.map(
-            lambda x: shard_spec if getattr(x, "ndim", 0) == 2 else P(),
+            lambda sharded_leaf, _: shard_spec if sharded_leaf else P(),
+            optimizer.state_is_particle_sharded(opt_template),
             opt_template,
         )
         sharded = jax.shard_map(
@@ -785,9 +791,11 @@ class ShardedSVGD:
             )
 
         coords = place(coords)
+        opt_state0 = self.optimizer.init(coords.dtype)
         opt_state = jax.tree.map(
-            lambda x: place(x) if getattr(x, "ndim", 0) == 2 else x,
-            self.optimizer.init(coords.dtype),
+            lambda x, sharded_leaf: place(x) if sharded_leaf else x,
+            opt_state0,
+            self.optimizer.state_is_particle_sharded(opt_state0),
         )
         fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         if self.kernel is not None:
@@ -810,8 +818,9 @@ class ShardedSVGD:
                 else None
                 for _, owner in self._adaptive_slots
             ),
-            # warm-start median aux: (bracket_lo_d, bracket_hi_d, max_disp
-            # [, med for fused_phi]); hi < lo marks a cold start
+            # warm-start median aux: per-rank distance brackets
+            # (lo1, hi1, lo2, hi2, max_disp [, med for fused_phi]);
+            # hi < lo marks a cold start
             "scale_aux": self._init_scale_aux(coords, fdt),
             "iteration": jnp.asarray(0, jnp.int32),
         }

@@ -130,6 +130,12 @@ class SVGD:
                     f"({len(args)} given)"
                 )
             merged = dict(zip(names, args))
+            dup = set(merged) & set(kwargs)
+            if dup:
+                raise TypeError(
+                    "SVGD() got multiple values for argument(s): "
+                    + ", ".join(sorted(dup))
+                )
             merged.update(kwargs)
             opts = SVGDOptions(**merged)
 
@@ -185,6 +191,12 @@ class SVGD:
         self.kernel.initialize()
         coords = self.store.value
         self._opt_state = self.optimizer.init(coords.dtype)
+        # Full-reset lifecycle (reference re-Initialize): the annealing
+        # iteration restarts and the warm/lag-1 median brackets are
+        # re-seeded from the CURRENT coordinates — a stale bracket from a
+        # previous run would silently feed the first fused step's phi.
+        self._iteration = 0
+        self._scale_aux = None
         self._select_impl()
         self._build_step()
         self._intermediate_logs = None
@@ -234,6 +246,9 @@ class SVGD:
 
                     if (
                         jax.default_backend() == "tpu"
+                        # GSPMD cannot partition a pallas_call over a
+                        # row-sharded mesh; auto keeps the XLA sweep there.
+                        and self.options.mesh is None
                         and fused_terms_statically_positive(
                             self._rbf_terms, self._adaptive_slots,
                             self.kernel.parameters,
@@ -259,9 +274,12 @@ class SVGD:
                 # kernels with an HBM round-trip (measured 10.15M vs 9.61M
                 # updates/s at N=10k, docs/perf.md); on CPU the Pallas
                 # interpreter would be far slower, so keep the XLA sweep.
+                # Under a GSPMD mesh the pallas_call cannot be partitioned
+                # over row-sharded inputs — keep the XLA sweep there too.
                 impl = (
                     "fused_pallas"
                     if jax.default_backend() == "tpu"
+                    and self.options.mesh is None
                     else "fused"
                 )
             elif self.num_particles <= DENSE_PHI_MAX_PARTICLES:
@@ -660,10 +678,11 @@ class SVGD:
             sharding = NamedSharding(self.mesh, P(axis, None))
             state["coords"] = jax.device_put(state["coords"], sharding)
             state["opt_state"] = jax.tree.map(
-                lambda x: jax.device_put(x, sharding)
-                if getattr(x, "ndim", 0) == 2
+                lambda x, sharded_leaf: jax.device_put(x, sharding)
+                if sharded_leaf
                 else x,
                 state["opt_state"],
+                self.optimizer.state_is_particle_sharded(state["opt_state"]),
             )
         return state
 
@@ -778,6 +797,11 @@ class SVGD:
     def update_kernel_parameters(self, params):
         self.kernel.update_parameters(params)
         self.kernel.initialize()
+        if not getattr(self, "_initialized", False):
+            # Pre-initialize hot-swap (reference allows it any time after
+            # construction, SVGD.hpp:304-332): the impl/PSD flags don't
+            # exist yet — initialize() derives them from the new values.
+            return
         if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
             # The fused-terms sweep reads each constant slot as gamma =
             # P[0, 0] (isotropy was proven at initialize()); an anisotropic

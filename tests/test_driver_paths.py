@@ -313,3 +313,76 @@ def test_foreign_model_hessian_slot_hot_swap(rng):
     np.testing.assert_allclose(
         np.asarray(svgd.kernel.parameters[1]), expect2, rtol=1e-6
     )
+
+
+def test_update_kernel_parameters_before_initialize(rng):
+    """The reference allows hot-swap any time after construction
+    (SVGD.hpp:304-332); pre-init swap must not crash on missing impl flags."""
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim))
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=np.eye(dim)
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=2, coordinate_matrix=x0,
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+        )
+    )
+    svgd.update_kernel_parameters((2.0 * np.eye(dim),))  # pre-init
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(np.asarray(kernel.parameters[0]), 2.0 * np.eye(dim))
+
+
+def test_reinitialize_resets_annealing_and_brackets(rng):
+    """initialize() is the full-reset lifecycle (reference SVGD.hpp:268-296):
+    a second initialize() must restart the annealing schedule and drop the
+    previous run's warm median brackets."""
+    n, dim = 600, 2  # > exact threshold so the fused/warm aux is real
+    x0 = rng.normal(size=(n, dim))
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=3, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            annealing=np.linspace(0.1, 1.0, 3),
+        )
+    )
+    svgd.initialize()
+    svgd.run()
+    assert svgd._iteration == 3
+    svgd.initialize()
+    assert svgd._iteration == 0
+    assert svgd._scale_aux is None
+
+
+def test_ctor_duplicate_positional_keyword_raises(rng):
+    x0 = rng.normal(size=(8, 2))
+    model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    with pytest.raises(TypeError, match="multiple values"):
+        sv.SVGD(
+            2, 5, x0, kernel, model, sv.AdaGrad(2, 8, 0.1),
+            np.full(2, -1.0),  # positional lower_bound ...
+            lower_bound=np.full(2, -2.0),  # ... AND keyword
+        )
+
+
+def test_optimizer_state_sharding_declaration():
+    """Adam declares its (n, m) moments particle-sharded and its step
+    counter replicated; the mesh placement reads this instead of a shape
+    heuristic (a custom optimizer with an (m, m) state leaf overrides)."""
+    import jax
+
+    opt = sv.Adam(2, 16, 0.1, 0.9, 0.999)
+    state = opt.init()
+    flags = opt.state_is_particle_sharded(state)
+    leaves_state = jax.tree.leaves(state)
+    leaves_flags = jax.tree.leaves(flags)
+    for x, f in zip(leaves_state, leaves_flags):
+        assert f == (getattr(x, "shape", None) == (16, 2)), (x, f)
+    assert any(leaves_flags) and not all(leaves_flags)

@@ -711,3 +711,24 @@ def test_sharded_fused_bimodal_matches_driver(mesh, rng):
     )
     out = np.asarray(sharded.run(x0.copy(), iters))
     np.testing.assert_allclose(out, single, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_constant_scale_f32_coords(mesh, rng):
+    """An f64 constant_scale with f32 coords must not break the scan carry
+    (the CONSTANT branch now casts to the coords dtype like median/Hessian)."""
+    n, dim = 16, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(
+            scale_method=sv.ScaleMethod.CONSTANT,
+            constant_scale=np.eye(dim),  # f64 under the x64 test config
+            row_tile=4,
+        ),
+    )
+    out = np.asarray(sharded.run(x0, 3))
+    assert np.isfinite(out).all()
