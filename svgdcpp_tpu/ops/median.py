@@ -887,3 +887,52 @@ def fused_lag1_plan(aux, n_total, fused_bins, compute_dtype):
         "hi2_sq": hi2_sq,
     }
     return gamma, sel
+
+
+def centered_count_env(coords, sources_global=None, *, axis_name=None,
+                       n_global=None, row_tile: int = 2048):
+    """(count_fn, hi0) for pairwise-distance selection on ``coords``.
+
+    Single definition of two safety-critical f32 guards (see
+    count_le_cross): global-mean centering of the Gram identity and the
+    full-range squared-distance bound
+    ``hi0 = 4 * max||x - mean||^2 * (1 + 1e-6) + 1e-30`` (computed on the
+    CENTERED norms — the uncentered bound explodes for off-origin
+    clusters). Shared by the driver's fused step, the sharded fused/warm
+    medians and sharded_pairwise_median so the guards cannot drift.
+
+    Single-device: ``coords`` is the full set. Sharded (``axis_name``
+    given): ``coords`` is the local row shard, ``sources_global`` the
+    all-gathered global set (pass None for ring mode — the returned
+    count_fn is then None and the caller supplies its own, e.g.
+    ring_count_le, which centers itself); counts psum over the axis and
+    hi0 is pmax-stamped so downstream selection stays replication-typed.
+    """
+    if axis_name is None:
+        centered = coords - jnp.mean(coords, axis=0)
+        hi0 = (
+            4.0 * jnp.max(jnp.sum(centered * centered, axis=1))
+            * (1.0 + 1e-6) + 1e-30
+        )
+        count_fn = lambda thr: count_le_cross(
+            centered, centered, thr, row_tile=row_tile
+        )
+        return count_fn, hi0
+    center = jax.lax.psum(jnp.sum(coords, axis=0), axis_name) / n_global
+    centered_local = coords - center
+    local_max = jnp.max(jnp.sum(centered_local * centered_local, axis=1))
+    hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
+    if sources_global is None:
+        return None, hi0
+    sources_centered = sources_global - center
+
+    def count_fn(thr):
+        return jax.lax.psum(
+            count_le_cross(
+                centered_local, sources_centered, thr,
+                row_tile=row_tile, axis_name=axis_name,
+            ),
+            axis_name,
+        )
+
+    return count_fn, hi0

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.exceptions import DimensionMismatchError
 from ..kernels.gaussian_rbf import ScaleMethod
-from ..ops.median import count_le_cross, kth_smallest_bisect
+from ..ops.median import kth_smallest_bisect
 from ..kernels.algebra import flatten_rbf_terms
 from ..ops.phi import phi_generic_cross, phi_rbf_cross, phi_rbf_terms_cross
 from .mesh import make_particle_mesh
@@ -65,23 +65,17 @@ def sharded_pairwise_median(
     n = sources_global.shape[0]
     total = n * n
 
-    # pmax of the LOCAL max of CENTERED norms (not max of the all-gather
-    # output): psum/pmax yield replication-typed values, which keeps the
-    # refinement — and hence the returned median — statically replicated;
-    # centering keeps the bound tight for off-origin clusters.
-    center_mean = jax.lax.psum(
-        jnp.sum(coords_local, axis=0), axis_name
-    ) / n
-    centered_local = coords_local - center_mean
-    local_max = jnp.max(jnp.sum(centered_local * centered_local, axis=1))
-    hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
+    # centered_count_env builds the psum'ed count closure and the hi0
+    # bound from pmax of the LOCAL max of CENTERED norms (not max of the
+    # all-gather output): psum/pmax yield replication-typed values, which
+    # keeps the refinement — and hence the returned median — statically
+    # replicated; centering keeps the bound tight for off-origin clusters.
+    from ..ops.median import centered_count_env
 
-    def count_fn(thresholds):
-        local = count_le_cross(
-            coords_local, sources_global, thresholds,
-            row_tile=row_tile, axis_name=axis_name,
-        )
-        return jax.lax.psum(local, axis_name)
+    count_fn, hi0 = centered_count_env(
+        coords_local, sources_global, axis_name=axis_name,
+        n_global=n, row_tile=row_tile,
+    )
 
     ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
     mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
@@ -394,33 +388,28 @@ class ShardedSVGD:
         def _median_scale_warm(coords_local, sources, scale_aux):
             """Warm-started distributed median (gather or ring counts)."""
             from ..ops.median import (
+                centered_count_env,
                 median_sq_bracket_from_sample,
                 warm_median_select,
             )
 
             lo1_d, hi1_d, lo2_d, hi2_d, disp = scale_aux
-            center_mean = jax.lax.psum(
-                jnp.sum(coords_local, axis=0), axis
-            ) / n_global
-            centered_local = coords_local - center_mean
-            local_max = jnp.max(jnp.sum(centered_local * centered_local, axis=1))
-            hi0 = 4.0 * jax.lax.pmax(local_max, axis) * (1.0 + 1e-6) + 1e-30
+            count_fn, hi0 = centered_count_env(
+                coords_local,
+                None if cfg.phi_mode == "ring" else sources,
+                axis_name=axis, n_global=n_global, row_tile=cfg.row_tile,
+            )
 
             if cfg.phi_mode == "ring":
                 from .ring import ring_count_le
 
+                # ring mode has no gathered global set: stream the counts
+                # around the ring instead (ring_count_le centers itself).
                 count_fn = lambda thr: ring_count_le(
                     coords_local, thr, axis, n_global
                 )
                 sample_fn = None  # ring mode has no global random access
             else:
-                count_fn = lambda thr: jax.lax.psum(
-                    count_le_cross(
-                        coords_local, sources, thr,
-                        row_tile=cfg.row_tile, axis_name=axis,
-                    ),
-                    axis,
-                )
 
                 def sample_fn():
                     # The sample is computed from the (device-varying-typed)
@@ -601,20 +590,11 @@ class ShardedSVGD:
                         cfg.row_tile, axis_name=axis,
                     )
                 counts = jax.lax.psum(counts_local, axis)
-                center = jax.lax.psum(
-                    jnp.sum(coords_local, axis=0), axis
-                ) / n_global
-                centered_local = coords_local - center
-                local_max = jnp.max(
-                    jnp.sum(centered_local * centered_local, axis=1)
-                )
-                hi0 = 4.0 * jax.lax.pmax(local_max, axis) * (1.0 + 1e-6) + 1e-30
-                count_fn = lambda thr: jax.lax.psum(
-                    count_le_cross(
-                        centered_local, sources - center, thr,
-                        row_tile=cfg.row_tile, axis_name=axis,
-                    ),
-                    axis,
+                from ..ops.median import centered_count_env
+
+                count_fn, hi0 = centered_count_env(
+                    coords_local, sources, axis_name=axis,
+                    n_global=n_global, row_tile=cfg.row_tile,
                 )
                 med_new, lo1_n, hi1_n, lo2_n, hi2_n = fused_median_from_counts(
                     counts, sel, total, count_fn, hi0,

@@ -493,7 +493,6 @@ class SVGD:
                 # median (lag-1 — within the 2*disp movement bound of the
                 # current median) + this step's selection counts.
                 from .ops.median import (
-                    count_le_cross,
                     fused_lag1_plan,
                     fused_median_from_counts,
                 )
@@ -541,14 +540,10 @@ class SVGD:
                     phi, counts = phi_rbf_fused_counts(
                         coords, scores, gamma, thresholds, self.options.row_tile
                     )
-                centered = coords - jnp.mean(coords, axis=0)
-                hi0 = (
-                    4.0 * jnp.max(jnp.sum(centered * centered, axis=1))
-                    * (1.0 + 1e-6)
-                    + 1e-30
-                )
-                count_fn = lambda thr: count_le_cross(
-                    centered, centered, thr, row_tile=self.options.row_tile
+                from .ops.median import centered_count_env
+
+                count_fn, hi0 = centered_count_env(
+                    coords, row_tile=self.options.row_tile
                 )
                 med_new, lo1_n, hi1_n, lo2_n, hi2_n = fused_median_from_counts(
                     counts, sel, n * n, count_fn, hi0,
