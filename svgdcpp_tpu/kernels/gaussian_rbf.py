@@ -67,10 +67,16 @@ def median_scale(coords: jnp.ndarray, median_method: str = "auto") -> jnp.ndarra
     return scale_from_median(med, n, m, coords.dtype)
 
 
-def hessian_scale(coords: jnp.ndarray, log_density_fn, model_params) -> jnp.ndarray:
-    """P = 1/(2 d n) * sum_i -hess log p(x_i) (reference GaussianRBFKernel.hpp:199-209)."""
+def hessian_scale(coords: jnp.ndarray, hessian_fn, model_params) -> jnp.ndarray:
+    """P = 1/(2 d n) * sum_i -hess log p(x_i) (reference GaussianRBFKernel.hpp:199-209).
+
+    ``hessian_fn(x, params) -> (m, m)`` is the model's
+    ``hessian_log_density_pure`` — routed through the score so a
+    closed-form ``grad_log_density_pure`` override is honored here like on
+    every other hot path (CLAUDE.md convention).
+    """
     n, m = coords.shape
-    hessians = jax.vmap(lambda x: jax.hessian(log_density_fn)(x, model_params))(coords)
+    hessians = jax.vmap(lambda x: hessian_fn(x, model_params))(coords)
     return -jnp.sum(hessians, axis=0) / (2.0 * m * n)
 
 
@@ -190,7 +196,7 @@ class GaussianRBFKernel(Kernel):
             if model_params is None:
                 model_params = self.target_model.parameters
             return hessian_scale(
-                coords, self.target_model.log_density_pure, model_params
+                coords, self.target_model.hessian_log_density_pure, model_params
             )
         if self.scale_method == ScaleMethod.CONSTANT:
             return self.constant_scale
@@ -211,5 +217,6 @@ class GaussianRBFKernel(Kernel):
         scale = self.compute_scale_pure(coords)
         self.update_parameters(tuple(scale for _ in self.parameters))
 
-    Step = step
+    # Step: inherited dynamic CamelCase wrapper (Kernel.Step) dispatches to
+    # this class's step override.
     ComputeScale = compute_scale

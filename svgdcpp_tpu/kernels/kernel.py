@@ -68,9 +68,14 @@ class Kernel:
         self._kernel_fn = kernel_fn
         # A replaced function invalidates any structural record of how this
         # kernel was composed — the algebraic dispatch (kernels/algebra.py)
-        # must fall back to evaluating the new function generically.
+        # must fall back to evaluating the new function generically, and the
+        # old composition's adaptive slots no longer describe the new
+        # function's parameters (a stale slot list would make the driver
+        # refill — or index past — the new params every step).
         if hasattr(self, "_compose_info"):
             del self._compose_info
+        if hasattr(self, "_composed_adaptive_slots"):
+            del self._composed_adaptive_slots
 
     def initialize(self):
         """Validate the kernel (reference Kernel.hpp:400-415).
@@ -105,14 +110,18 @@ class Kernel:
         """Per-iteration hook; default no-op (reference Kernel.hpp:356)."""
 
     def adaptive_slots(self):
-        """[(param_slot_index, scale_fn)] for per-step bandwidth adaptation.
+        """[(param_slot_index, owner_kernel)] for per-step bandwidth
+        adaptation.
 
-        ``scale_fn(coords, model_params) -> (m, m)`` recomputes that slot's
-        inverse-scale each SVGD step inside the jitted scan. Base kernels
-        adapt nothing; GaussianRBFKernel contributes its slot; composed
-        kernels concatenate children's slots with offsets — the general form
-        of the reference's "assign the scale to every parameter slot"
-        behavior (reference GaussianRBFKernel.hpp:143-153).
+        ``owner_kernel`` is the (usually leaf GaussianRBF) kernel whose
+        inverse-scale lives in ``parameters[param_slot_index]`` of THIS
+        kernel's concatenated tuple; the driver recomputes that slot each
+        SVGD step via the owner's ``compute_scale_pure`` / ``scale_method``
+        / ``target_model``. Base kernels adapt nothing; GaussianRBFKernel
+        contributes ``(0, self)``; composed kernels concatenate children's
+        slots with offsets — the general form of the reference's "assign
+        the scale to every parameter slot" behavior (reference
+        GaussianRBFKernel.hpp:143-153).
         """
         return list(getattr(self, "_composed_adaptive_slots", []))
 
@@ -218,6 +227,16 @@ class Kernel:
     UpdateLocation = update_location
     UpdateParameters = update_parameters
     GetParameters = get_parameters
-    Step = step
+
+    def Step(self, *args, **kwargs):
+        """CamelCase parity spelling of the per-iteration hook.
+
+        A dynamic wrapper (not a class-level alias): a subclass overriding
+        only snake_case ``step`` must be reachable through ``Step()`` too —
+        ``Step = step`` would freeze the BASE implementation at class
+        definition and silently skip the override.
+        """
+        return self.step(*args, **kwargs)
+
     EvaluateKernel = evaluate_kernel
     EvaluateKernelGrad = evaluate_kernel_grad

@@ -139,6 +139,18 @@ class Model:
         """
         return jax.grad(self.log_density_pure)(x, params)
 
+    def hessian_log_density_pure(self, x: jnp.ndarray, params) -> jnp.ndarray:
+        """hess_x log f(x; params) — the Jacobian of the SCORE.
+
+        Routed through ``grad_log_density_pure`` so a closed-form score
+        override propagates to every Hessian consumer (the HESSIAN
+        bandwidth, Evaluate*): autodiffing ``log(density)`` directly would
+        NaN in tails where the density underflows but a stable score
+        override stays finite. Overridable like the other ``*_pure``
+        methods (reference virtual Evaluate*, Model.hpp:366-370).
+        """
+        return jax.jacfwd(self.grad_log_density_pure)(x, params)
+
     # ------------------------------------------------------------------
     # Evaluate* — stateful convenience API mirroring the reference.
     # Each accepts a single particle (m,) or a batch (n, m).
@@ -171,7 +183,7 @@ class Model:
 
     def evaluate_log_model_hessian(self, x):
         """hessian log f(x) (reference Model.hpp:366-370)."""
-        return self._batched(lambda xi, p: jax.hessian(self.log_density_pure)(xi, p), x)
+        return self._batched(self.hessian_log_density_pure, x)
 
     # ------------------------------------------------------------------
     # Functional composition (reference Model.hpp:55-227)
@@ -248,7 +260,10 @@ class Model:
     Initialize = initialize
     UpdateParameters = update_parameters
     GetParameters = get_parameters
-    Step = step
+    def Step(self, *args, **kwargs):
+        """CamelCase parity hook; dynamic so a snake_case ``step`` override
+        is reachable through it (see Kernel.Step)."""
+        return self.step(*args, **kwargs)
     EvaluateModel = evaluate_model
     EvaluateLogModel = evaluate_log_model
     EvaluateModelGrad = evaluate_model_grad

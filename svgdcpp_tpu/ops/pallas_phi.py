@@ -40,6 +40,21 @@ def _pad_rows(arr, multiple, value=0.0):
     return jnp.pad(arr, width, constant_values=value)
 
 
+def _tile_counts(sq, thr_ref, num_t):
+    """Selection counts for one VMEM-resident squared-distance tile.
+
+    T sequential compare+reduce passes (a (TI, TJ, T) broadcast would blow
+    VMEM; scalars stack instead). Shared by every counting kernel in this
+    file so the count semantics cannot drift between them.
+    """
+    return jnp.stack(
+        [
+            jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32))
+            for t in range(num_t)
+        ]
+    ).reshape(1, num_t)
+
+
 # ----------------------------------------------------------------------
 # phi kernel
 # ----------------------------------------------------------------------
@@ -173,11 +188,7 @@ def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
     sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
     k_tile = jnp.exp(-gamma * sq)
     acc_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
-    num_t = cnt_ref.shape[1]
-    counts = jnp.stack(
-        [jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32)) for t in range(num_t)]
-    )
-    cnt_ref[:] += counts.reshape(1, num_t)
+    cnt_ref[:] += _tile_counts(sq, thr_ref, cnt_ref.shape[1])
 
 
 @functools.partial(
@@ -282,16 +293,7 @@ def _count_kernel(thr_ref, x_ref, qi_ref, xj_ref, qj_ref, out_ref):
 
     cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
     sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
-    num_t = out_ref.shape[1]
-    # T sequential compare+reduce passes over the VMEM-resident tile
-    # (a (TI, TJ, T) broadcast would blow VMEM; scalars stack instead).
-    counts = jnp.stack(
-        [
-            jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32))
-            for t in range(num_t)
-        ]
-    )
-    out_ref[:] += counts.reshape(1, num_t)
+    out_ref[:] += _tile_counts(sq, thr_ref, out_ref.shape[1])
 
 
 def count_le_pallas(
@@ -307,12 +309,17 @@ def count_le_pallas(
     """Counts of ||r_i - c_j||^2 <= t for each threshold, fused on-chip.
 
     ``num_thresholds`` must be static (the kernel unrolls over it). Padded
-    rows get q = +inf so sq = +inf and never counts.
+    rows get q = +inf so sq = +inf and never counts. Inputs are shifted by
+    the column mean like the XLA counterpart count_le_cross (f32
+    Gram-identity cancellation guard; exact for the distances).
     """
     if interpret is None:
         interpret = _default_interpret()
     rows32 = rows_coords.astype(jnp.float32)
     cols32 = cols_coords.astype(jnp.float32)
+    center = jnp.mean(cols32, axis=0)
+    rows32 = rows32 - center
+    cols32 = cols32 - center
     q_r = jnp.sum(rows32 * rows32, axis=1)
     q_c = jnp.sum(cols32 * cols32, axis=1)
 
@@ -395,11 +402,7 @@ def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
         axis=1,
     )
     acc_ref[:] += a_tile
-    num_t = cnt_ref.shape[1]
-    counts = jnp.stack(
-        [jnp.sum((sq <= thr_ref[0, t]).astype(jnp.float32)) for t in range(num_t)]
-    )
-    cnt_ref[:] += counts.reshape(1, num_t)
+    cnt_ref[:] += _tile_counts(sq, thr_ref, cnt_ref.shape[1])
 
 
 @functools.partial(

@@ -95,18 +95,20 @@ def sharded_median_scale(
 
 def sharded_hessian_scale(
     coords_local: jnp.ndarray,
-    log_density_fn: Callable,
+    hessian_fn: Callable,
     model_params,
     axis_name: str,
     n_global: int,
 ) -> jnp.ndarray:
     """P = 1/(2 d n) * sum_i -hess log p(x_i), psum over shards.
 
+    ``hessian_fn`` is the model's ``hessian_log_density_pure`` (score-
+    routed, so closed-form score overrides are honored).
     (reference GaussianRBFKernel.hpp:199-209)
     """
     m = coords_local.shape[1]
     local_sum = jnp.sum(
-        jax.vmap(lambda x: jax.hessian(log_density_fn)(x, model_params))(coords_local),
+        jax.vmap(lambda x: hessian_fn(x, model_params))(coords_local),
         axis=0,
     )
     total = jax.lax.psum(local_sum, axis_name)
@@ -342,7 +344,7 @@ class ShardedSVGD:
         if cfg.scale_method == ScaleMethod.HESSIAN:
             return sharded_hessian_scale(
                 coords_local,
-                self.model.log_density_pure,
+                self.model.hessian_log_density_pure,
                 model_params,
                 self.axis,
                 self.num_particles,
@@ -475,7 +477,7 @@ class ShardedSVGD:
                         else slot_mparams[i]
                     )
                     kparams[idx] = sharded_hessian_scale(
-                        coords_local, owner.target_model.log_density_pure,
+                        coords_local, owner.target_model.hessian_log_density_pure,
                         mp, axis, n_global,
                     ).astype(kparams[idx].dtype)
             return tuple(kparams), med_scale, scale_aux

@@ -173,3 +173,38 @@ class TestComposition:
         k.update_parameters([np.array(2.0), np.array(3.0)])
         expected = poly_np(x, loc, 2.0) + poly_np(x, loc, 3.0)
         assert np.isclose(float(k.evaluate_kernel(x)), expected)
+
+
+def test_update_kernel_clears_composed_structure(rng):
+    """Replacing a composed kernel's function must drop BOTH the algebraic
+    compose record and the old adaptive slots — the stale slot list would
+    make the driver refill (or index past) the new function's parameters
+    every step."""
+    import svgdcpp_tpu as sv
+
+    x0 = rng.normal(size=(12, 2))
+    model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+    composed = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    assert len(composed.adaptive_slots()) == 2
+
+    composed.update_kernel(
+        lambda x, params, loc: jnp.exp(-jnp.sum((x - loc) ** 2) * params[0][0, 0])
+    )
+    composed.update_parameters((0.5 * np.eye(2),))
+    assert composed.adaptive_slots() == []  # stale slots dropped
+
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=2, num_iterations=2, coordinate_matrix=x0.copy(),
+            kernel=composed, model=model, optimizer=sv.AdaGrad(2, 12, 0.1),
+        )
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
+    # the fixed-bandwidth parameter is NOT overwritten by median refills
+    np.testing.assert_allclose(
+        np.asarray(composed.parameters[0]), 0.5 * np.eye(2)
+    )

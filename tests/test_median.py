@@ -72,7 +72,9 @@ def test_hessian_scale_formula(rng):
     cov = np.array([[1.0, 0.3], [0.3, 2.0]])
     mvn = MultivariateNormal(mean, cov)
     coords = rng.normal(size=(7, 2))
-    p = np.asarray(hessian_scale(coords, mvn.log_density_pure, mvn.parameters))
+    p = np.asarray(
+        hessian_scale(coords, mvn.hessian_log_density_pure, mvn.parameters)
+    )
     # -hess log p = inv(cov) per particle; sum = n * inv(cov);
     # P = 1/(2 d n) * sum (reference GaussianRBFKernel.hpp:199-209)
     expected = 7 * np.linalg.inv(cov) / (2.0 * 2 * 7)
@@ -441,3 +443,42 @@ def test_fused_median_two_clusters_driver(rng):
     # near 4*pad and the midpoint error near 4*disp — the same order as the
     # lag itself. The joint hull was ~9% biased forever regardless of disp.
     assert rel_errs[-1] <= (5 * disp + 1e-2 * exact_prev) / exact_prev, rel_errs
+
+
+def test_hessian_scale_honors_score_override(rng):
+    """HESSIAN bandwidth routes through grad_log_density_pure: a model with
+    a stable closed-form score must give a finite scale even where the raw
+    log(density) underflows to -inf (CLAUDE.md: all hot paths route scores
+    through the override)."""
+    import jax.numpy as jnp
+    from svgdcpp_tpu.models.model import Model
+
+    class StableGaussian(Model):
+        def __init__(self):
+            # density underflows to exp(-large) = 0 far in the tail
+            super().__init__(
+                2, density_fn=lambda x, p: jnp.exp(-0.5 * jnp.sum(x * x))
+            )
+
+        def grad_log_density_pure(self, x, params):
+            return -x  # closed form, finite everywhere
+
+    model = StableGaussian()
+    coords = np.array([[60.0, 0.0], [0.0, 60.0], [50.0, 50.0]])  # deep tail
+    p = np.asarray(
+        hessian_scale(coords, model.hessian_log_density_pure, model.parameters)
+    )
+    assert np.isfinite(p).all(), p
+    # -hess log p = I per particle; P = 3*I / (2*2*3)
+    np.testing.assert_allclose(p, np.eye(2) / 4.0, rtol=1e-6)
+    # ... and the raw-log route really does NaN there (the bug this guards)
+    import jax
+
+    raw = np.asarray(
+        hessian_scale(
+            coords,
+            lambda x, par: jax.hessian(model.log_density_pure)(x, par),
+            model.parameters,
+        )
+    )
+    assert not np.isfinite(raw).all()
