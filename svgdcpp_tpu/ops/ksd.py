@@ -78,7 +78,9 @@ def ksd_squared_rbf(
         ss = s_i @ scores.T
         term1 = ss * k
 
-        # d = P_s (x_i - x_j); grad_y k = 2 k d ; grad_x k = -2 k d
+        # d = P_s (x_i - x_j) with P_s = P + P^T (the symmetrization absorbs
+        # the 2 from differentiating the quadratic): grad_y k = k d,
+        # grad_x k = -k d.
         d = [
             sum(p_sym[a, b] * diffs[b] for b in range(m)) for a in range(m)
         ]  # list of (row_tile, n)

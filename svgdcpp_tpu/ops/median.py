@@ -438,14 +438,11 @@ def pairwise_distance_median_bisect(
     even-count rule (GaussianRBFKernel.hpp:224-245).
     """
     coords = jnp.asarray(coords)
-    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant; see count_le_cross
     n = coords.shape[0]
     total = n * n
-    sq_norms = jnp.sum(coords * coords, axis=1)
-    hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+    count_fn, hi0 = centered_count_env(coords, row_tile=row_tile)
     ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
 
-    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
     mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
     return jnp.mean(jnp.sqrt(mids))
 
@@ -550,13 +547,15 @@ def pairwise_distance_median_hybrid(
     full-range bisection inside a lax.cond if the bracket check fails.
     """
     coords = jnp.asarray(coords)
-    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
     k1, k2 = _middle_ranks(total)
 
-    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
-    lo_s, hi_s = median_sq_bracket_from_sample(coords, min(num_samples, total))
+    # count_fn/hi0 guards live in centered_count_env; the pair subsample
+    # centers too (translation-invariant, f32-accurate off origin).
+    count_fn, hi0 = centered_count_env(coords, row_tile=row_tile)
+    centered = coords - jnp.mean(coords, axis=0)
+    lo_s, hi_s = median_sq_bracket_from_sample(centered, min(num_samples, total))
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     lo_s = lo_s.astype(fdt)
     hi_s = jnp.maximum(hi_s.astype(fdt), lo_s * (1 + 1e-6) + 1e-30)
@@ -573,8 +572,6 @@ def pairwise_distance_median_hybrid(
     fast = 0.5 * (jnp.sqrt(v1) + jnp.sqrt(v2))
 
     def fallback(_):
-        sq_norms = jnp.sum(coords * coords, axis=1)
-        hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
         med, _ = _full_bisect_two_ranks(
             count_fn, total, hi0, bins=fallback_bins, passes=fallback_passes
         )
@@ -712,15 +709,15 @@ def pairwise_distance_median_warm(
     """Single-device warm-started pairwise-distance median (see
     :func:`warm_median_select`)."""
     coords = jnp.asarray(coords)
-    coords = coords - jnp.mean(coords, axis=0)  # translation-invariant
     n = coords.shape[0]
     total = n * n
 
-    count_fn = lambda thr: count_le_cross(coords, coords, thr, row_tile=row_tile)
-    sq_norms = jnp.sum(coords * coords, axis=1)
-    hi0 = 4.0 * jnp.max(sq_norms) * (1.0 + 1e-6) + 1e-30
+    # count_fn/hi0 guards live in centered_count_env; the pair subsample
+    # centers too (translation-invariant, f32-accurate off origin).
+    count_fn, hi0 = centered_count_env(coords, row_tile=row_tile)
+    centered = coords - jnp.mean(coords, axis=0)
     sample_bracket_fn = lambda: median_sq_bracket_from_sample(
-        coords, min(num_samples, total)
+        centered, min(num_samples, total)
     )
     return warm_median_select(
         count_fn, total, hi0, lo1_d, hi1_d, lo2_d, hi2_d, max_disp,

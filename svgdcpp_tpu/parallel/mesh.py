@@ -47,13 +47,15 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
             process_id=process_id,
         )
     except (RuntimeError, ValueError):
-        if coordinator_address is not None:
-            # An explicitly configured multi-host init that fails must NOT
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None):
+            # ANY explicitly configured multi-host init that fails must NOT
             # silently degrade to single-process (each host would run the
-            # full problem independently).
+            # full problem independently) — including env/pod-metadata-based
+            # configs where only num_processes/process_id were passed.
             raise
-        # no-op cases: already initialized, or single-process without a
-        # coordinator
+        # no-op cases: already initialized, or single-process without any
+        # distributed configuration
     return jax.devices()
 
 

@@ -209,15 +209,14 @@ def ring_pairwise_median(
     passes: int = 6,
 ) -> jnp.ndarray:
     """Gather-free global median of all n^2 pairwise distances."""
-    total = n_global * n_global
-    # hi0 from CENTERED norms: distances are unchanged by centering, and the
-    # centered bound is tight for off-origin clusters (a loose hi0 wastes
-    # bisection resolution).
-    center = jax.lax.psum(jnp.sum(coords_local, axis=0), axis_name) / n_global
-    centered = coords_local - center
-    local_max = jnp.max(jnp.sum(centered * centered, axis=1))
-    hi0 = 4.0 * jax.lax.pmax(local_max, axis_name) * (1.0 + 1e-6) + 1e-30
+    from ..ops.median import centered_count_env
 
+    total = n_global * n_global
+    # hi0 from CENTERED norms (one home for the guard: centered_count_env);
+    # ring mode supplies its own count_fn (ring_count_le centers itself).
+    _, hi0 = centered_count_env(
+        coords_local, None, axis_name=axis_name, n_global=n_global
+    )
     count_fn = lambda thr: ring_count_le(coords_local, thr, axis_name, n_global)
     ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
     mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)

@@ -48,9 +48,15 @@ def write_intermediate_matrices(path: str, logs: dict):
             coords.transpose(0, 2, 1),
         )
     except RuntimeError as e:
-        raise RuntimeError(
-            SVGD_LOG_PREFIX + f"[Runtime Error] Cannot open {path} for writing."
-        ) from e
+        # Preserve the native writer's failure mode instead of reporting
+        # every error as an open failure; rc=1 (fopen) keeps the reference's
+        # exact message (SVGD.hpp:466).
+        if getattr(e, "rc", 1) == 1:
+            raise RuntimeError(
+                SVGD_LOG_PREFIX
+                + f"[Runtime Error] Cannot open {path} for writing."
+            ) from e
+        raise RuntimeError(SVGD_LOG_PREFIX + f"[Runtime Error] {e}") from e
     if wrote:
         return
 

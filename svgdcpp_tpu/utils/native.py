@@ -131,7 +131,17 @@ def write_intermediate_log_native(path: str, lmg_ref, ker_ref, kgrad_ref,
         coords.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     if rc != 0:
-        raise RuntimeError(f"native log writer failed with code {rc} for {path}")
+        # rc mirrors native/svgd_host.cpp: 1 = fopen failed, 2 = fwrite
+        # failed mid-dump (truncated partial file left on disk), 3 = fclose
+        # failed (buffered data may be lost).
+        reason = {
+            1: f"cannot open {path} for writing",
+            2: f"write failed mid-dump (disk full?); partial file left at {path}",
+            3: f"close failed for {path} (buffered data may be lost)",
+        }.get(rc, f"failed with code {rc} for {path}")
+        err = RuntimeError(f"native log writer: {reason}")
+        err.rc = rc
+        raise err
     return True
 
 

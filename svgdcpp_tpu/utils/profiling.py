@@ -23,10 +23,14 @@ import numpy as np
 
 
 def sync(tree):
-    """Force completion of a device computation (transfer one leaf)."""
-    leaves = jax.tree.leaves(tree)
-    if leaves:
-        np.asarray(jax.device_get(leaves[0]))
+    """Force completion of a device computation (transfer EVERY leaf).
+
+    Transferring a single leaf is not enough: a passthrough leaf (e.g. a
+    constant carried through the state pytree) can already be resolved while
+    the leaf produced by the final dispatch is still executing remotely.
+    """
+    for leaf in jax.tree.leaves(tree):
+        np.asarray(jax.device_get(leaf))
     return tree
 
 
