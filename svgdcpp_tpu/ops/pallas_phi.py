@@ -71,7 +71,7 @@ def _phi_kernel(psd, x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
     quad = qi_ref[:] + qj_ref[:].T - cross  # (TI, TJ)
     if psd:
         quad = jnp.maximum(quad, 0.0)
-    k_tile = jnp.exp(-quad)
+    k_tile = jnp.exp(-quad).astype(b_ref.dtype)
     out_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -82,7 +82,8 @@ def _default_interpret() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_i", "tile_j", "interpret", "psd")
+    jax.jit,
+    static_argnames=("tile_i", "tile_j", "interpret", "psd", "dot_dtype"),
 )
 def _phi_rbf_pallas_impl(
     coords: jnp.ndarray,
@@ -92,13 +93,19 @@ def _phi_rbf_pallas_impl(
     tile_j: int,
     interpret: bool,
     psd: bool,
+    dot_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fused RBF phi: phi = (K S - (K X - rowsum(K) X) (P+P^T)) / n.
 
     K = exp(-quad) is produced tile-wise in VMEM and contracted on the spot;
-    the (n, n) matrix never exists. f32 with f32 MXU accumulation.
+    the (n, n) matrix never exists. f32 with f32 MXU accumulation by
+    default; ``dot_dtype='bfloat16'`` feeds the two MXU contractions bf16
+    operands (f32 accumulation, q/exp stay f32) — ~2x MXU throughput at
+    ~0.4% per-pair relative error, worthwhile only when m is large enough
+    for the dots to dominate the exp (see docs/perf.md).
     """
     n, m = coords.shape
+    ddt = jnp.dtype(dot_dtype)
     p_sym = (p_matrix + p_matrix.T).astype(jnp.float32)
     coords32 = coords.astype(jnp.float32)
     # phi is translation-invariant; centering protects the Gram-identity
@@ -114,11 +121,11 @@ def _phi_rbf_pallas_impl(
     )
 
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(coords32, tile_i)
+    x_p = _pad_rows(coords32, tile_i).astype(ddt)
     qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk rows
-    xps_p = _pad_rows(xps, tile_j)
+    xps_p = _pad_rows(xps, tile_j).astype(ddt)
     qj_p = _pad_rows(q[:, None], tile_j, value=big)  # padded sources: K -> 0
-    b_p = _pad_rows(b, tile_j)
+    b_p = _pad_rows(b, tile_j).astype(ddt)
     n_i = x_p.shape[0]
     n_j = xps_p.shape[0]
     bw = 2 * m + 1
@@ -155,14 +162,15 @@ def _phi_rbf_pallas_impl(
 
 
 def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
-                   tile_j: int = 1024, interpret=None, psd: bool = True):
+                   tile_j: int = 1024, interpret=None, psd: bool = True,
+                   dot_dtype: str = "float32"):
     """``psd=False`` skips the quadratic-form clamp (indefinite P — Hessian
     scale on a non-log-concave model); padded rows stay safe either way
     because their +big squared norms dominate the form."""
     if interpret is None:
         interpret = _default_interpret()
     return _phi_rbf_pallas_impl(coords, scores, p_matrix, tile_i, tile_j,
-                                bool(interpret), bool(psd))
+                                bool(interpret), bool(psd), str(dot_dtype))
 
 
 # ----------------------------------------------------------------------
@@ -186,19 +194,23 @@ def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
     gamma = gamma_ref[0, 0]
     cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
     sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
-    k_tile = jnp.exp(-gamma * sq)
+    k_tile = jnp.exp(-gamma * sq).astype(b_ref.dtype)
     acc_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
     cnt_ref[:] += _tile_counts(sq, thr_ref, cnt_ref.shape[1])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_thresholds", "tile_i", "tile_j", "interpret")
+    jax.jit,
+    static_argnames=(
+        "num_thresholds", "tile_i", "tile_j", "interpret", "dot_dtype"
+    ),
 )
 def _phi_rbf_fused_pallas_impl(
     coords, scores, gamma, thresholds_sq, num_thresholds, tile_i, tile_j,
-    interpret,
+    interpret, dot_dtype: str = "float32",
 ):
     n, m = coords.shape
+    ddt = jnp.dtype(dot_dtype)
     coords32 = coords.astype(jnp.float32)
     coords32 = coords32 - jnp.mean(coords32, axis=0)  # translation-invariant
     gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
@@ -209,11 +221,11 @@ def _phi_rbf_fused_pallas_impl(
     )
 
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(coords32, tile_i)
+    x_p = _pad_rows(coords32, tile_i).astype(ddt)
     qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk
-    xj_p = _pad_rows(coords32, tile_j)
+    xj_p = _pad_rows(coords32, tile_j).astype(ddt)
     qj_p = _pad_rows(q[:, None], tile_j, value=big)  # K -> 0, counts skip
-    b_p = _pad_rows(b, tile_j)
+    b_p = _pad_rows(b, tile_j).astype(ddt)
     n_i = x_p.shape[0]
     n_j = xj_p.shape[0]
     bw = 2 * m + 1
@@ -264,17 +276,21 @@ def _phi_rbf_fused_pallas_impl(
 
 
 def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
-                         tile_i: int = 512, tile_j: int = 1024, interpret=None):
+                         tile_i: int = 512, tile_j: int = 1024, interpret=None,
+                         dot_dtype: str = "float32"):
     """Pallas twin of ops/phi.phi_rbf_fused_counts (isotropic RBF):
     one on-chip pass produces the phi contraction and the median-selection
     counts. Counts use the same Gram-identity sq as the K tile (mean-
     centered f32), so self-pairs may carry ~eps residue — rank noise far
-    below what the verified selection can feel."""
+    below what the verified selection can feel. ``dot_dtype='bfloat16'``
+    (experimental, opt-in) halves MXU operand width; the selection counts
+    then ride a bf16-rounded sq tile — still verified, slightly noisier."""
     if interpret is None:
         interpret = _default_interpret()
     return _phi_rbf_fused_pallas_impl(
         coords, scores, gamma, thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+        str(dot_dtype),
     )
 
 

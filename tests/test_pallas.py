@@ -270,3 +270,47 @@ def test_phi_pallas_indefinite_p_not_clamped(rng):
     )
     svgd.initialize()
     assert svgd._rbf_psd is False
+
+
+def test_phi_pallas_bf16_dots(rng):
+    """dot_dtype='bfloat16' (experimental): MXU operands in bf16, f32
+    accumulation — phi within bf16 rounding of the f32 path."""
+    n, m = 300, 4
+    coords = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    p_mat = jnp.asarray(0.5 * np.eye(m) + 0.05, jnp.float32)
+    ref = np.asarray(phi_rbf(coords, scores, p_mat))
+    out = np.asarray(
+        phi_rbf_pallas(coords, scores, p_mat, tile_i=64, tile_j=128,
+                       dot_dtype="bfloat16")
+    )
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    assert rel < 3e-2, rel  # bf16 has ~2^-8 relative rounding
+
+
+def test_fused_pallas_bf16_dots(rng):
+    """Fused phi+counts with bf16 MXU operands: phi within bf16 rounding;
+    counts still verified-selection quality (small rank noise only)."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m = 200, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.6
+    thresholds = jnp.asarray(np.linspace(0.0, 20.0, 9), jnp.float32)
+
+    phi_x, counts_x = phi_rbf_fused_counts(
+        coords, scores, gamma, thresholds, row_tile=64
+    )
+    phi_p, counts_p = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=64,
+        dot_dtype="bfloat16",
+    )
+    rel = (
+        np.abs(np.asarray(phi_p) - np.asarray(phi_x)).max()
+        / np.abs(np.asarray(phi_x)).max()
+    )
+    assert rel < 3e-2, rel
+    # sq tiles are bf16-rounded -> bounded rank noise near each threshold
+    assert np.abs(np.asarray(counts_p) - np.asarray(counts_x)).max() <= 4 * n
