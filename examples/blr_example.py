@@ -49,7 +49,7 @@ def run(num_particles=1000, num_iterations=500, dim=50, n_data=1024, seed=0,
     )
     if verbose:
         print(f"posterior-mean vs true-weight label agreement: {agreement:.3f}")
-    return final, agreement
+    return final, agreement, np.asarray(true_w)
 
 
 if __name__ == "__main__":

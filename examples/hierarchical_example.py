@@ -66,7 +66,7 @@ def run(num_particles=200, num_iterations=400, dim=10, n_data=512, seed=0,
     )
     if verbose:
         print(f"label agreement: {agreement:.3f}  posterior alpha: {post_alpha:.4f}")
-    return final, agreement, post_alpha
+    return final, agreement, post_alpha, np.asarray(true_w)
 
 
 if __name__ == "__main__":

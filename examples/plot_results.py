@@ -105,15 +105,7 @@ def main(outdir=None, quick=False):
         if quick
         else dict(num_particles=500, num_iterations=300, dim=50, n_data=1024)
     )
-    rng = np.random.default_rng(blr_kw.get("seed", 0))
-    from svgdcpp_tpu.models.bayesian_logistic_regression import (
-        make_synthetic_classification,
-    )
-
-    _, _, true_w = make_synthetic_classification(
-        rng, n_data=blr_kw["n_data"], dim=blr_kw["dim"]
-    )
-    final, agreement = blr_example.run(verbose=False, **blr_kw)
+    final, agreement, true_w = blr_example.run(verbose=False, **blr_kw)
     plot_weight_scatter(
         axes[1, 0], final, np.asarray(true_w),
         f"BLR d={blr_kw['dim']} (agreement {agreement:.2f})",
@@ -125,11 +117,7 @@ def main(outdir=None, quick=False):
         if quick
         else dict(num_particles=200, num_iterations=400, dim=10, n_data=512)
     )
-    rng = np.random.default_rng(0)
-    _, _, true_w_h = make_synthetic_classification(
-        rng, n_data=hier_kw["n_data"], dim=hier_kw["dim"]
-    )
-    final_h, agreement_h, post_alpha = hierarchical_example.run(
+    final_h, agreement_h, post_alpha, true_w_h = hierarchical_example.run(
         verbose=False, **hier_kw
     )
     ax = axes[1, 1]

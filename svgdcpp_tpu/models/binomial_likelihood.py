@@ -49,6 +49,18 @@ class BinomialLikelihood(Model):
             raise DimensionMismatchError(
                 "trials and successes must have the same shape."
             )
+        # Value validation (host-side, ctor only): 0 <= k <= n, n >= 0.
+        # Without it gammaln(n-k+1) = inf silently makes the log-density
+        # -inf everywhere while the score stays finite and pushes particles
+        # to the domain boundary — SVGD would "run" on a nonsensical model.
+        import numpy as np
+
+        t_np, s_np = np.asarray(trials), np.asarray(successes)
+        if np.any(t_np < 0) or np.any(s_np < 0) or np.any(s_np > t_np):
+            raise ValueError(
+                "BinomialLikelihood requires 0 <= successes <= trials "
+                "(elementwise) and trials >= 0."
+            )
         super().__init__(
             dimension=int(trials.shape[0]),
             density_fn=binomial_density,

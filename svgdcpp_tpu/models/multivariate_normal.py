@@ -92,22 +92,40 @@ class MultivariateNormal(Model):
         self._compute_normalization_constant()
 
     def _compute_normalization_constant(self):
-        """1/((2 pi)^{d/2} |Sigma|^{1/2}) (reference MultivariateNormal.hpp:182-186)."""
-        cov = self.parameters[1]
-        det = jnp.linalg.det(cov)
-        self.norm_const = float(
-            1.0 / (math.pow(2.0 * math.pi, self.dimension / 2.0) * jnp.sqrt(det))
+        """1/((2 pi)^{d/2} |Sigma|^{1/2}) (reference MultivariateNormal.hpp:182-186).
+
+        Derived in log space with a host f64 slogdet: an f32 determinant
+        over/underflows around d ~ 50 (det(40*I_60) = inf in f32), which
+        would silently zero the constant where the double-precision
+        reference stays finite.
+        """
+        import numpy as np
+
+        cov = np.asarray(self.parameters[1], dtype=np.float64)
+        sign, logdet = np.linalg.slogdet(cov)
+        if sign <= 0:
+            raise ValueError(
+                "Covariance matrix must be positive definite."
+            )
+        self._log_norm_const = float(
+            -0.5 * (self.dimension * math.log(2.0 * math.pi) + logdet)
         )
+        # may underflow to 0.0 for large d — use the log form then
+        self.norm_const = math.exp(self._log_norm_const)
 
     def get_normalization_constant(self) -> float:
         return self.norm_const
+
+    def get_log_normalization_constant(self) -> float:
+        """log of the constant, finite even where norm_const underflows."""
+        return self._log_norm_const
 
     # Normalized variants (reference MultivariateNormal.hpp:143-168)
     def evaluate_model_normalized(self, x):
         return self.norm_const * self.evaluate_model(x)
 
     def evaluate_log_model_normalized(self, x):
-        return math.log(self.norm_const) + self.evaluate_log_model(x)
+        return self._log_norm_const + self.evaluate_log_model(x)
 
     def evaluate_model_grad_normalized(self, x):
         return self.norm_const * self.evaluate_model_grad(x)
@@ -115,6 +133,7 @@ class MultivariateNormal(Model):
     # CamelCase aliases
     UpdateParameters = update_parameters
     GetNormalizationConstant = get_normalization_constant
+    GetLogNormalizationConstant = get_log_normalization_constant
     EvaluateModelNormalized = evaluate_model_normalized
     EvaluateLogModelNormalized = evaluate_log_model_normalized
     EvaluateModelGradNormalized = evaluate_model_grad_normalized

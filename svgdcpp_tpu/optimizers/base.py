@@ -21,6 +21,11 @@ import jax.numpy as jnp
 class Optimizer:
     """Abstract optimizer (reference Optimizer.hpp:28-42)."""
 
+    #: Set True in a subclass whose ``step`` takes a third ``params``
+    #: argument (the current particle coordinates) — e.g. weight-decay
+    #: transforms. The drivers then call ``step(state, grad, coords)``.
+    needs_params: bool = False
+
     def __init__(self, dimension: int, num_particles: int, lr: float,
                  epsilon: float = 1.0e-8):
         self.dimension = int(dimension)
@@ -58,12 +63,15 @@ class Optimizer:
         self._state = self.init(dtype)
         return self
 
-    def apply(self, grad: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, grad: jnp.ndarray, params=None) -> jnp.ndarray:
         """Stateful step for the OO API (reference Optimizer::Step)."""
         grad = jnp.asarray(grad)
         if not hasattr(self, "_state"):
             self._state = self.init(grad.dtype)
-        self._state, inc = self.step(self._state, grad)
+        if self.needs_params:
+            self._state, inc = self.step(self._state, grad, params)
+        else:
+            self._state, inc = self.step(self._state, grad)
         return inc
 
     Initialize = initialize

@@ -25,6 +25,8 @@ class OptaxOptimizer(Optimizer):
     >>> opt = OptaxOptimizer(optax.adam(1e-1), dimension, num_particles)
     """
 
+    needs_params = True  # drivers pass the current coords through
+
     def __init__(self, transformation, dimension: int, num_particles: int):
         # lr lives inside the transformation; base lr/stabilizer are unused.
         super().__init__(dimension, num_particles, lr=0.0)
@@ -33,8 +35,10 @@ class OptaxOptimizer(Optimizer):
     def init(self, dtype=jnp.float32):
         return self._tx.init(self._zeros(dtype))
 
-    def step(self, state, grad):
+    def step(self, state, grad, params=None):
         # optax computes DESCENT updates for the passed gradient; SVGD
         # ascends along phi, so pass -phi and add the returned update.
-        updates, new_state = self._tx.update(-grad, state, None)
+        # params (the current coords) supports params-dependent transforms
+        # like adamw/lars/add_decayed_weights.
+        updates, new_state = self._tx.update(-grad, state, params)
         return new_state, updates

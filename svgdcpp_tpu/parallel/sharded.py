@@ -640,7 +640,12 @@ class ShardedSVGD:
                     coords_local, sources, scores, p_matrix, cfg.row_tile,
                     axis_name=axis, psd=self._rbf_psd,
                 )
-            opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
+            if optimizer.needs_params:
+                opt_state_local, inc = optimizer.step(
+                    opt_state_local, phi_local, coords_local
+                )
+            else:
+                opt_state_local, inc = optimizer.step(opt_state_local, phi_local)
             new_coords = coords_local + inc
             if lower is not None:
                 new_coords = jnp.maximum(new_coords, lower.astype(new_coords.dtype))

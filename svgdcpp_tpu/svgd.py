@@ -565,7 +565,12 @@ class SVGD:
                     state["slot_model_params"],
                 )
                 phi = self._phi(coords, scores, kparams)
-            opt_state, inc = self.optimizer.step(state["opt_state"], phi)
+            if self.optimizer.needs_params:
+                opt_state, inc = self.optimizer.step(
+                    state["opt_state"], phi, coords
+                )
+            else:
+                opt_state, inc = self.optimizer.step(state["opt_state"], phi)
             new_coords = coords + inc
             # Cast bounds to the coords dtype: under x64, f64 bounds would
             # otherwise promote an f32 carry and break the scan.

@@ -70,3 +70,18 @@ def test_bounded_svgd_concentrates_at_mle(rng):
     # posterior concentrates near the MLE (binomial posterior sd ~ sqrt(p q / n))
     sd = np.sqrt(mle * (1 - mle) / trials)
     assert np.all(np.abs(post_mean - mle) < 4 * sd), (post_mean, mle)
+
+
+def test_ctor_value_validation():
+    """successes > trials (or negatives) must raise, not silently produce a
+    -inf density with a finite boundary-pushing score."""
+    import pytest
+
+    from svgdcpp_tpu.models.binomial_likelihood import BinomialLikelihood
+
+    with pytest.raises(ValueError, match="successes"):
+        BinomialLikelihood(trials=[5.0], successes=[7.0])
+    with pytest.raises(ValueError, match="successes"):
+        BinomialLikelihood(trials=[5.0], successes=[-1.0])
+    with pytest.raises(ValueError, match="successes"):
+        BinomialLikelihood(trials=[-2.0], successes=[-3.0])

@@ -336,3 +336,21 @@ class TestLogSpaceComposition:
         diff = m1 - m2  # density identically 0 -> log = -inf / nan
         v = float(diff.evaluate_log_model(np.array([1.0, 1.0])))
         assert not np.isfinite(v)
+
+
+def test_mvn_normalization_large_dimension():
+    """f32 det overflow regression: d=60 cov=40*I. The log constant must be
+    finite (reference computes ~1.5e-72 in double); the plain constant may
+    legitimately underflow to 0.0."""
+    mvn = MultivariateNormal(np.zeros(60), 40.0 * np.eye(60))
+    expected_log = -0.5 * (60 * np.log(2 * np.pi) + 60 * np.log(40.0))
+    assert np.isclose(mvn.get_log_normalization_constant(), expected_log)
+    x = np.zeros(60)
+    val = float(mvn.evaluate_log_model_normalized(x))
+    assert np.isfinite(val) and np.isclose(val, expected_log)
+
+    # non-PSD covariance is rejected instead of yielding NaN
+    bad = np.eye(3)
+    bad[0, 0] = -1.0
+    with pytest.raises(ValueError, match="positive definite"):
+        MultivariateNormal(np.zeros(3), bad)

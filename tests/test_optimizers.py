@@ -117,3 +117,39 @@ def test_optax_sgd_matches_plain_ascent(rng):
     g = rng.normal(size=(4, 2))
     _, inc = opt.step(state, g)
     np.testing.assert_allclose(np.asarray(inc), 0.05 * g, rtol=1e-12)
+
+
+def test_optax_params_dependent_transform(rng):
+    """Params-dependent optax transforms (adamw-style weight decay) get the
+    current coords threaded through step(state, grad, params)."""
+    import optax
+
+    import svgdcpp_tpu as sv
+
+    dim, n = 2, 16
+    model = sv.MultivariateNormal(np.array([1.0, -1.0]), 0.5 * np.eye(2))
+    x0 = rng.normal(size=(n, dim)) * 2
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=50, coordinate_matrix=x0,
+            kernel=kernel, model=model,
+            optimizer=sv.OptaxOptimizer(optax.adamw(0.1, weight_decay=1e-3),
+                                        dim, n),
+        )
+    )
+    svgd.initialize()
+    out = np.asarray(svgd.run())
+    assert np.isfinite(out).all()
+
+    # the decay term actually depends on params: same grad, different params
+    from svgdcpp_tpu.optimizers.optax_adapter import OptaxOptimizer
+
+    opt = OptaxOptimizer(optax.add_decayed_weights(1e-2), 2, 4)
+    state = opt.init(np.float32)
+    g = rng.normal(size=(4, 2)).astype(np.float32)
+    p1 = np.zeros((4, 2), np.float32)
+    p2 = np.ones((4, 2), np.float32)
+    _, inc1 = opt.step(state, g, p1)
+    _, inc2 = opt.step(state, g, p2)
+    assert not np.allclose(np.asarray(inc1), np.asarray(inc2))
