@@ -244,6 +244,46 @@ def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
     return particles * _timed_run(svgd, iters, steps_per_call)
 
 
+def _wait_for_chip(attempts=3, probe_timeout=75, sleep_s=30):
+    """Probe the device with a tiny op in a SUBPROCESS before benching.
+
+    A killed in-flight process can wedge the tunneled chip's claim for
+    minutes (see CLAUDE.md); an in-process hang could not be timed out, so
+    the probe runs out-of-process with a hard timeout and retries briefly.
+    Never fatal: after the attempts the bench proceeds regardless (its own
+    failure mode is then at least attributable). Disable with
+    BENCH_NO_PROBE=1.
+    """
+    import os
+    import subprocess
+
+    if os.environ.get("BENCH_NO_PROBE"):
+        return True
+    code = (
+        "import numpy, jax.numpy as jnp;"
+        "numpy.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)));print('OK')"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, timeout=probe_timeout,
+            )
+            if b"OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            print(
+                f"# device probe {i + 1}/{attempts} failed; retrying in "
+                f"{sleep_s}s", file=sys.stderr, flush=True,
+            )
+            time.sleep(sleep_s)
+    print("# device probe exhausted; proceeding anyway", file=sys.stderr,
+          flush=True)
+    return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
@@ -268,6 +308,7 @@ def main():
         help="mvn = primary metric (default); blr / hier = BASELINE configs 3-4",
     )
     args = ap.parse_args()
+    _wait_for_chip()
 
     if args.quick:
         args.particles, args.iters, args.baseline_iters = 2048, 20, 2
