@@ -400,3 +400,48 @@ def test_ksd_rejects_p_matrix_with_kernel(rng):
     kernel = rbf(x0, np.eye(m)) + rbf(x0, 0.2 * np.eye(m))
     with pytest.raises(ValueError, match="not both"):
         ksd_rbf(model, x0, p_matrix=np.eye(m), kernel=kernel)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_tree_three_way_consistency(seed):
+    """Property test: random + - * / trees of RBF leaves (depth <= 3) keep
+    the oracle / rbf_terms / generic paths in agreement; non-flattenable
+    trees still agree oracle-vs-generic."""
+    tree_rng = np.random.default_rng(1000 + seed)
+    n, m = 16, 2
+    coords = jnp.asarray(tree_rng.normal(size=(n, m)))
+    scores = jnp.asarray(tree_rng.normal(size=(n, m)))
+    x0 = np.asarray(coords)
+
+    def leaf():
+        # small scales keep division terms' exp(+quad) in f64 range
+        return rbf(x0, spd(tree_rng, m, scale=0.15))
+
+    def build(depth):
+        if depth == 0 or tree_rng.uniform() < 0.3:
+            return leaf()
+        op = tree_rng.choice(["+", "-", "*", "/"])
+        l, r = build(depth - 1), build(depth - 1)
+        if op == "+":
+            return l + r
+        if op == "-":
+            # keep densities positive-ish is irrelevant for kernels; fine
+            return l - r
+        if op == "*":
+            return l * r
+        return l / leaf()  # single-leaf divisor stays flattenable more often
+
+    kernel = build(3)
+    expect = np.asarray(_phi_oracle(coords, scores, kernel))
+    gen = np.asarray(
+        phi_generic(
+            coords, scores, kernel._kernel_fn, kernel.parameters, row_tile=8
+        )
+    )
+    np.testing.assert_allclose(gen, expect, rtol=1e-8, atol=1e-12)
+    terms = flatten_rbf_terms(kernel)
+    if terms is not None:
+        got = np.asarray(
+            phi_rbf_terms(coords, scores, kernel.parameters, terms, row_tile=8)
+        )
+        np.testing.assert_allclose(got, expect, rtol=1e-8, atol=1e-12)
