@@ -81,6 +81,24 @@ def _default_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _pvary(x, axis):
+    """pcast to varying iff not already varying over ``axis`` (pallas_call
+    under shard_map check_vma requires every operand and output to share
+    one vma type; pcast on an already-varying value is an error)."""
+    if axis is None:
+        return x
+    vma = getattr(jax.typeof(x), "vma", frozenset())
+    if axis in vma:
+        return x
+    return jax.lax.pcast(x, (axis,), to="varying")
+
+
+def _out_struct(shape, dtype, vma_axis):
+    if vma_axis is None:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=frozenset({vma_axis}))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("tile_i", "tile_j", "interpret", "psd", "dot_dtype"),
@@ -202,29 +220,45 @@ def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_thresholds", "tile_i", "tile_j", "interpret", "dot_dtype"
+        "num_thresholds", "tile_i", "tile_j", "interpret", "dot_dtype",
+        "vma_axis",
     ),
 )
-def _phi_rbf_fused_pallas_impl(
-    coords, scores, gamma, thresholds_sq, num_thresholds, tile_i, tile_j,
-    interpret, dot_dtype: str = "float32",
+def _phi_rbf_fused_pallas_cross_impl(
+    targets, sources, source_scores, gamma, thresholds_sq, num_thresholds,
+    tile_i, tile_j, interpret, dot_dtype: str = "float32", vma_axis=None,
 ):
-    n, m = coords.shape
+    """Cross (sharded) form: ``targets`` is a local row shard, ``sources``
+    the (all-gathered) global set. The self-pair entry point passes the
+    same array for both. phi is normalized by the SOURCE count; counts
+    cover this shard's disjoint row-band (psum over the mesh axis for
+    global ranks). ``vma_axis`` types the pallas outputs (and pcasts every
+    operand) as device-varying over that shard_map axis — required under
+    check_vma."""
+    n_t, m = targets.shape
+    n_s = sources.shape[0]
     ddt = jnp.dtype(dot_dtype)
-    coords32 = coords.astype(jnp.float32)
-    coords32 = coords32 - jnp.mean(coords32, axis=0)  # translation-invariant
+    # phi is translation-invariant; the GLOBAL (source-set) mean protects
+    # the Gram-identity quadratic form from f32 cancellation off-origin.
+    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+    targets32 = targets.astype(jnp.float32) - center
+    sources32 = sources.astype(jnp.float32) - center
     gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
-    q = jnp.sum(coords32 * coords32, axis=1)
+    q_t = jnp.sum(targets32 * targets32, axis=1)
+    q_s = jnp.sum(sources32 * sources32, axis=1)
     b = jnp.concatenate(
-        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        [
+            source_scores.astype(jnp.float32), sources32,
+            jnp.ones((n_s, 1), jnp.float32),
+        ],
         axis=1,
     )
 
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(coords32, tile_i).astype(ddt)
-    qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk
-    xj_p = _pad_rows(coords32, tile_j).astype(ddt)
-    qj_p = _pad_rows(q[:, None], tile_j, value=big)  # K -> 0, counts skip
+    x_p = _pad_rows(targets32, tile_i).astype(ddt)
+    qi_p = _pad_rows(q_t[:, None], tile_i, value=big)  # padded targets: junk
+    xj_p = _pad_rows(sources32, tile_j).astype(ddt)
+    qj_p = _pad_rows(q_s[:, None], tile_j, value=big)  # K -> 0, counts skip
     b_p = _pad_rows(b, tile_j).astype(ddt)
     n_i = x_p.shape[0]
     n_j = xj_p.shape[0]
@@ -234,6 +268,10 @@ def _phi_rbf_fused_pallas_impl(
     )
 
     grid = (n_i // tile_i, n_j // tile_j)
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (gamma32, thr, x_p, qi_p, xj_p, qj_p, b_p)
+    ]
     acc, counts = pl.pallas_call(
         _fused_kernel,
         grid=grid,
@@ -255,8 +293,8 @@ def _phi_rbf_fused_pallas_impl(
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_i, bw), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_thresholds), jnp.float32),
+            _out_struct((n_i, bw), jnp.float32, vma_axis),
+            _out_struct((1, num_thresholds), jnp.float32, vma_axis),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds),
@@ -264,15 +302,15 @@ def _phi_rbf_fused_pallas_impl(
             transcendentals=n_i * n_j,
         ),
         interpret=interpret,
-    )(gamma32, thr, x_p, qi_p, xj_p, qj_p, b_p)
+    )(*operands)
 
-    a = acc[:n]
+    a = acc[:n_t]
     ks = a[:, :m]
     kx = a[:, m : 2 * m]
     rowsum = a[:, 2 * m]
     gamma_f = jnp.asarray(gamma, jnp.float32)
-    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
-    return phi.astype(coords.dtype), counts[0]
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * targets32)) / n_s
+    return phi.astype(targets.dtype), counts[0]
 
 
 def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
@@ -287,10 +325,28 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
     then ride a bf16-rounded sq tile — still verified, slightly noisier."""
     if interpret is None:
         interpret = _default_interpret()
-    return _phi_rbf_fused_pallas_impl(
-        coords, scores, gamma, thresholds_sq,
+    return _phi_rbf_fused_pallas_cross_impl(
+        coords, coords, scores, gamma, thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
         str(dot_dtype),
+    )
+
+
+def phi_rbf_fused_pallas_cross(targets, sources, source_scores, gamma,
+                               thresholds_sq, tile_i: int = 512,
+                               tile_j: int = 1024, interpret=None,
+                               dot_dtype: str = "float32", axis_name=None):
+    """Mosaic twin of ops/phi.phi_rbf_cross_fused_counts for the SHARDED
+    fused sweep: each device runs the VMEM-resident kernel over its local
+    row shard x the gathered global set. Pass ``axis_name`` when called
+    inside shard_map (types the pallas outputs device-varying under
+    check_vma); counts are this shard's row-band — psum them."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _phi_rbf_fused_pallas_cross_impl(
+        targets, sources, source_scores, gamma, thresholds_sq,
+        int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+        str(dot_dtype), vma_axis=axis_name,
     )
 
 
@@ -424,32 +480,38 @@ def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "signs", "num_thresholds", "tile_i", "tile_j", "interpret"
+        "signs", "num_thresholds", "tile_i", "tile_j", "interpret",
+        "vma_axis",
     ),
 )
-def _phi_rbf_terms_fused_pallas_impl(
-    coords, scores, gammas, signs, thresholds_sq, num_thresholds,
-    tile_i, tile_j, interpret,
+def _phi_rbf_terms_fused_pallas_cross_impl(
+    targets, sources, source_scores, gammas, signs, thresholds_sq,
+    num_thresholds, tile_i, tile_j, interpret, vma_axis=None,
 ):
-    n, m = coords.shape
+    """Cross (sharded) form of the multi-term fused Mosaic sweep — see
+    _phi_rbf_fused_pallas_cross_impl for the targets/sources/vma contract."""
+    n_t, m = targets.shape
+    n_s = sources.shape[0]
     num_terms = len(signs)
-    coords32 = coords.astype(jnp.float32)
-    coords32 = coords32 - jnp.mean(coords32, axis=0)  # translation-invariant
+    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+    targets32 = targets.astype(jnp.float32) - center
+    sources32 = sources.astype(jnp.float32) - center
     gammas32 = jnp.reshape(
         jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas]),
         (1, num_terms),
     )
-    q = jnp.sum(coords32 * coords32, axis=1)
+    q_t = jnp.sum(targets32 * targets32, axis=1)
+    q_s = jnp.sum(sources32 * sources32, axis=1)
     xs1 = jnp.concatenate(
-        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+        [sources32, jnp.ones((n_s, 1), jnp.float32)], axis=1
     )
 
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(coords32, tile_i)
-    qi_p = _pad_rows(q[:, None], tile_i, value=big)  # padded targets: junk
-    xj_p = _pad_rows(coords32, tile_j)
-    qj_p = _pad_rows(q[:, None], tile_j, value=big)  # K -> 0, counts skip
-    bs_p = _pad_rows(scores.astype(jnp.float32), tile_j)
+    x_p = _pad_rows(targets32, tile_i)
+    qi_p = _pad_rows(q_t[:, None], tile_i, value=big)  # padded targets: junk
+    xj_p = _pad_rows(sources32, tile_j)
+    qj_p = _pad_rows(q_s[:, None], tile_j, value=big)  # K -> 0, counts skip
+    bs_p = _pad_rows(source_scores.astype(jnp.float32), tile_j)
     xs1_p = _pad_rows(xs1, tile_j)
     n_i = x_p.shape[0]
     n_j = xj_p.shape[0]
@@ -459,6 +521,10 @@ def _phi_rbf_terms_fused_pallas_impl(
     )
 
     grid = (n_i // tile_i, n_j // tile_j)
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (gammas32, thr, x_p, qi_p, xj_p, qj_p, bs_p, xs1_p)
+    ]
     acc, counts = pl.pallas_call(
         functools.partial(_fused_terms_kernel, tuple(float(s) for s in signs)),
         grid=grid,
@@ -485,8 +551,8 @@ def _phi_rbf_terms_fused_pallas_impl(
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n_i, bw), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_thresholds), jnp.float32),
+            _out_struct((n_i, bw), jnp.float32, vma_axis),
+            _out_struct((1, num_thresholds), jnp.float32, vma_axis),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds + 2 * num_terms),
@@ -494,14 +560,14 @@ def _phi_rbf_terms_fused_pallas_impl(
             transcendentals=num_terms * n_i * n_j,
         ),
         interpret=interpret,
-    )(gammas32, thr, x_p, qi_p, xj_p, qj_p, bs_p, xs1_p)
+    )(*operands)
 
-    a = acc[:n]
+    a = acc[:n_t]
     ks = a[:, :m]
     wx = a[:, m : 2 * m]
     w_rowsum = a[:, 2 * m]
-    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
-    return phi.astype(coords.dtype), counts[0]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * targets32)) / n_s
+    return phi.astype(targets.dtype), counts[0]
 
 
 def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
@@ -513,8 +579,25 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
     positive) — the padded-row decay trick requires it."""
     if interpret is None:
         interpret = _default_interpret()
-    return _phi_rbf_terms_fused_pallas_impl(
-        coords, scores, tuple(gammas), tuple(float(s) for s in signs),
-        thresholds_sq, int(thresholds_sq.shape[0]), tile_i, tile_j,
-        bool(interpret),
+    return _phi_rbf_terms_fused_pallas_cross_impl(
+        coords, coords, scores, tuple(gammas),
+        tuple(float(s) for s in signs), thresholds_sq,
+        int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+    )
+
+
+def phi_rbf_terms_fused_pallas_cross(targets, sources, source_scores, gammas,
+                                     signs, thresholds_sq, tile_i: int = 512,
+                                     tile_j: int = 1024, interpret=None,
+                                     axis_name=None):
+    """Mosaic twin of ops/phi.phi_rbf_terms_cross_fused_counts for the
+    SHARDED multi-term fused sweep (see phi_rbf_fused_pallas_cross for the
+    axis_name/counts contract)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    return _phi_rbf_terms_fused_pallas_cross_impl(
+        targets, sources, source_scores, tuple(gammas),
+        tuple(float(s) for s in signs), thresholds_sq,
+        int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+        vma_axis=axis_name,
     )

@@ -155,6 +155,13 @@ class ShardedSVGDConfig:
     #: Median-selection bins per fused sweep (see SVGDOptions.fused_bins —
     #: fewer bins = cheaper per-pair compares, coarser per-pass refinement).
     fused_bins: int = 3
+    #: Run the fused sweep as a VMEM-resident Mosaic (Pallas) kernel per
+    #: device (the sharded twin of the driver's 'fused_pallas' /
+    #: 'fused_terms_pallas'). None = auto: on real TPU backends when the
+    #: kernel qualifies (single RBF, or every effective term gamma
+    #: statically positive). True forces it (raises off-TPU: the pallas
+    #: interpreter cannot run inside shard_map); False keeps the XLA sweep.
+    fused_pallas: Optional[bool] = None
     #: Composed-kernel phi path (only used with kernel=<Kernel>):
     #: 'auto' = algebraic closed-form terms when the kernel is a `+ - * /`
     #: tree of pure RBFs (kernels/algebra.py), generic VJP otherwise;
@@ -261,6 +268,7 @@ class ShardedSVGD:
             self._rbf_psd = True
         self._state = None
         self.stats = None
+        self._fused_pallas = self._resolve_fused_pallas()
         self._build()
 
     def _validate_fused_kernel(self):
@@ -284,6 +292,45 @@ class ShardedSVGD:
                 "(gamma * I); use kernel_phi='rbf_terms'/'generic' "
                 "for the general case."
             )
+
+    def _resolve_fused_pallas(self) -> bool:
+        """Whether the fused sweep runs as a per-device Mosaic kernel.
+
+        Auto (config.fused_pallas=None): real TPU backend AND the kernel
+        qualifies (built-in RBF, or every effective term gamma statically
+        positive — the Mosaic padded-row decay needs exp(-gamma*huge) -> 0,
+        kernels/algebra.fused_terms_statically_positive). Explicit True
+        raises with guidance when either condition fails. A trace-time
+        constant of the compiled step — re-resolved wherever the PSD flags
+        are, with the same rebuild-on-flip rule.
+        """
+        cfg = self.config
+        if not cfg.fused_phi or cfg.fused_pallas is False:
+            return False
+        on_tpu = jax.default_backend() == "tpu"
+        if self.kernel is None:
+            kernel_ok = True
+        else:
+            from ..kernels.algebra import fused_terms_statically_positive
+
+            kernel_ok = fused_terms_statically_positive(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+        if cfg.fused_pallas is None:
+            return on_tpu and kernel_ok
+        if not kernel_ok:
+            raise ValueError(
+                "fused_pallas requires every effective term gamma to be "
+                "statically positive (no division terms): the Mosaic "
+                "kernel's padded rows rely on exp(-gamma*huge) -> 0."
+            )
+        if not on_tpu:
+            raise ValueError(
+                "fused_pallas=True requires a TPU backend (the pallas "
+                "interpreter cannot run inside shard_map); leave it None "
+                "for auto-selection."
+            )
+        return True
 
     def _refresh_psd(self):
         """PSD-ness of the clamped quadratic forms: MEDIAN scales are PSD by
@@ -322,9 +369,10 @@ class ShardedSVGD:
         self.kernel.update_parameters(params)
         self.kernel.initialize()
         self._validate_fused_kernel()
-        before = self._term_psd
+        before = (self._term_psd, self._fused_pallas)
         self._refresh_psd()
-        if self._term_psd != before:
+        self._fused_pallas = self._resolve_fused_pallas()
+        if (self._term_psd, self._fused_pallas) != before:
             self._build()
 
     UpdateKernelParameters = update_kernel_parameters
@@ -581,7 +629,27 @@ class ShardedSVGD:
                         * jnp.eye(self.dimension, dtype=coords_local.dtype),
                     )
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-                if fused_terms:
+                if self._fused_pallas:
+                    # Per-device VMEM-resident Mosaic sweep (the sharded
+                    # twin of phi_impl='fused_pallas'/'fused_terms_pallas').
+                    from ..ops.pallas_phi import (
+                        phi_rbf_fused_pallas_cross,
+                        phi_rbf_terms_fused_pallas_cross,
+                    )
+
+                    if fused_terms:
+                        phi_local, counts_local = (
+                            phi_rbf_terms_fused_pallas_cross(
+                                coords_local, sources, scores, gammas,
+                                term_signs, thresholds, axis_name=axis,
+                            )
+                        )
+                    else:
+                        phi_local, counts_local = phi_rbf_fused_pallas_cross(
+                            coords_local, sources, scores, gamma, thresholds,
+                            axis_name=axis,
+                        )
+                elif fused_terms:
                     phi_local, counts_local = phi_rbf_terms_cross_fused_counts(
                         coords_local, sources, scores, gammas, term_signs,
                         thresholds, cfg.row_tile, axis_name=axis,
@@ -754,9 +822,10 @@ class ShardedSVGD:
             # mis-clamp the quadratic forms. Re-derive on the current values
             # (cheap (m, m) eigenvalue checks) and rebuild if flipped.
             self._validate_fused_kernel()
-            before = self._term_psd
+            before = (self._term_psd, self._fused_pallas)
             self._refresh_psd()
-            if self._term_psd != before:
+            self._fused_pallas = self._resolve_fused_pallas()
+            if (self._term_psd, self._fused_pallas) != before:
                 self._build()
         sharding = NamedSharding(self.mesh, P(self.axis, None))
 

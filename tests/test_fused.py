@@ -417,3 +417,52 @@ def test_fused_terms_seed_honors_exact_median_method(rng):
     svgd.initialize()
     seed = svgd._current_scale_aux(jnp.asarray(x0))[0]
     assert float(seed["med"]) == exact
+
+
+def test_sharded_fused_pallas_validation(rng):
+    """fused_pallas resolution: explicit True raises off-TPU; auto stays
+    off on CPU; explicit True with a division kernel rejects (positivity)."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.parallel.sharded import ShardedSVGD, ShardedSVGDConfig
+
+    n, dim = 64, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+
+    auto = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), n, dim,
+        config=ShardedSVGDConfig(fused_phi=True),
+    )
+    assert auto._fused_pallas is False  # CPU backend -> auto off
+
+    with pytest.raises(ValueError, match="TPU backend"):
+        ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            config=ShardedSVGDConfig(fused_phi=True, fused_pallas=True),
+        )
+
+
+def test_sharded_fused_pallas_rejects_division_kernel(rng):
+    """Explicit fused_pallas=True with a division composition (negative
+    effective gamma) must reject on positivity before the backend check."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.parallel.sharded import ShardedSVGD, ShardedSVGDConfig
+
+    n, dim = 64, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) / sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=0.05 * np.eye(dim, dtype=np.float32),
+    )
+    with pytest.raises(ValueError, match="positive"):
+        ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim, kernel=kernel,
+            config=ShardedSVGDConfig(fused_phi=True, fused_pallas=True),
+        )

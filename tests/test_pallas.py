@@ -314,3 +314,53 @@ def test_fused_pallas_bf16_dots(rng):
     assert rel < 3e-2, rel
     # sq tiles are bf16-rounded -> bounded rank noise near each threshold
     assert np.abs(np.asarray(counts_p) - np.asarray(counts_x)).max() <= 4 * n
+
+
+def test_fused_pallas_cross_matches_xla_cross(rng):
+    """The sharded-form Mosaic fused sweep (local rows x global sources)
+    matches the XLA cross fused op: phi rows and row-band counts."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas_cross
+    from svgdcpp_tpu.ops.phi import phi_rbf_cross_fused_counts
+
+    n, m = 192, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 3.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.7
+    thresholds = jnp.asarray(np.linspace(0.0, 30.0, 4), jnp.float32)
+
+    # a 48-row shard against the full source set (off-origin cluster)
+    rows = coords[32:80]
+    phi_x, cnt_x = phi_rbf_cross_fused_counts(
+        rows, coords, scores, gamma, thresholds, row_tile=64
+    )
+    phi_p, cnt_p = phi_rbf_fused_pallas_cross(
+        rows, coords, scores, gamma, thresholds, tile_i=32, tile_j=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=2e-4, atol=2e-5
+    )
+    assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
+
+
+def test_fused_terms_pallas_cross_matches_xla_cross(rng):
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_terms_fused_pallas_cross
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_cross_fused_counts
+
+    n, m = 160, 3
+    coords = jnp.asarray(rng.normal(size=(n, m)) - 2.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gammas = [jnp.float32(0.5), jnp.float32(0.05)]
+    signs = [1, -1]
+    thresholds = jnp.asarray(np.linspace(0.5, 40.0, 4), jnp.float32)
+
+    rows = coords[:96]
+    phi_x, cnt_x = phi_rbf_terms_cross_fused_counts(
+        rows, coords, scores, gammas, signs, thresholds, row_tile=64
+    )
+    phi_p, cnt_p = phi_rbf_terms_fused_pallas_cross(
+        rows, coords, scores, gammas, signs, thresholds, tile_i=32, tile_j=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=2e-4, atol=2e-5
+    )
+    assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
