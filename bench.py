@@ -257,7 +257,7 @@ def _wait_for_chip(attempts=3, probe_timeout=75, sleep_s=30):
     import os
     import subprocess
 
-    if os.environ.get("BENCH_NO_PROBE"):
+    if os.environ.get("BENCH_NO_PROBE", "") not in ("", "0", "false", "False"):
         return True
     code = (
         "import numpy, jax.numpy as jnp;"

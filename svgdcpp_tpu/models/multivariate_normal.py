@@ -88,30 +88,36 @@ class MultivariateNormal(Model):
                 "Dimensions of parameter vectors/matrices do not match "
                 "original dimension."
             )
+        # Validate (slogdet raises on non-PD) BEFORE mutating any state so
+        # a rejected update leaves the model fully on its old parameters.
+        log_const = self._derive_log_norm_const(covariance)
         self.parameters = (mean, covariance)
-        self._compute_normalization_constant()
+        self._set_norm_const(log_const)
 
-    def _compute_normalization_constant(self):
-        """1/((2 pi)^{d/2} |Sigma|^{1/2}) (reference MultivariateNormal.hpp:182-186).
-
-        Derived in log space with a host f64 slogdet: an f32 determinant
-        over/underflows around d ~ 50 (det(40*I_60) = inf in f32), which
-        would silently zero the constant where the double-precision
-        reference stays finite.
+    def _derive_log_norm_const(self, covariance) -> float:
+        """log of 1/((2 pi)^{d/2} |Sigma|^{1/2}) (reference
+        MultivariateNormal.hpp:182-186), via a host f64 slogdet: an f32
+        determinant over/underflows around d ~ 50 (det(40*I_60) = inf in
+        f32), which would silently zero the constant where the
+        double-precision reference stays finite. Raises on non-PD input.
         """
         import numpy as np
 
-        cov = np.asarray(self.parameters[1], dtype=np.float64)
+        cov = np.asarray(covariance, dtype=np.float64)
         sign, logdet = np.linalg.slogdet(cov)
         if sign <= 0:
-            raise ValueError(
-                "Covariance matrix must be positive definite."
-            )
-        self._log_norm_const = float(
+            raise ValueError("Covariance matrix must be positive definite.")
+        return float(
             -0.5 * (self.dimension * math.log(2.0 * math.pi) + logdet)
         )
+
+    def _set_norm_const(self, log_const: float):
+        self._log_norm_const = log_const
         # may underflow to 0.0 for large d — use the log form then
-        self.norm_const = math.exp(self._log_norm_const)
+        self.norm_const = math.exp(log_const)
+
+    def _compute_normalization_constant(self):
+        self._set_norm_const(self._derive_log_norm_const(self.parameters[1]))
 
     def get_normalization_constant(self) -> float:
         return self.norm_const

@@ -552,9 +552,11 @@ def pairwise_distance_median_hybrid(
     k1, k2 = _middle_ranks(total)
 
     # count_fn/hi0 guards live in centered_count_env; the pair subsample
-    # centers too (translation-invariant, f32-accurate off origin).
-    count_fn, hi0 = centered_count_env(coords, row_tile=row_tile)
-    centered = coords - jnp.mean(coords, axis=0)
+    # shares the same centered array (translation-invariant, f32-accurate
+    # off origin).
+    count_fn, hi0, centered = centered_count_env(
+        coords, row_tile=row_tile, return_centered=True
+    )
     lo_s, hi_s = median_sq_bracket_from_sample(centered, min(num_samples, total))
     fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     lo_s = lo_s.astype(fdt)
@@ -713,9 +715,11 @@ def pairwise_distance_median_warm(
     total = n * n
 
     # count_fn/hi0 guards live in centered_count_env; the pair subsample
-    # centers too (translation-invariant, f32-accurate off origin).
-    count_fn, hi0 = centered_count_env(coords, row_tile=row_tile)
-    centered = coords - jnp.mean(coords, axis=0)
+    # shares the same centered array (translation-invariant, f32-accurate
+    # off origin).
+    count_fn, hi0, centered = centered_count_env(
+        coords, row_tile=row_tile, return_centered=True
+    )
     sample_bracket_fn = lambda: median_sq_bracket_from_sample(
         centered, min(num_samples, total)
     )
@@ -887,7 +891,8 @@ def fused_lag1_plan(aux, n_total, fused_bins, compute_dtype):
 
 
 def centered_count_env(coords, sources_global=None, *, axis_name=None,
-                       n_global=None, row_tile: int = 2048):
+                       n_global=None, row_tile: int = 2048,
+                       return_centered: bool = False):
     """(count_fn, hi0) for pairwise-distance selection on ``coords``.
 
     Single definition of two safety-critical f32 guards (see
@@ -914,6 +919,10 @@ def centered_count_env(coords, sources_global=None, *, axis_name=None,
         count_fn = lambda thr: count_le_cross(
             centered, centered, thr, row_tile=row_tile
         )
+        # return_centered: single-device callers that also subsample pairs
+        # reuse the same centered array instead of re-centering.
+        if return_centered:
+            return count_fn, hi0, centered
         return count_fn, hi0
     center = jax.lax.psum(jnp.sum(coords, axis=0), axis_name) / n_global
     centered_local = coords - center

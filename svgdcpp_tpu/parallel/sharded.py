@@ -188,6 +188,10 @@ class ShardedSVGDConfig:
                 raise ValueError("fused_phi requires ScaleMethod.MEDIAN.")
             if self.phi_mode != "gather":
                 raise ValueError("fused_phi currently requires phi_mode='gather'.")
+        elif self.fused_pallas:
+            # Explicitly forcing the Mosaic sweep without the fused sweep is
+            # a configuration error, not a silent no-op.
+            raise ValueError("fused_pallas=True requires fused_phi=True.")
 
 
 class ShardedSVGD:
@@ -708,7 +712,8 @@ class ShardedSVGD:
                     coords_local, sources, scores, p_matrix, cfg.row_tile,
                     axis_name=axis, psd=self._rbf_psd,
                 )
-            if optimizer.needs_params:
+            # getattr: duck-typed user optimizers need not subclass Optimizer
+            if getattr(optimizer, "needs_params", False):
                 opt_state_local, inc = optimizer.step(
                     opt_state_local, phi_local, coords_local
                 )

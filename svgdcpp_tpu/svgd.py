@@ -565,7 +565,8 @@ class SVGD:
                     state["slot_model_params"],
                 )
                 phi = self._phi(coords, scores, kparams)
-            if self.optimizer.needs_params:
+            # getattr: duck-typed user optimizers need not subclass Optimizer
+            if getattr(self.optimizer, "needs_params", False):
                 opt_state, inc = self.optimizer.step(
                     state["opt_state"], phi, coords
                 )

@@ -28,9 +28,11 @@ def sync(tree):
     Transferring a single leaf is not enough: a passthrough leaf (e.g. a
     constant carried through the state pytree) can already be resolved while
     the leaf produced by the final dispatch is still executing remotely.
+    One device_get over the whole pytree starts the copies together — one
+    round-trip wave, not a blocking trip per leaf (the tunnel's latency
+    would otherwise bias step_timer upward).
     """
-    for leaf in jax.tree.leaves(tree):
-        np.asarray(jax.device_get(leaf))
+    jax.device_get(jax.tree.leaves(tree))
     return tree
 
 

@@ -466,3 +466,14 @@ def test_sharded_fused_pallas_rejects_division_kernel(rng):
             model, sv.AdaGrad(dim, n, 0.1), n, dim, kernel=kernel,
             config=ShardedSVGDConfig(fused_phi=True, fused_pallas=True),
         )
+
+
+def test_fused_pallas_without_fused_phi_rejected():
+    """fused_pallas=True with fused_phi=False is a config error, not a
+    silent no-op."""
+    import pytest
+
+    from svgdcpp_tpu.parallel.sharded import ShardedSVGDConfig
+
+    with pytest.raises(ValueError, match="fused_phi"):
+        ShardedSVGDConfig(fused_pallas=True)

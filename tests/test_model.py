@@ -354,3 +354,16 @@ def test_mvn_normalization_large_dimension():
     bad[0, 0] = -1.0
     with pytest.raises(ValueError, match="positive definite"):
         MultivariateNormal(np.zeros(3), bad)
+
+
+def test_mvn_rejected_update_leaves_model_intact():
+    """A non-PD covariance update must raise BEFORE mutating parameters:
+    the guard is useless if a caught error leaves a half-updated model."""
+    mvn = MultivariateNormal(np.zeros(2), 2.0 * np.eye(2))
+    old_const = mvn.get_normalization_constant()
+    bad = np.eye(2)
+    bad[1, 1] = -1.0
+    with pytest.raises(ValueError, match="positive definite"):
+        mvn.update_parameters([np.zeros(2), bad])
+    np.testing.assert_allclose(np.asarray(mvn.parameters[1]), 2.0 * np.eye(2))
+    assert mvn.get_normalization_constant() == old_const
