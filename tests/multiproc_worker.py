@@ -123,6 +123,31 @@ for s_a, s_b in zip(
     )
 print(f"worker {pid}: ring OK", flush=True)
 
+# Fused single-sweep mode across process boundaries: the lag-1 fused
+# median's psum'ed selection counts ride the cross-process transport.
+fused = ShardedSVGD(
+    sv.MultivariateNormal(mean, cov),
+    sv.AdaGrad(dim, n, 0.1),
+    num_particles=n,
+    dimension=dim,
+    mesh=make_particle_mesh(),
+    config=ShardedSVGDConfig(
+        scale_method=sv.ScaleMethod.MEDIAN,
+        fused_phi=True,
+        row_tile=4,
+    ),
+)
+fstate = fused.run_state(fused.init_state(x0), iters)
+f_rows, f_starts = [], []
+for shard in fstate["coords"].addressable_shards:
+    f_starts.append(shard.index[0].start or 0)
+    f_rows.append(np.asarray(shard.data))
+np.savez(
+    outdir / f"fused_shard_{pid}.npz",
+    starts=np.asarray(f_starts), rows=np.asarray(f_rows),
+)
+print(f"worker {pid}: fused OK", flush=True)
+
 rows = []
 starts = []
 for shard in coords.addressable_shards:

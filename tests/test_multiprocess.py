@@ -56,6 +56,8 @@ def test_two_process_sharded_run(tmp_path):
         assert f"worker {pid}: ckpt OK" in out
         # ppermute ring schedule matched the gather trajectory
         assert f"worker {pid}: ring OK" in out
+        # fused single-sweep (psum'ed lag-1 selection counts) ran
+        assert f"worker {pid}: fused OK" in out
 
     # Reassemble the global (16, 2) result from both processes' row shards.
     n, dim, iters = 16, 2, 3
@@ -87,3 +89,27 @@ def test_two_process_sharded_run(tmp_path):
     )
     expect = np.asarray(sharded.run(x0, iters))
     np.testing.assert_allclose(result, expect, rtol=1e-9, atol=1e-12)
+
+    # Fused-mode cross-process trajectory == the same fused run on this
+    # process's single-process 8-device mesh (identical device count and
+    # reduction layout, so f64 trajectories match tightly).
+    f_result = np.full((n, dim), np.nan)
+    for pid in range(2):
+        data = np.load(tmp_path / f"fused_shard_{pid}.npz")
+        for start, rows in zip(data["starts"], data["rows"]):
+            f_result[int(start) : int(start) + rows.shape[0]] = rows
+    assert np.isfinite(f_result).all()
+    fused = ShardedSVGD(
+        sv.MultivariateNormal(np.zeros(dim), np.eye(dim)),
+        sv.AdaGrad(dim, n, 0.1),
+        num_particles=n,
+        dimension=dim,
+        mesh=make_particle_mesh(),
+        config=ShardedSVGDConfig(
+            scale_method=sv.ScaleMethod.MEDIAN,
+            fused_phi=True,
+            row_tile=4,
+        ),
+    )
+    f_expect = np.asarray(fused.run(x0, iters))
+    np.testing.assert_allclose(f_result, f_expect, rtol=1e-9, atol=1e-12)
