@@ -85,6 +85,11 @@ class SVGDOptions:
     #: 2*disp error class. The count-verified bracket check + in-graph
     #: bisection fallback hold for any value.
     fused_bins: int = 3
+    #: MXU operand dtype for the single-term Mosaic fused sweep
+    #: ('fused_pallas' only): 'float32' (default) or 'bfloat16'
+    #: (experimental — halves MXU operand width at ~2^-8 per-pair relative
+    #: rounding; accumulation and the exp stay f32. See docs/perf.md).
+    fused_dot_dtype: str = "float32"
 
 
 def _prepare_bound(bound, dimension, name) -> Optional[jnp.ndarray]:
@@ -534,7 +539,8 @@ class SVGD:
                     from .ops.pallas_phi import phi_rbf_fused_pallas
 
                     phi, counts = phi_rbf_fused_pallas(
-                        coords, scores, gamma, thresholds
+                        coords, scores, gamma, thresholds,
+                        dot_dtype=self.options.fused_dot_dtype,
                     )
                 else:
                     phi, counts = phi_rbf_fused_counts(

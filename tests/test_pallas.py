@@ -364,3 +364,33 @@ def test_fused_terms_pallas_cross_matches_xla_cross(rng):
         np.asarray(phi_p), np.asarray(phi_x), rtol=2e-4, atol=2e-5
     )
     assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
+
+
+def test_driver_fused_pallas_bf16_dots(rng):
+    """SVGDOptions.fused_dot_dtype='bfloat16' drives the bf16 Mosaic sweep
+    end-to-end (interpreter on CPU) close to the f32 trajectory."""
+    import svgdcpp_tpu as sv
+
+    n, dim, iters = 600, 2, 3
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 2
+
+    def run(dd):
+        model = sv.MultivariateNormal(
+            np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+        )
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl="fused_pallas",
+                fused_dot_dtype=dd,
+            )
+        )
+        svgd.initialize()
+        return np.asarray(svgd.run())
+
+    f32, bf16 = run("float32"), run("bfloat16")
+    assert np.isfinite(bf16).all()
+    rel = np.abs(bf16 - f32).max() / np.abs(f32).max()
+    assert rel < 5e-2, rel
