@@ -394,3 +394,136 @@ def test_driver_fused_pallas_bf16_dots(rng):
     assert np.isfinite(bf16).all()
     rel = np.abs(bf16 - f32).max() / np.abs(f32).max()
     assert rel < 5e-2, rel
+
+
+@pytest.mark.parametrize("n_dev", [4, 8])
+def test_fused_pallas_shard_decomposition(rng, n_dev):
+    """D>1 proof for the sharded Mosaic fused sweep (parallel/sharded.py
+    local_step, fused_pallas branch): emulate the exact shard schedule by
+    hand — slice the particle rows into D disjoint shards, run
+    phi_rbf_fused_pallas_cross per shard (interpret mode, OUTSIDE
+    shard_map), host-sum the per-shard row-band counts (the psum) — and
+    assert the assembled result equals (a) a single global Mosaic sweep and
+    (b) the global XLA fused sweep, INCLUDING the downstream
+    fused_median_from_counts selection. This validates the cross-shard
+    math the compiled shard_map+Mosaic+psum program runs at D>1, which no
+    simulated mesh can execute (the pallas interpreter's grid loop is
+    VMA-untyped inside shard_map — see CLAUDE.md)."""
+    from svgdcpp_tpu.ops.median import (
+        centered_count_env,
+        fused_lag1_plan,
+        fused_median_from_counts,
+        fused_median_seed,
+        pairwise_distance_median_exact,
+    )
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas_cross
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m = 256, 2
+    shard = n // n_dev
+    coords = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.5, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+
+    # The exact per-step plan the sharded fused branch executes: lag-1
+    # bandwidth + selection edges from the seeded aux.
+    aux = fused_median_seed(coords, "auto")
+    gamma, sel = fused_lag1_plan(aux, n, 3, jnp.float32)
+    thresholds = sel["edges"]
+
+    # --- per-shard Mosaic sweeps (the per-device halves of the psum) ---
+    phi_shards, count_shards = [], []
+    for d in range(n_dev):
+        rows = coords[d * shard : (d + 1) * shard]
+        phi_d, cnt_d = phi_rbf_fused_pallas_cross(
+            rows, coords, scores, gamma, thresholds, tile_i=32, tile_j=64
+        )
+        phi_shards.append(np.asarray(phi_d))
+        count_shards.append(np.asarray(cnt_d))
+    phi_assembled = np.concatenate(phi_shards, axis=0)
+    counts_summed = np.sum(count_shards, axis=0)  # host psum
+
+    # (a) decomposition is exact against ONE global Mosaic sweep: same
+    # centering (source-set mean), same per-row tile accumulation order.
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+
+    phi_global_p, counts_global_p = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=32, tile_j=64
+    )
+    np.testing.assert_allclose(
+        phi_assembled, np.asarray(phi_global_p), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(counts_summed, np.asarray(counts_global_p))
+
+    # (b) matches the global XLA fused sweep within implementation rounding
+    phi_x, counts_x = phi_rbf_fused_counts(
+        coords, scores, gamma, thresholds, row_tile=64
+    )
+    np.testing.assert_allclose(
+        phi_assembled, np.asarray(phi_x), rtol=2e-4, atol=2e-5
+    )
+    assert np.abs(counts_summed - np.asarray(counts_x)).max() <= n
+
+    # (c) the summed counts drive the SAME median selection the compiled
+    # sharded program would verify: the recovered median equals the exact
+    # n^2 median of the current coordinates within the bracket width.
+    count_fn, hi0 = centered_count_env(coords, row_tile=64)
+    med, lo1, hi1, lo2, hi2 = fused_median_from_counts(
+        jnp.asarray(counts_summed), sel, n * n, count_fn, hi0,
+        initialized=jnp.asarray(True),
+    )
+    med_exact = float(pairwise_distance_median_exact(coords))
+    assert float(lo1) <= med_exact * (1 + 1e-5)
+    assert float(hi2) >= med_exact * (1 - 1e-5)
+    np.testing.assert_allclose(float(med), med_exact, rtol=5e-3)
+
+
+def test_fused_terms_pallas_shard_decomposition(rng):
+    """Multi-term twin of the shard-decomposition proof (the
+    fused_terms_pallas branch of parallel/sharded.py local_step)."""
+    from svgdcpp_tpu.ops.median import fused_lag1_plan, fused_median_seed
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_terms_fused_pallas,
+        phi_rbf_terms_fused_pallas_cross,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n, m, n_dev = 192, 3, 4
+    shard = n // n_dev
+    coords = jnp.asarray(rng.normal(size=(n, m)) - 2.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    signs = [1, 1]
+
+    aux = fused_median_seed(coords, "auto")
+    gamma, sel = fused_lag1_plan(aux, n, 3, jnp.float32)
+    gammas = [gamma, jnp.float32(0.05)]
+    thresholds = sel["edges"]
+
+    phi_shards, count_shards = [], []
+    for d in range(n_dev):
+        rows = coords[d * shard : (d + 1) * shard]
+        phi_d, cnt_d = phi_rbf_terms_fused_pallas_cross(
+            rows, coords, scores, gammas, signs, thresholds,
+            tile_i=16, tile_j=64,
+        )
+        phi_shards.append(np.asarray(phi_d))
+        count_shards.append(np.asarray(cnt_d))
+    phi_assembled = np.concatenate(phi_shards, axis=0)
+    counts_summed = np.sum(count_shards, axis=0)
+
+    phi_global_p, counts_global_p = phi_rbf_terms_fused_pallas(
+        coords, scores, gammas, signs, thresholds, tile_i=16, tile_j=64
+    )
+    np.testing.assert_allclose(
+        phi_assembled, np.asarray(phi_global_p), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_array_equal(
+        counts_summed, np.asarray(counts_global_p)
+    )
+
+    phi_x, counts_x = phi_rbf_terms_fused_counts(
+        coords, scores, gammas, signs, thresholds, row_tile=64
+    )
+    np.testing.assert_allclose(
+        phi_assembled, np.asarray(phi_x), rtol=2e-4, atol=2e-5
+    )
+    assert np.abs(counts_summed - np.asarray(counts_x)).max() <= n
