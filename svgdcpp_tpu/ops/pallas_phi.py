@@ -40,6 +40,20 @@ def _pad_rows(arr, multiple, value=0.0):
     return jnp.pad(arr, width, constant_values=value)
 
 
+def _pad_cols(arr, multiple, value=0.0):
+    n = arr.shape[1]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    return jnp.pad(arr, ((0, 0), (0, pad)), constant_values=value)
+
+
+#: log2(e): the fused kernels evaluate exp(-g*sq) as exp2(-(g*log2e)*sq) —
+#: the VPU exp lowers to exp2 + multiply anyway, so folding the constant
+#: into gamma (one scalar op per tile) saves a per-pair multiply.
+_LOG2E = 1.4426950408889634
+
+
 def _tile_counts(sq, thr_ref, num_t):
     """Selection counts for one VMEM-resident squared-distance tile.
 
@@ -60,6 +74,45 @@ def _tile_counts(sq, thr_ref, num_t):
 # ----------------------------------------------------------------------
 
 
+def _dot_precision(operand_dtype):
+    """MXU precision for the f32 squared-distance (Gram cross) dots.
+
+    On TPU the DEFAULT matmul precision feeds the MXU bf16 operands (one
+    pass); for the squared-distance Gram dot that ~2^-8 rounding is
+    amplified through exp(-gamma*sq) into percent-level phi error (measured
+    2.9% RMS / 7.4% max vs the VPU-exact XLA sweep on v5e). f32 operands
+    therefore use HIGHEST (multi-pass, f32-exact — Mosaic supports only
+    DEFAULT and HIGHEST) on the CROSS dot. The big K-contraction dots
+    (inner dimension = tile_j) stay DEFAULT: K's bf16 rounding enters phi
+    linearly and averages out over sources (measured 4e-4 RMS end-to-end,
+    vs a 2x step cost for HIGHEST there). The fused sweeps avoid even the
+    cross-dot cost at small m by computing sq in the difference form on
+    the VPU (_DIFF_FORM_MAX_M). Explicitly bf16 operands
+    (dot_dtype='bfloat16') keep DEFAULT everywhere — the rounding is then
+    the caller's documented opt-in.
+    """
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(operand_dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+#: Up to this dimension the fused kernels build the squared-distance tile
+#: with the cancellation-free difference form on the VPU (3m ops/pair,
+#: f32-exact) instead of the Gram-identity MXU dot, which would need
+#: HIGHEST precision for accuracy (6 passes — measured 0.6x the DEFAULT
+#: rate at N=10k, while the diff form keeps the full rate). Mirrors the
+#: XLA fused sweep's small-m rule (ops/phi.py).
+_DIFF_FORM_MAX_M = 4
+
+#: Row-padding coordinate for the diff-form tiles: targets pad at +_PAD_C,
+#: sources at -_PAD_C, so every padded pair (target, source or both) gets
+#: sq >= _PAD_C^2 ~ 1e38 -> exp -> 0 and no count, with no masks in the
+#: inner loop (the diff-form twin of the q = +big trick).
+_PAD_C = 1e19
+
+
 def _phi_kernel(psd, x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
     j = pl.program_id(1)
 
@@ -67,7 +120,9 @@ def _phi_kernel(psd, x_ref, qi_ref, xps_ref, qj_ref, b_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    cross = jnp.dot(x_ref[:], xps_ref[:].T, preferred_element_type=jnp.float32)
+    prec = _dot_precision(x_ref.dtype)
+    cross = jnp.dot(x_ref[:], xps_ref[:].T, preferred_element_type=jnp.float32,
+                    precision=prec)
     quad = qi_ref[:] + qj_ref[:].T - cross  # (TI, TJ)
     if psd:
         quad = jnp.maximum(quad, 0.0)
@@ -196,8 +251,61 @@ def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
 # ----------------------------------------------------------------------
 
 
-def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
-                  acc_ref, cnt_ref):
+def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
+    """Squared-distance tile (TI, TJ), shared by the fused kernels.
+
+    Sources arrive PRE-TRANSPOSED (``xjt_ref`` is (m, TJ), ``qjt_ref`` is
+    (1, TJ)) so neither branch relayouts inside the kernel (the in-kernel
+    transpose measured ~14% of the sweep at the N=10k shape).
+    ``diff_m`` static non-None: the f32-exact VPU difference form over that
+    many dimensions (q refs unused; padded rows carry +/-_PAD_C coordinates
+    so their sq explodes). None: the Gram identity from the MXU cross dot
+    (HIGHEST precision for f32 — see _dot_precision) with q = +big padding.
+    """
+    if diff_m is not None:
+        sq = None
+        for k in range(diff_m):
+            d = x_ref[:, k : k + 1] - xjt_ref[k : k + 1, :]  # (TI, TJ)
+            sq = d * d if sq is None else sq + d * d
+        return sq
+    if x_ref.dtype == jnp.float32:
+        # Manual bf16x3 cross dot ("Precision.HIGH", which Mosaic does not
+        # expose): hi/lo bf16 split, drop the lo*lo term — ~2^-16 relative
+        # sq error (invisible through exp) at 3 one-pass MXU dots instead
+        # of HIGHEST's 6 (measured 7.2M -> 7.9M hier updates/s at m=11).
+        x = x_ref[:]
+        yt = xjt_ref[:]
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        y_hi = yt.astype(jnp.bfloat16)
+        y_lo = (yt - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        cross = (
+            jnp.dot(x_hi, y_hi, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, y_lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_lo, y_hi, preferred_element_type=jnp.float32)
+        )
+    else:
+        # bf16 operands are the caller's documented opt-in rounding.
+        cross = jnp.dot(x_ref[:], xjt_ref[:],
+                        preferred_element_type=jnp.float32)
+    return jnp.maximum(qi_ref[:] + qjt_ref[:] - 2.0 * cross, 0.0)
+
+
+def _lane_counts(cnt_ref, sq, thr_ref, num_t):
+    """Accumulate selection counts as (num_t, TJ) LANE vectors: per
+    threshold one sublane-direction reduce (cheap on the VPU) instead of a
+    full-tile scalar reduction — the wrapper's XLA epilogue does the single
+    lane reduction at the end. Measured 0.045 ms/edge vs 0.15 ms/edge for
+    full-tile reductions at the N=10k shape (scripts/tune_fused_kernel.py).
+    """
+    for t in range(num_t):
+        cnt_ref[t, :] += jnp.sum(
+            (sq <= thr_ref[0, t]).astype(jnp.float32), axis=0
+        )
+
+
+def _fused_kernel(diff_m, num_t, gamma_ref, thr_ref, x_ref, qi_ref, xjt_ref,
+                  qjt_ref, b_ref, acc_ref, cnt_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -205,16 +313,15 @@ def _fused_kernel(gamma_ref, thr_ref, x_ref, qi_ref, xj_ref, qj_ref, b_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(i == 0)
     def _():
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    gamma = gamma_ref[0, 0]
-    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
-    sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
-    k_tile = jnp.exp(-gamma * sq).astype(b_ref.dtype)
+    gamma2 = gamma_ref[0, 0] * _LOG2E  # scalar, once per tile
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (TI, TJ)
+    k_tile = jnp.exp2(-gamma2 * sq).astype(b_ref.dtype)
     acc_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
-    cnt_ref[:] += _tile_counts(sq, thr_ref, cnt_ref.shape[1])
+    _lane_counts(cnt_ref, sq, thr_ref, num_t)
 
 
 @functools.partial(
@@ -254,14 +361,19 @@ def _phi_rbf_fused_pallas_cross_impl(
         axis=1,
     )
 
+    # Small m + f32: the kernel builds sq with the VPU difference form —
+    # pad coordinates at +/-_PAD_C so padded pairs explode (see _sq_tile).
+    diff_m = m if (m <= _DIFF_FORM_MAX_M and ddt == jnp.float32) else None
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(targets32, tile_i).astype(ddt)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(targets32, tile_i, value=pad_t).astype(ddt)
     qi_p = _pad_rows(q_t[:, None], tile_i, value=big)  # padded targets: junk
-    xj_p = _pad_rows(sources32, tile_j).astype(ddt)
-    qj_p = _pad_rows(q_s[:, None], tile_j, value=big)  # K -> 0, counts skip
+    xjt_p = _pad_cols(sources32.T, tile_j, value=pad_s).astype(ddt)
+    qjt_p = _pad_cols(q_s[None, :], tile_j, value=big)  # K -> 0, counts skip
     b_p = _pad_rows(b, tile_j).astype(ddt)
     n_i = x_p.shape[0]
-    n_j = xj_p.shape[0]
+    n_j = xjt_p.shape[1]
     bw = 2 * m + 1
     thr = jnp.reshape(
         thresholds_sq.astype(jnp.float32), (1, num_thresholds)
@@ -270,10 +382,10 @@ def _phi_rbf_fused_pallas_cross_impl(
     grid = (n_i // tile_i, n_j // tile_j)
     operands = [
         _pvary(v, vma_axis)
-        for v in (gamma32, thr, x_p, qi_p, xj_p, qj_p, b_p)
+        for v in (gamma32, thr, x_p, qi_p, xjt_p, qjt_p, b_p)
     ]
-    acc, counts = pl.pallas_call(
-        _fused_kernel,
+    acc, count_lanes = pl.pallas_call(
+        functools.partial(_fused_kernel, diff_m, num_thresholds),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
@@ -282,19 +394,20 @@ def _phi_rbf_fused_pallas_cross_impl(
             ),
             pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_j, bw), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (num_thresholds, tile_j), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             _out_struct((n_i, bw), jnp.float32, vma_axis),
-            _out_struct((1, num_thresholds), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, n_j), jnp.float32, vma_axis),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds),
@@ -310,11 +423,12 @@ def _phi_rbf_fused_pallas_cross_impl(
     rowsum = a[:, 2 * m]
     gamma_f = jnp.asarray(gamma, jnp.float32)
     phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * targets32)) / n_s
-    return phi.astype(targets.dtype), counts[0]
+    # padded source lanes carry zero counts, so the full-width reduce is safe
+    return phi.astype(targets.dtype), jnp.sum(count_lanes, axis=1)
 
 
 def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
-                         tile_i: int = 512, tile_j: int = 1024, interpret=None,
+                         tile_i: int = 512, tile_j: int = 2048, interpret=None,
                          dot_dtype: str = "float32"):
     """Pallas twin of ops/phi.phi_rbf_fused_counts (isotropic RBF):
     one on-chip pass produces the phi contraction and the median-selection
@@ -334,7 +448,7 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
 
 def phi_rbf_fused_pallas_cross(targets, sources, source_scores, gamma,
                                thresholds_sq, tile_i: int = 512,
-                               tile_j: int = 1024, interpret=None,
+                               tile_j: int = 2048, interpret=None,
                                dot_dtype: str = "float32", axis_name=None):
     """Mosaic twin of ops/phi.phi_rbf_cross_fused_counts for the SHARDED
     fused sweep: each device runs the VMEM-resident kernel over its local
@@ -363,7 +477,8 @@ def _count_kernel(thr_ref, x_ref, qi_ref, xj_ref, qj_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
+    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32,
+                    precision=_dot_precision(x_ref.dtype))
     sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
     out_ref[:] += _tile_counts(sq, thr_ref, out_ref.shape[1])
 
@@ -437,13 +552,14 @@ def count_le_pallas(
 # ----------------------------------------------------------------------
 
 
-def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
-                        qj_ref, bs_ref, xs1_ref, acc_ref, cnt_ref):
+def _fused_terms_kernel(signs, diff_m, num_t, gammas_ref, thr_ref, x_ref,
+                        qi_ref, xjt_ref, qjt_ref, bs_ref, xs1_ref, acc_ref,
+                        cnt_ref):
     """Per (i, j) tile: shared sq block -> T exps combined into k_c / w
     (see ops/phi.phi_rbf_terms_cross_fused_counts) -> two MXU contractions
-    + selection counts, all in VMEM. ``signs`` is a static tuple closed
-    over by the wrapper; gammas arrive in SMEM (all provably positive, so
-    padded rows' huge q still decay to zero)."""
+    + lane-resident selection counts, all in VMEM. ``signs`` is a static
+    tuple closed over by the wrapper; gammas arrive in SMEM (all provably
+    positive, so padded rows' huge sq still decays to zero)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -451,17 +567,16 @@ def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(i == 0)
     def _():
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
-    cross = jnp.dot(x_ref[:], xj_ref[:].T, preferred_element_type=jnp.float32)
-    sq = jnp.maximum(qi_ref[:] + qj_ref[:].T - 2.0 * cross, 0.0)  # (TI, TJ)
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (TI, TJ)
     k_c = None
     w = None
     for t, s in enumerate(signs):
         g = gammas_ref[0, t]
-        k_t = jnp.exp(-g * sq)
+        k_t = jnp.exp2(-(g * _LOG2E) * sq)
         k_term = s * k_t
         w_term = (s * g) * k_t
         k_c = k_term if k_c is None else k_c + k_term
@@ -474,7 +589,7 @@ def _fused_terms_kernel(signs, gammas_ref, thr_ref, x_ref, qi_ref, xj_ref,
         axis=1,
     )
     acc_ref[:] += a_tile
-    cnt_ref[:] += _tile_counts(sq, thr_ref, cnt_ref.shape[1])
+    _lane_counts(cnt_ref, sq, thr_ref, num_t)
 
 
 @functools.partial(
@@ -506,15 +621,19 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
         [sources32, jnp.ones((n_s, 1), jnp.float32)], axis=1
     )
 
+    # Small m: VPU difference-form sq with +/-_PAD_C padding (see _sq_tile).
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
-    x_p = _pad_rows(targets32, tile_i)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(targets32, tile_i, value=pad_t)
     qi_p = _pad_rows(q_t[:, None], tile_i, value=big)  # padded targets: junk
-    xj_p = _pad_rows(sources32, tile_j)
-    qj_p = _pad_rows(q_s[:, None], tile_j, value=big)  # K -> 0, counts skip
+    xjt_p = _pad_cols(sources32.T, tile_j, value=pad_s)
+    qjt_p = _pad_cols(q_s[None, :], tile_j, value=big)  # K -> 0, counts skip
     bs_p = _pad_rows(source_scores.astype(jnp.float32), tile_j)
     xs1_p = _pad_rows(xs1, tile_j)
     n_i = x_p.shape[0]
-    n_j = xj_p.shape[0]
+    n_j = xjt_p.shape[1]
     bw = 2 * m + 1
     thr = jnp.reshape(
         thresholds_sq.astype(jnp.float32), (1, num_thresholds)
@@ -523,10 +642,13 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
     grid = (n_i // tile_i, n_j // tile_j)
     operands = [
         _pvary(v, vma_axis)
-        for v in (gammas32, thr, x_p, qi_p, xj_p, qj_p, bs_p, xs1_p)
+        for v in (gammas32, thr, x_p, qi_p, xjt_p, qjt_p, bs_p, xs1_p)
     ]
-    acc, counts = pl.pallas_call(
-        functools.partial(_fused_terms_kernel, tuple(float(s) for s in signs)),
+    acc, count_lanes = pl.pallas_call(
+        functools.partial(
+            _fused_terms_kernel, tuple(float(s) for s in signs), diff_m,
+            num_thresholds,
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -537,8 +659,8 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
             ),
             pl.BlockSpec((tile_i, m), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_j, 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_j, m), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (tile_j, m + 1), lambda i, j: (j, 0), memory_space=pltpu.VMEM
@@ -547,12 +669,13 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
         out_specs=(
             pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, num_thresholds), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                (num_thresholds, tile_j), lambda i, j: (0, j),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             _out_struct((n_i, bw), jnp.float32, vma_axis),
-            _out_struct((1, num_thresholds), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, n_j), jnp.float32, vma_axis),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds + 2 * num_terms),
@@ -567,11 +690,12 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
     wx = a[:, m : 2 * m]
     w_rowsum = a[:, 2 * m]
     phi = (ks - 2.0 * (wx - w_rowsum[:, None] * targets32)) / n_s
-    return phi.astype(targets.dtype), counts[0]
+    # padded source lanes carry zero counts, so the full-width reduce is safe
+    return phi.astype(targets.dtype), jnp.sum(count_lanes, axis=1)
 
 
 def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
-                               tile_i: int = 512, tile_j: int = 1024,
+                               tile_i: int = 512, tile_j: int = 2048,
                                interpret=None):
     """Pallas twin of ops/phi.phi_rbf_terms_fused_counts: the composed
     isotropic-RBF single sweep as ONE Mosaic kernel. Only valid when every
@@ -588,7 +712,7 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
 
 def phi_rbf_terms_fused_pallas_cross(targets, sources, source_scores, gammas,
                                      signs, thresholds_sq, tile_i: int = 512,
-                                     tile_j: int = 1024, interpret=None,
+                                     tile_j: int = 2048, interpret=None,
                                      axis_name=None):
     """Mosaic twin of ops/phi.phi_rbf_terms_cross_fused_counts for the
     SHARDED multi-term fused sweep (see phi_rbf_fused_pallas_cross for the

@@ -77,14 +77,16 @@ class SVGDOptions:
     track_stats: bool = False
     #: Median-selection bins per fused sweep (phi_impl='fused'/'fused_terms').
     #: Each pair pays fused_bins+1 threshold compares, so fewer bins = faster
-    #: sweeps (measured at N=10k on v5e: 2 -> 8.6M, 3 -> 8.0M, 4 -> 7.6M,
-    #: 8 -> 6.0M updates/s) at coarser per-pass bracket refinement. The
-    #: steady-state bracket width is ~4*disp*bins/(bins-1), so the median
-    #: estimate error is bounded by ~2*disp/(bins-1) — at the default 3 that
-    #: is ~1x the max per-step displacement, inside the lag-1 scale's own
-    #: 2*disp error class. The count-verified bracket check + in-graph
-    #: bisection fallback hold for any value.
-    fused_bins: int = 3
+    #: sweeps (measured at N=10k on v5e under the round-3 Mosaic kernel:
+    #: 2 -> 22.8M, 3 -> 18.3M, 4 -> 16.6M updates/s) at coarser per-pass
+    #: bracket refinement. The steady-state bracket width is
+    #: ~4*disp*bins/(bins-1), so the median estimate error is bounded by
+    #: ~2*disp/(bins-1) — at the default 2 that is 2x the max per-step
+    #: displacement, the same class as the lag-1 scale's own 2*disp error
+    #: (posterior moment errors measured indistinguishable from bins=3,
+    #: docs/perf.md). The count-verified bracket check + in-graph bisection
+    #: fallback hold for any value.
+    fused_bins: int = 2
     #: MXU operand dtype for the single-term Mosaic fused sweep
     #: ('fused_pallas' only): 'float32' (default) or 'bfloat16'
     #: (experimental — halves MXU operand width at ~2^-8 per-pair relative
@@ -251,9 +253,11 @@ class SVGD:
 
                     if (
                         jax.default_backend() == "tpu"
-                        # GSPMD cannot partition a pallas_call over a
-                        # row-sharded mesh; auto keeps the XLA sweep there.
-                        and self.options.mesh is None
+                        # Under SVGDOptions.mesh the sweep is wrapped in an
+                        # internal shard_map (GSPMD cannot partition a
+                        # pallas_call), which needs the particle count to
+                        # divide evenly over the devices.
+                        and self._mesh_pallas_ok()
                         and fused_terms_statically_positive(
                             self._rbf_terms, self._adaptive_slots,
                             self.kernel.parameters,
@@ -279,12 +283,14 @@ class SVGD:
                 # kernels with an HBM round-trip (measured 10.15M vs 9.61M
                 # updates/s at N=10k, docs/perf.md); on CPU the Pallas
                 # interpreter would be far slower, so keep the XLA sweep.
-                # Under a GSPMD mesh the pallas_call cannot be partitioned
-                # over row-sharded inputs — keep the XLA sweep there too.
+                # Under SVGDOptions.mesh the sweep runs inside an internal
+                # shard_map (GSPMD cannot partition a pallas_call), so the
+                # Mosaic win is kept on a mesh too when the particle count
+                # divides evenly over the devices.
                 impl = (
                     "fused_pallas"
                     if jax.default_backend() == "tpu"
-                    and self.options.mesh is None
+                    and self._mesh_pallas_ok()
                     else "fused"
                 )
             elif self.num_particles <= DENSE_PHI_MAX_PARTICLES:
@@ -338,7 +344,44 @@ class SVGD:
                 "phi_impl='fused' requires ScaleMethod.MEDIAN (the fused "
                 "sweep produces median-selection counts)."
             )
+        if self.options.mesh is not None and impl in (
+            "pallas", "fused_pallas", "fused_terms_pallas"
+        ):
+            # Explicitly requested Mosaic under a mesh: the sweep runs
+            # inside an internal shard_map over the mesh's first axis
+            # (GSPMD cannot partition a pallas_call) — which requires a
+            # real TPU backend (the pallas interpreter's grid loop cannot
+            # carry shard_map VMA types) and an even particle split.
+            if impl == "pallas":
+                raise ValueError(
+                    "phi_impl='pallas' does not support SVGDOptions.mesh; "
+                    "use 'fused_pallas' (sharded via an internal shard_map) "
+                    "or 'blocked'."
+                )
+            if jax.default_backend() != "tpu":
+                raise ValueError(
+                    f"phi_impl={impl!r} with SVGDOptions.mesh requires a "
+                    "TPU backend; use 'fused'/'fused_terms' (or "
+                    "phi_impl='auto') on other backends."
+                )
+            if not self._mesh_pallas_ok():
+                raise ValueError(
+                    f"phi_impl={impl!r} with SVGDOptions.mesh requires "
+                    f"num_particles ({self.num_particles}) to divide evenly "
+                    f"over the {self.options.mesh.devices.size} mesh "
+                    "devices; pad the particle set or use 'fused'."
+                )
         self._phi_impl = impl
+
+    def _mesh_pallas_ok(self) -> bool:
+        """Whether the Mosaic fused sweep can run under SVGDOptions.mesh:
+        the internal shard_map needs the particle rows to split evenly over
+        the mesh devices. (No mesh -> trivially ok.)"""
+        mesh = self.options.mesh
+        return (
+            mesh is None
+            or self.num_particles % mesh.devices.size == 0
+        )
 
     def _refresh_psd(self):
         """PSD-ness of the quadratic forms the closed-form paths clamp.
@@ -456,6 +499,54 @@ class SVGD:
                 kparams[idx] = owner.compute_scale_pure(coords)
         return tuple(kparams), tuple(new_aux)
 
+    def _mosaic_sweep_mesh(self, coords, scores, thresholds, *, gamma=None,
+                           gammas=None, signs=None):
+        """Fused Mosaic sweep under ``SVGDOptions.mesh``: an internal
+        shard_map over the mesh's first axis gathers the global
+        sources/scores per device, runs the per-device VMEM-resident cross
+        kernel (ops/pallas_phi) and psums the row-band selection counts —
+        the same schedule ShardedSVGD compiles, whose cross-shard math is
+        proven by tests/test_pallas.py::test_fused_pallas_shard_decomposition.
+        GSPMD alone cannot partition a pallas_call, so without this wrapper
+        a mesh silently lost the Mosaic win (up to 1.66x at N=300k,
+        docs/perf.md)."""
+        from jax.sharding import PartitionSpec as P
+
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        dd = self.options.fused_dot_dtype
+
+        if gammas is None:
+            from .ops.pallas_phi import phi_rbf_fused_pallas_cross
+
+            def local(c_l, s_l, g, thr):
+                sources = jax.lax.all_gather(c_l, axis, tiled=True)
+                scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
+                phi_l, counts_l = phi_rbf_fused_pallas_cross(
+                    c_l, sources, scores_g, g, thr, dot_dtype=dd,
+                    axis_name=axis,
+                )
+                return phi_l, jax.lax.psum(counts_l, axis)
+
+            args = (coords, scores, gamma, thresholds)
+        else:
+            from .ops.pallas_phi import phi_rbf_terms_fused_pallas_cross
+
+            def local(c_l, s_l, gs, thr):
+                sources = jax.lax.all_gather(c_l, axis, tiled=True)
+                scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
+                phi_l, counts_l = phi_rbf_terms_fused_pallas_cross(
+                    c_l, sources, scores_g, gs, signs, thr, axis_name=axis,
+                )
+                return phi_l, jax.lax.psum(counts_l, axis)
+
+            args = (coords, scores, tuple(gammas), thresholds)
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None), P(), P()),
+            out_specs=(P(axis, None), P()),
+        )(*args)
+
     def build_step_fn(self):
         """Return the pure step: state -> (state, debug|None).
 
@@ -523,11 +614,17 @@ class SVGD:
                 else:
                     kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
                 if fused_terms_pallas:
-                    from .ops.pallas_phi import phi_rbf_terms_fused_pallas
+                    if self.mesh is not None:
+                        phi, counts = self._mosaic_sweep_mesh(
+                            coords, scores, thresholds,
+                            gammas=gammas, signs=term_signs,
+                        )
+                    else:
+                        from .ops.pallas_phi import phi_rbf_terms_fused_pallas
 
-                    phi, counts = phi_rbf_terms_fused_pallas(
-                        coords, scores, gammas, term_signs, thresholds
-                    )
+                        phi, counts = phi_rbf_terms_fused_pallas(
+                            coords, scores, gammas, term_signs, thresholds
+                        )
                 elif fused_terms:
                     from .ops.phi import phi_rbf_terms_fused_counts
 
@@ -536,12 +633,17 @@ class SVGD:
                         self.options.row_tile,
                     )
                 elif fused_pallas:
-                    from .ops.pallas_phi import phi_rbf_fused_pallas
+                    if self.mesh is not None:
+                        phi, counts = self._mosaic_sweep_mesh(
+                            coords, scores, thresholds, gamma=gamma
+                        )
+                    else:
+                        from .ops.pallas_phi import phi_rbf_fused_pallas
 
-                    phi, counts = phi_rbf_fused_pallas(
-                        coords, scores, gamma, thresholds,
-                        dot_dtype=self.options.fused_dot_dtype,
-                    )
+                        phi, counts = phi_rbf_fused_pallas(
+                            coords, scores, gamma, thresholds,
+                            dot_dtype=self.options.fused_dot_dtype,
+                        )
                 else:
                     phi, counts = phi_rbf_fused_counts(
                         coords, scores, gamma, thresholds, self.options.row_tile

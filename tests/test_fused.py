@@ -93,7 +93,13 @@ def test_fused_median_tracks_across_steps(rng):
         # run's final coords, i.e. this run's input).
         exact_prev = float(pairwise_distance_median_exact(jnp.asarray(prev_coords)))
         disp = np.sqrt(((cur - prev_coords) ** 2).sum(1)).max()
-        assert abs(med - exact_prev) <= 2 * disp + 2e-3 * exact_prev + 1e-9
+        # Steady-state bound at fused_bins=B: the bracket equilibrates at
+        # width ~4*disp*B/(B-1) (refined by 1/B per pass, padded by 2*disp
+        # per side between passes), so the verified median sits within
+        # ~2*disp*B/(B-1) of exact (B=3: 3*disp; B=2 default: 4*disp).
+        bins = svgd.options.fused_bins
+        bound = 2.0 * disp * bins / (bins - 1)
+        assert abs(med - exact_prev) <= bound + 2e-3 * exact_prev + 1e-9
         prev_coords = cur
 
 
@@ -308,7 +314,13 @@ def test_fused_terms_median_tracks_exact(rng):
             pairwise_distance_median_exact(jnp.asarray(prev_coords))
         )
         disp = np.sqrt(((cur - prev_coords) ** 2).sum(1)).max()
-        assert abs(med - exact_prev) <= 2 * disp + 2e-3 * exact_prev + 1e-9
+        # Steady-state bound at fused_bins=B: the bracket equilibrates at
+        # width ~4*disp*B/(B-1) (refined by 1/B per pass, padded by 2*disp
+        # per side between passes), so the verified median sits within
+        # ~2*disp*B/(B-1) of exact (B=3: 3*disp; B=2 default: 4*disp).
+        bins = svgd.options.fused_bins
+        bound = 2.0 * disp * bins / (bins - 1)
+        assert abs(med - exact_prev) <= bound + 2e-3 * exact_prev + 1e-9
         prev_coords = cur
 
 
@@ -477,3 +489,39 @@ def test_fused_pallas_without_fused_phi_rejected():
 
     with pytest.raises(ValueError, match="fused_phi"):
         ShardedSVGDConfig(fused_pallas=True)
+
+def test_mesh_pallas_validation(rng):
+    """SVGDOptions.mesh + Mosaic sweeps: off-TPU, 'auto' keeps the XLA
+    fused sweep under a mesh while explicit Mosaic impls raise with
+    guidance (the internal shard_map wrapper needs compiled Mosaic — the
+    pallas interpreter cannot carry shard_map VMA types); the GSPMD run
+    still matches the no-mesh trajectory."""
+    from svgdcpp_tpu.parallel import make_particle_mesh
+
+    n, dim, iters = 2048, 2, 2
+    x0 = rng.normal(size=(n, dim))
+    mesh = make_particle_mesh()
+
+    def build(impl):
+        model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        return sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl=impl, mesh=mesh,
+            )
+        )
+
+    svgd = build("auto")
+    svgd.initialize()
+    assert svgd._phi_impl == "fused"  # CPU backend: XLA sweep under the mesh
+
+    with pytest.raises(ValueError, match="TPU backend"):
+        build("fused_pallas").initialize()
+    with pytest.raises(ValueError, match="mesh"):
+        build("pallas").initialize()
+
+    out_mesh = np.asarray(svgd.run())
+    out_single = np.asarray(_mvn_svgd(x0, "auto", iters).run())
+    np.testing.assert_allclose(out_mesh, out_single, rtol=1e-6, atol=1e-9)

@@ -437,7 +437,8 @@ def test_fused_median_two_clusters_driver(rng):
         rel_errs.append(abs(med - exact_prev) / exact_prev)
         assert abs(med - exact_prev) <= 2 * disp + 0.3 * exact_prev, rel_errs
         prev = cur
-    # Steady-state error bound with fused_bins=3 (refine-the-wider-bracket
+    # Steady-state error bound (holds for fused_bins >= 2; the default is
+    # now 2 — see SVGDOptions.fused_bins) in refine-the-wider-bracket
     # mode): each bracket is refined every other step (2x shrink) and grows
     # by the 2*disp movement pad between refinements, so widths equilibrate
     # near 4*pad and the midpoint error near 4*disp — the same order as the
