@@ -132,6 +132,28 @@ def kernel_matrix_and_grad(
     return k, g
 
 
+def kernel_matrix_and_grad_cross(
+    targets: jnp.ndarray,
+    sources: jnp.ndarray,
+    kernel_fn: Callable,
+    kernel_params,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross (sharded) form of :func:`kernel_matrix_and_grad`: the local
+    target-row band K (n_local, n) / G (n_local, n, m) of the global debug
+    matrices — shard_map reassembles the bands into the full matrices for
+    ShardedSVGD's intermediate-matrix logging (reference SVGD.hpp:346-366
+    snapshots the same pair every iteration)."""
+
+    def pair(x_j, x_i):
+        return kernel_fn(x_j, kernel_params, x_i)
+
+    k = jax.vmap(lambda xi: jax.vmap(lambda xj: pair(xj, xi))(sources))(targets)
+    g = jax.vmap(
+        lambda xi: jax.vmap(lambda xj: jax.grad(pair, 0)(xj, xi))(sources)
+    )(targets)
+    return k, g
+
+
 # ----------------------------------------------------------------------
 # Gaussian-RBF closed form: dense XLA path
 # ----------------------------------------------------------------------

@@ -154,7 +154,12 @@ class ShardedSVGDConfig:
     fused_phi: bool = False
     #: Median-selection bins per fused sweep (see SVGDOptions.fused_bins —
     #: fewer bins = cheaper per-pair compares, coarser per-pass refinement).
-    fused_bins: int = 3
+    fused_bins: int = 2
+    #: MXU operand dtype for the single-term Mosaic fused sweep, mirroring
+    #: SVGDOptions.fused_dot_dtype: 'float32' (default) or 'bfloat16'
+    #: (opt-in rounding; see docs/perf.md — with the diff-form sq the bf16
+    #: path only changes the contraction dots and measured no win at m=2).
+    fused_dot_dtype: str = "float32"
     #: Run the fused sweep as a VMEM-resident Mosaic (Pallas) kernel per
     #: device (the sharded twin of the driver's 'fused_pallas' /
     #: 'fused_terms_pallas'). None = auto: on real TPU backends when the
@@ -168,6 +173,16 @@ class ShardedSVGDConfig:
     #: 'rbf_terms' = require the algebraic path; 'generic' = force the VJP
     #: path (the sharded mirror of the driver's phi_impl).
     kernel_phi: str = "auto"
+    #: Per-iteration intermediate-matrix debug dump, the sharded mirror of
+    #: SVGDOptions.log_intermediate_matrices (reference SVGD.hpp:346-366,
+    #: 460-476): each device snapshots its target-row bands of
+    #: LogModelGrad / Kernel / KernelGrad plus the updated coordinates;
+    #: shard_map reassembles the global matrices and run()/run_state()
+    #: writes them in the reference's text format after the run. Debug
+    #: only: materializes (iterations, n, n, m) on host. Requires
+    #: phi_mode='gather'.
+    log_intermediate_matrices: bool = False
+    intermediate_matrices_output_path: str = "log.txt"
 
     def __post_init__(self):
         if self.kernel_phi not in ("auto", "rbf_terms", "generic"):
@@ -192,6 +207,12 @@ class ShardedSVGDConfig:
             # Explicitly forcing the Mosaic sweep without the fused sweep is
             # a configuration error, not a silent no-op.
             raise ValueError("fused_pallas=True requires fused_phi=True.")
+        if self.log_intermediate_matrices and self.phi_mode != "gather":
+            raise ValueError(
+                "log_intermediate_matrices requires phi_mode='gather' (the "
+                "debug dump rebuilds the global kernel matrices from the "
+                "gathered source set)."
+            )
 
 
 class ShardedSVGD:
@@ -651,7 +672,7 @@ class ShardedSVGD:
                     else:
                         phi_local, counts_local = phi_rbf_fused_pallas_cross(
                             coords_local, sources, scores, gamma, thresholds,
-                            axis_name=axis,
+                            axis_name=axis, dot_dtype=cfg.fused_dot_dtype,
                         )
                 elif fused_terms:
                     phi_local, counts_local = phi_rbf_terms_cross_fused_counts(
@@ -737,7 +758,30 @@ class ShardedSVGD:
                     + (disp.astype(scale_aux[4].dtype),)
                     + scale_aux[5:]
                 )
-            if cfg.track_stats:
+            if cfg.log_intermediate_matrices:
+                # Per-iteration debug snapshot (reference SVGD.hpp:346-366):
+                # each device contributes its target-row BANDS of the global
+                # K / grad-K matrices (computed from the gathered sources
+                # with the step's kernel parameters); shard_map's out_specs
+                # reassemble the bands into the full matrices.
+                from ..ops.phi import kernel_matrix_and_grad_cross
+
+                if self.kernel is not None:
+                    kfn = self.kernel.kernel_pure
+                else:
+                    from ..kernels.gaussian_rbf import rbf_kernel_fn
+
+                    kfn = rbf_kernel_fn
+                k_band, g_band = kernel_matrix_and_grad_cross(
+                    coords_local, sources, kfn, kparams
+                )
+                stats = {
+                    "log_model_grad": scores_local,
+                    "kernel": k_band,
+                    "kernel_grad": g_band,
+                    "coords": new_coords,
+                }
+            elif cfg.track_stats:
                 m = coords_local.shape[1]
                 phi_rms = jnp.sqrt(
                     jax.lax.psum(jnp.sum(phi_local * phi_local), axis)
@@ -777,11 +821,22 @@ class ShardedSVGD:
             optimizer.state_is_particle_sharded(opt_template),
             opt_template,
         )
+        if cfg.log_intermediate_matrices:
+            # Row bands reassemble into the global debug matrices; the
+            # kernel-grad band is (n_local, n, m).
+            stats_spec = {
+                "log_model_grad": shard_spec,
+                "kernel": shard_spec,
+                "kernel_grad": P(axis, None, None),
+                "coords": shard_spec,
+            }
+        else:
+            stats_spec = P()
         sharded = jax.shard_map(
             local_step,
             mesh=self.mesh,
             in_specs=(shard_spec, opt_specs, P(), P(), P(), P(), P()),
-            out_specs=(shard_spec, opt_specs, P(), P(), P()),
+            out_specs=(shard_spec, opt_specs, P(), P(), stats_spec),
         )
 
         def step_fn(state):
@@ -918,12 +973,76 @@ class ShardedSVGD:
         )
 
     # ------------------------------------------------------------------
+    # Hooks (reference Model::Step / Kernel::Step, Model.hpp:413 /
+    # Kernel.hpp:356): a custom per-step hook is host-side Python and
+    # cannot run inside the compiled scan — fall back to an eager
+    # one-jitted-step-per-iteration loop, like the driver.
+    # ------------------------------------------------------------------
+    def _has_custom_hooks(self) -> bool:
+        from ..svgd import SVGD
+
+        if SVGD._hook_override(self.model, SVGD._MODEL_BASE_HOOKS) is not None:
+            return True
+        return (
+            self.kernel is not None
+            and SVGD._hook_override(self.kernel, SVGD._KERNEL_BASE_HOOKS)
+            is not None
+        )
+
+    def _eager_hooks(self):
+        from ..svgd import SVGD
+
+        hook = SVGD._hook_override(self.model, SVGD._MODEL_BASE_HOOKS)
+        if hook is not None:
+            hook()
+        if self.kernel is not None:
+            hook = SVGD._hook_override(self.kernel, SVGD._KERNEL_BASE_HOOKS)
+            if hook is not None:
+                hook()
+
+    def _refresh_component_params(self, state):
+        """Re-read model/kernel parameters into the state after hooks ran
+        (the sharded analog of the driver's make_state re-read; the
+        reference's hooks mutate through shared pointers). Trace-time
+        flags (PSD clamps, fused isotropy/Mosaic eligibility) are
+        re-derived and the step rebuilt if a hook's mutation flipped them.
+        """
+        state = dict(state)
+        state["model_params"] = tuple(self.model.parameters)
+        if self.kernel is not None:
+            dtype = state["coords"].dtype
+            state["kernel_params"] = tuple(
+                jnp.asarray(p, dtype) for p in self.kernel.parameters
+            )
+            self._validate_fused_kernel()
+            before = (self._term_psd, self._fused_pallas)
+            self._refresh_psd()
+            self._fused_pallas = self._resolve_fused_pallas()
+            if (self._term_psd, self._fused_pallas) != before:
+                self._build()
+            state["slot_model_params"] = tuple(
+                tuple(owner.target_model.parameters)
+                if getattr(owner, "target_model", None) is not None
+                and owner.target_model is not self.model
+                else None
+                for _, owner in self._adaptive_slots
+            )
+        return state
+
+    # ------------------------------------------------------------------
     # Execution
     # ------------------------------------------------------------------
     def step_state(self, state):
-        """One sharded step: state -> state (stats recorded if configured)."""
+        """One sharded step: state -> state (stats recorded if configured;
+        custom model/kernel hooks run eagerly first, reference
+        SVGD.hpp:373-390 hook-then-phi order)."""
+        if self._has_custom_hooks():
+            self._eager_hooks()
+            state = self._refresh_component_params(state)
         state, stats = self._step_full(state)
-        if self.config.track_stats:
+        if self.config.log_intermediate_matrices:
+            self._write_logs(jax.tree.map(lambda x: x[None], stats))
+        elif self.config.track_stats:
             self._record_stats(jax.tree.map(lambda x: x[None], stats))
         self._state = state
         return state
@@ -933,12 +1052,62 @@ class ShardedSVGD:
         median bracket and the iteration counter across calls — the sharded
         analog of the driver's continue-in-place contract (reference
         SVGD.hpp:338-400 mutates the user matrix in place across Run()s).
+        Custom model/kernel hooks force the eager per-iteration loop.
         """
+        if self._has_custom_hooks():
+            return self._run_state_eager(state, int(num_steps))
         final, stats = self.run_fn(state, int(num_steps))
-        if self.config.track_stats:
+        if self.config.log_intermediate_matrices:
+            self._write_logs(stats)
+        elif self.config.track_stats:
             self._record_stats(stats)
         self._state = final
         return final
+
+    def _run_state_eager(self, state, num_steps: int):
+        """Eager fallback honoring custom hooks every iteration (reference
+        runs Model::Step then Kernel::Step before each phi,
+        SVGD.hpp:373-390); logging/stats still collect per step."""
+        import numpy as np
+
+        collect = (
+            self.config.log_intermediate_matrices or self.config.track_stats
+        )
+        debugs = []
+        for _ in range(num_steps):
+            self._eager_hooks()
+            state = self._refresh_component_params(state)
+            state, stats = self._step_full(state)
+            if collect:
+                debugs.append(
+                    jax.tree.map(
+                        lambda x: np.asarray(jax.device_get(x)), stats
+                    )
+                )
+        if debugs:
+            stacked = {
+                key: np.stack([d[key] for d in debugs]) for key in debugs[0]
+            }
+            if self.config.log_intermediate_matrices:
+                self._write_logs(stacked)
+            else:
+                self._record_stats(stacked)
+        self._state = state
+        return state
+
+    def _write_logs(self, debug):
+        """Host-side write of the stacked per-iteration matrices in the
+        reference's text format (reference SVGD.hpp:460-476); also kept on
+        the instance as ``intermediate_logs`` (stacked (T, ...) arrays)."""
+        import numpy as np
+
+        from ..utils.logging import write_intermediate_matrices
+
+        host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), debug)
+        self.intermediate_logs = host
+        write_intermediate_matrices(
+            self.config.intermediate_matrices_output_path, host
+        )
 
     def _record_stats(self, stats):
         import numpy as np

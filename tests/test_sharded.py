@@ -732,3 +732,129 @@ def test_sharded_constant_scale_f32_coords(mesh, rng):
     )
     out = np.asarray(sharded.run(x0, 3))
     assert np.isfinite(out).all()
+
+
+# ----------------------------------------------------------------------
+# Sharded logging + hooks (mirrors of the driver-path tests; reference
+# SVGD.hpp:346-366 logging, Model.hpp:413 / Kernel.hpp:356 hooks)
+# ----------------------------------------------------------------------
+
+
+def test_sharded_intermediate_logging(mesh, rng, tmp_path):
+    """ShardedSVGDConfig.log_intermediate_matrices writes the reference-
+    format per-iteration dump and matches the single-chip driver's debug
+    stacks on the same run."""
+    n, dim, iters = 24, 2, 4
+    x0 = rng.normal(size=(n, dim)) * 2
+    mean, cov = np.zeros(dim), np.eye(dim)
+    path = str(tmp_path / "sharded_log.txt")
+    model = sv.MultivariateNormal(mean, cov)
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        # warm_start off + deep bisection: the sharded median is then
+        # selection-exact, so the stacks compare tightly against the
+        # driver's exact-median generic logging path.
+        config=ShardedSVGDConfig(
+            log_intermediate_matrices=True,
+            intermediate_matrices_output_path=path,
+            row_tile=8, warm_start=False, median_bins=32, median_passes=8,
+        ),
+    )
+    sharded.run(x0.copy(), iters)
+
+    text = open(path).read()
+    assert text.count("========== Step") == iters
+    for section in ("LogModelGrad=", "Kernel=", "KernelGrad=", "CoordMat="):
+        assert text.count(section) == iters
+
+    logs = sharded.intermediate_logs
+    assert logs["kernel"].shape == (iters, n, n)
+    assert logs["kernel_grad"].shape == (iters, n, n, dim)
+
+    # The driver's debug dump on the same run (its logging path forces the
+    # generic impl with the exact same-step median; the deep sharded
+    # bisection median agrees to selection tolerance in f64).
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    drv = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            log_intermediate_matrices=True,
+            intermediate_matrices_output_path=str(tmp_path / "drv_log.txt"),
+        )
+    )
+    drv.initialize()
+    drv.run()
+    for key in ("log_model_grad", "kernel", "kernel_grad", "coords"):
+        np.testing.assert_allclose(
+            logs[key], np.asarray(drv._intermediate_logs[key]),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_sharded_logging_requires_gather():
+    model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+    with pytest.raises(ValueError, match="gather"):
+        ShardedSVGDConfig(log_intermediate_matrices=True, phi_mode="ring")
+
+
+class _CountingModel(sv.MultivariateNormal):
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.hook_calls = 0
+
+    def step(self):
+        self.hook_calls += 1
+
+
+def test_sharded_custom_hooks_run_eagerly(mesh, rng):
+    """A custom model Step hook runs once per iteration (eager fallback);
+    a no-op hook leaves the trajectory identical to the scanned path."""
+    n, dim, iters = 16, 2, 5
+    x0 = rng.normal(size=(n, dim))
+    model = _CountingModel(np.zeros(dim), np.eye(dim))
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, config=ShardedSVGDConfig(row_tile=8),
+    )
+    assert sharded._has_custom_hooks()
+    out = np.asarray(sharded.run(x0.copy(), iters))
+    assert model.hook_calls == iters
+
+    model2 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    plain = ShardedSVGD(
+        model2, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, config=ShardedSVGDConfig(row_tile=8),
+    )
+    assert not plain._has_custom_hooks()
+    np.testing.assert_allclose(
+        out, np.asarray(plain.run(x0.copy(), iters)), rtol=1e-12
+    )
+
+
+def test_sharded_kernel_camelcase_hook(mesh, rng):
+    """A composed kernel overriding the CamelCase Step is detected and
+    invoked per iteration; stats still collect on the eager path."""
+    n, dim, iters = 16, 2, 3
+    x0 = rng.normal(size=(n, dim))
+
+    class CamelKernel(sv.GaussianRBFKernel):
+        calls = 0
+
+        def Step(self):
+            type(self).calls += 1
+
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = CamelKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, kernel=kernel,
+        config=ShardedSVGDConfig(row_tile=8, track_stats=True),
+    )
+    assert sharded._has_custom_hooks()
+    CamelKernel.calls = 0
+    sharded.run(x0.copy(), iters)
+    assert CamelKernel.calls == iters
+    assert sharded.stats is not None
+    assert np.asarray(sharded.stats["phi_rms"]).shape == (iters,)
