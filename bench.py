@@ -161,7 +161,7 @@ def bench_numpy_baseline(x0, mean, cov, iters):
 # ----------------------------------------------------------------------
 
 
-def _timed_run(svgd, iters, steps_per_call):
+def _timed_run(svgd, iters, steps_per_call, return_state=False):
     """Warmup-compile then time chained scan segments, syncing via host
     transfer (this transport's block_until_ready can return before remote
     execution completes)."""
@@ -176,10 +176,45 @@ def _timed_run(svgd, iters, steps_per_call):
     np.asarray(st["coords"])  # full sync
     dt = time.perf_counter() - t0
     assert np.isfinite(np.asarray(st["coords"])).all()
-    return calls * steps_per_call / dt  # iterations per second
+    rate = calls * steps_per_call / dt  # iterations per second
+    if return_state:
+        return rate, st
+    return rate
 
 
-def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
+def posterior_metrics(coords, mean, cov, model):
+    """Chip-side posterior-quality evidence (BASELINE.md correctness
+    anchors, measured on the real f32 path): empirical-moment errors vs the
+    target, normalized by the Monte-Carlo error of n exact samples (the
+    tolerance class tests/test_examples.py uses), plus the KSD diagnostic.
+    """
+    from svgdcpp_tpu.ops.ksd import ksd_rbf
+
+    coords = np.asarray(coords, np.float64)
+    n, d = coords.shape
+    emp_mean = coords.mean(axis=0)
+    emp_cov = np.cov(coords.T)
+    mean = np.asarray(mean, np.float64)
+    cov = np.asarray(cov, np.float64)
+    # MC error of the mean of n iid samples per coordinate; the max ratio
+    # across coordinates is the headline (ratio ~ O(1) = sampling-quality).
+    mean_mc = np.sqrt(np.diag(cov) / n)
+    mean_err_ratio = float(np.abs(emp_mean - mean).max() / mean_mc.max())
+    cov_rel_err = float(
+        np.linalg.norm(emp_cov - cov) / np.linalg.norm(cov)
+    )
+    # V-statistic: strictly positive, so the diagnostic stays informative
+    # at convergence (the U-statistic clips to 0 there).
+    ksd = float(ksd_rbf(model, coords.astype(np.float32), ustat=False))
+    return {
+        "mean_err_over_mc": round(mean_err_ratio, 3),
+        "cov_rel_err": round(cov_rel_err, 4),
+        "ksd": float(f"{ksd:.4g}"),
+    }
+
+
+def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10,
+              check_posterior=False, fused_bins=None):
     import svgdcpp_tpu as sv
 
     n, dim = x0.shape
@@ -187,19 +222,60 @@ def bench_tpu(x0, mean, cov, iters, phi_impl="auto", steps_per_call=10):
     kernel = sv.GaussianRBFKernel(
         x0.astype(np.float32), sv.ScaleMethod.MEDIAN, model
     )
-    svgd = sv.SVGD(
-        sv.SVGDOptions(
-            dimension=dim,
-            num_iterations=steps_per_call,
-            coordinate_matrix=x0.astype(np.float32),
-            kernel=kernel,
-            model=model,
-            optimizer=sv.AdaGrad(dim, n, 0.1),
-            phi_impl=phi_impl,
-        )
+    opts = dict(
+        dimension=dim,
+        num_iterations=steps_per_call,
+        coordinate_matrix=x0.astype(np.float32),
+        kernel=kernel,
+        model=model,
+        optimizer=sv.AdaGrad(dim, n, 0.1),
+        phi_impl=phi_impl,
     )
+    if fused_bins is not None:
+        opts["fused_bins"] = int(fused_bins)
+    svgd = sv.SVGD(sv.SVGDOptions(**opts))
     svgd.initialize()
-    return n * _timed_run(svgd, iters, steps_per_call)
+    if not check_posterior:
+        return n * _timed_run(svgd, iters, steps_per_call)
+    rate, state = _timed_run(svgd, iters, steps_per_call, return_state=True)
+    extras = posterior_metrics(state["coords"], mean, cov, model)
+    return n * rate, extras
+
+
+def anchor_checks():
+    """Run the reference's two example anchors (BASELINE.md) on the current
+    backend (f32 on chip) and report their pass/fail + moment errors —
+    the same criteria as tests/test_examples.py's CPU-f64 lane."""
+    import sys as _sys
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent / "examples"))
+    import gmm_example
+    import mvn_example
+
+    x0, final, mean, cov = mvn_example.run(verbose=False)
+    tol = 2.0 * np.sqrt(np.diag(cov) / x0.shape[0])
+    mean_err = np.abs(final.mean(axis=0) - mean)
+    mvn_ok = bool(
+        np.all(mean_err < tol)
+        and np.all(final.std(axis=0) > 0.3 * np.sqrt(np.diag(cov)))
+    )
+
+    _, fg, (m1, _c1), (m2, _c2) = gmm_example.run(verbose=False)
+    d1 = np.linalg.norm(fg - m1, axis=1)
+    d2 = np.linalg.norm(fg - m2, axis=1)
+    cl1 = fg[d1 < d2]
+    cl2 = fg[d2 <= d1]
+    gmm_ok = bool(
+        len(cl1) >= 3 and len(cl2) >= 3
+        and np.linalg.norm(cl1.mean(axis=0) - m1) < 1.5
+        and np.linalg.norm(cl2.mean(axis=0) - m2) < 1.5
+    )
+    return {
+        "mvn_anchor_ok": mvn_ok,
+        "mvn_anchor_mean_err_over_tol": round(float((mean_err / tol).max()), 3),
+        "gmm_anchor_ok": gmm_ok,
+        "gmm_anchor_modes": [int(len(cl1)), int(len(cl2))],
+    }
 
 
 def make_blr_workload(particles, dim=50, n_data=1024, hierarchical=False):
@@ -302,6 +378,16 @@ def main():
     )
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
+        "--check-posterior", action="store_true",
+        help="after the timed run, report chip-side posterior-quality "
+        "evidence in the JSON line: flagship moment errors + KSD (f32, "
+        "lag-1 fused median) and the reference MVN/GMM anchor checks",
+    )
+    ap.add_argument(
+        "--fused-bins", type=int, default=None,
+        help="override SVGDOptions.fused_bins for the mvn config",
+    )
+    ap.add_argument(
         "--config",
         default="mvn",
         choices=["mvn", "blr", "hier"],
@@ -362,26 +448,34 @@ def main():
     dim = 2
     mean, cov, x0 = flagship_mvn(args.particles)
 
-    tpu_rate = bench_tpu(
-        x0, mean, cov, args.iters, args.impl,
-        steps_per_call=args.steps_per_call,
-    )
+    extras = None
+    if args.check_posterior:
+        tpu_rate, extras = bench_tpu(
+            x0, mean, cov, args.iters, args.impl,
+            steps_per_call=args.steps_per_call, check_posterior=True,
+            fused_bins=args.fused_bins,
+        )
+    else:
+        tpu_rate = bench_tpu(
+            x0, mean, cov, args.iters, args.impl,
+            steps_per_call=args.steps_per_call, fused_bins=args.fused_bins,
+        )
     if args.baseline_iters > 0:
         base_rate = bench_numpy_baseline(x0, mean, cov, args.baseline_iters)
         vs = round(tpu_rate / base_rate, 2)
     else:
         vs = None  # the NumPy O(n^2) baseline is infeasible at this size
 
-    print(
-        json.dumps(
-            {
-                "metric": f"particle-updates/sec/chip (N={args.particles}, d={dim}, RBF-median, AdaGrad)",
-                "value": round(tpu_rate, 1),
-                "unit": "updates/s",
-                "vs_baseline": vs,
-            }
-        )
-    )
+    line = {
+        "metric": f"particle-updates/sec/chip (N={args.particles}, d={dim}, RBF-median, AdaGrad)",
+        "value": round(tpu_rate, 1),
+        "unit": "updates/s",
+        "vs_baseline": vs,
+    }
+    if extras is not None:
+        line["posterior"] = extras
+        line["anchors"] = anchor_checks()
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
