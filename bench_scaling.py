@@ -23,8 +23,8 @@ import sys
 import time
 from pathlib import Path
 
-N_PER_DEVICE = 512
-ITERS = 3
+N_PER_DEVICE = int(os.environ.get("BENCH_SCALING_N_PER_DEVICE", 1024))
+ITERS = int(os.environ.get("BENCH_SCALING_ITERS", 10))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -91,11 +91,13 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
     state = sharded.init_state(x0)
     out, _ = sharded.run_fn(state, ITERS)
     np.asarray(out["coords"])  # sync
-    t0 = time.perf_counter()
-    out, _ = sharded.run_fn(state, ITERS)
-    np.asarray(out["coords"])
-    dt = time.perf_counter() - t0
-    return n * ITERS / dt  # updates/s
+    best = float("inf")
+    for _ in range(3):  # best-of-3 against host scheduling noise
+        t0 = time.perf_counter()
+        out, _ = sharded.run_fn(state, ITERS)
+        np.asarray(out["coords"])
+        best = min(best, time.perf_counter() - t0)
+    return n * ITERS / best  # updates/s
 
 
 def main():
@@ -113,15 +115,25 @@ def main():
     # on the simulated mesh all "devices" share the host's physical cores,
     # so treat these numbers as collective-overhead regression data only.
     pair_1 = rates[1] * (N_PER_DEVICE * 1)
+    cores = os.cpu_count() or 1
+    simulated = os.environ.get("BENCH_SCALING_REAL") != "1"
     for d, rate in rates.items():
         pair_rate = rate * (N_PER_DEVICE * d)
         eff = pair_rate / (d * pair_1)
-        print(json.dumps({
+        line = {
             "metric": f"weak-scaling pair-interactions/s ({phi_mode}, {d} devices, {N_PER_DEVICE}/dev)",
             "value": round(pair_rate, 1),
             "unit": "pair-interactions/s",
             "vs_baseline": round(eff, 3),
-        }))
+        }
+        if simulated:
+            # On the simulated mesh D "devices" time-slice the host's
+            # physical cores, so perfect collective scaling still caps
+            # per-device efficiency at min(1, cores/D): report efficiency
+            # against that ceiling (the ICI-overhead proxy) too.
+            ceiling = min(1.0, cores / d)
+            line["vs_host_ceiling"] = round(eff / ceiling, 3)
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":
