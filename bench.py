@@ -363,14 +363,14 @@ def _wait_for_chip(attempts=3, probe_timeout=75, sleep_s=30):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=10_000)
-    # 400 iterations amortize the ONE host-transfer sync (~25 ms through
-    # the tunnel) to <0.1 ms/step; at 100 iters the tail under-reported the
-    # steady-state rate by ~25% (7.5M vs 9.7M updates/s at N=10k).
-    ap.add_argument("--iters", type=int, default=400)
+    # 1000 iterations (the reference example count) amortize the ONE
+    # host-transfer sync (~25 ms through the tunnel) to ~0.025 ms/step; at
+    # 100 iters the tail under-reported the steady-state rate by ~25%.
+    ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
     ap.add_argument(
-        "--steps-per-call", type=int, default=200,
+        "--steps-per-call", type=int, default=250,
         help="scan-segment length; the reference's Run() contract is ONE "
         "call for a whole run, so long segments (amortized dispatch) are "
         "the faithful comparison. Small segments re-pay the ~0.35 ms/call "
