@@ -527,3 +527,54 @@ def test_fused_terms_pallas_shard_decomposition(rng):
         phi_assembled, np.asarray(phi_x), rtol=2e-4, atol=2e-5
     )
     assert np.abs(counts_summed - np.asarray(counts_x)).max() <= n
+
+
+def test_fused_pallas_gram_branch_large_m(rng):
+    """m > _DIFF_FORM_MAX_M exercises the Gram branch with the manual
+    bf16x3 split cross dot (Mosaic exposes no Precision.HIGH): phi and
+    counts must still match the XLA fused sweep within the split's ~2^-16
+    sq rounding."""
+    from svgdcpp_tpu.ops.pallas_phi import _DIFF_FORM_MAX_M, phi_rbf_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m = 192, 7
+    assert m > _DIFF_FORM_MAX_M
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 2.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.3
+    thresholds = jnp.asarray(np.linspace(1.0, 60.0, 3), jnp.float32)
+
+    phi_p, cnt_p = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=64
+    )
+    phi_x, cnt_x = phi_rbf_fused_counts(
+        coords, scores, gamma, thresholds, row_tile=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=5e-4, atol=5e-5
+    )
+    assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
+
+
+def test_fused_terms_pallas_gram_branch_large_m(rng):
+    """Multi-term twin of the large-m Gram-branch check."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_terms_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n, m = 160, 11
+    coords = jnp.asarray(rng.normal(size=(n, m)) - 1.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gammas = [jnp.float32(0.2), jnp.float32(0.02)]
+    signs = [1, 1]
+    thresholds = jnp.asarray(np.linspace(5.0, 120.0, 3), jnp.float32)
+
+    phi_p, cnt_p = phi_rbf_terms_fused_pallas(
+        coords, scores, gammas, signs, thresholds, tile_i=32, tile_j=64
+    )
+    phi_x, cnt_x = phi_rbf_terms_fused_counts(
+        coords, scores, gammas, signs, thresholds, row_tile=64
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_x), rtol=5e-4, atol=5e-5
+    )
+    assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
