@@ -394,6 +394,13 @@ def main():
         help="mvn = primary metric (default); blr / hier = BASELINE configs 3-4",
     )
     args = ap.parse_args()
+    if args.config != "mvn" and (args.check_posterior or args.fused_bins):
+        # Fail loudly instead of silently skipping the check: the blr/hier
+        # targets have no closed-form moments to compare against.
+        ap.error(
+            "--check-posterior/--fused-bins are only supported for "
+            "--config mvn (the MVN target has closed-form moments)."
+        )
     _wait_for_chip()
 
     if args.quick:

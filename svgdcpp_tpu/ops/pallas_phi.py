@@ -259,8 +259,10 @@ def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
     transpose measured ~14% of the sweep at the N=10k shape).
     ``diff_m`` static non-None: the f32-exact VPU difference form over that
     many dimensions (q refs unused; padded rows carry +/-_PAD_C coordinates
-    so their sq explodes). None: the Gram identity from the MXU cross dot
-    (HIGHEST precision for f32 — see _dot_precision) with q = +big padding.
+    so their sq explodes). None: the Gram identity with q = +big padding —
+    the f32 cross dot uses the manual bf16x3 hi/lo split below (~2^-16
+    relative sq error), NOT HIGHEST (and not _dot_precision, which serves
+    the non-fused _phi_kernel/_count_kernel).
     """
     if diff_m is not None:
         sq = None
@@ -291,21 +293,37 @@ def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
     return jnp.maximum(qi_ref[:] + qjt_ref[:] - 2.0 * cross, 0.0)
 
 
-def _lane_counts(cnt_ref, sq, thr_ref, num_t):
-    """Accumulate selection counts as (num_t, TJ) LANE vectors: per
-    threshold one sublane-direction reduce (cheap on the VPU) instead of a
-    full-tile scalar reduction — the wrapper's XLA epilogue does the single
-    lane reduction at the end. Measured 0.045 ms/edge vs 0.15 ms/edge for
-    full-tile reductions at the N=10k shape (scripts/tune_fused_kernel.py).
+def _lane_counts(scratch_ref, sq, thr_ref, num_t):
+    """Accumulate selection counts as (num_t, TJ) LANE vectors in a VMEM
+    scratch: per threshold one sublane-direction reduce (cheap on the VPU)
+    instead of a full-tile scalar reduction — cut the marginal cost per
+    selection edge ~3x at the N=10k shape (scripts/tune_fused_kernel.py).
+    Column identity is irrelevant (only the lane SUM is consumed), so every
+    (i, j) tile adds its per-column partials at the same scratch offsets;
+    the wrapper's XLA epilogue does the one lane reduction at the end.
     """
     for t in range(num_t):
-        cnt_ref[t, :] += jnp.sum(
+        scratch_ref[t, :] += jnp.sum(
             (sq <= thr_ref[0, t]).astype(jnp.float32), axis=0
         )
 
 
+def _count_epilogue(i, j, cnt_ref, scratch_ref):
+    """Zero the count scratch on the first grid step and flush it to the
+    single (constant-index-map) output window on the last — the output is
+    written exactly once, which keeps the kernel inside Pallas TPU's
+    output-revisit contract (a (0, j) accumulator output would be revisited
+    non-consecutively across i, which the official interpreter rejects)."""
+    ni = pl.num_programs(0)
+    nj = pl.num_programs(1)
+
+    @pl.when((i == ni - 1) & (j == nj - 1))
+    def _():
+        cnt_ref[:] = scratch_ref[:]
+
+
 def _fused_kernel(diff_m, num_t, gamma_ref, thr_ref, x_ref, qi_ref, xjt_ref,
-                  qjt_ref, b_ref, acc_ref, cnt_ref):
+                  qjt_ref, b_ref, acc_ref, cnt_ref, cnt_scratch):
     i = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -313,15 +331,16 @@ def _fused_kernel(diff_m, num_t, gamma_ref, thr_ref, x_ref, qi_ref, xjt_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        cnt_scratch[:] = jnp.zeros_like(cnt_scratch)
 
     gamma2 = gamma_ref[0, 0] * _LOG2E  # scalar, once per tile
     sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (TI, TJ)
     k_tile = jnp.exp2(-gamma2 * sq).astype(b_ref.dtype)
     acc_ref[:] += jnp.dot(k_tile, b_ref[:], preferred_element_type=jnp.float32)
-    _lane_counts(cnt_ref, sq, thr_ref, num_t)
+    _lane_counts(cnt_scratch, sq, thr_ref, num_t)
+    _count_epilogue(i, j, cnt_ref, cnt_scratch)
 
 
 @functools.partial(
@@ -401,14 +420,15 @@ def _phi_rbf_fused_pallas_cross_impl(
         out_specs=(
             pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_thresholds, tile_j), lambda i, j: (0, j),
+                (num_thresholds, tile_j), lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             _out_struct((n_i, bw), jnp.float32, vma_axis),
-            _out_struct((num_thresholds, n_j), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
         ),
+        scratch_shapes=[pltpu.VMEM((num_thresholds, tile_j), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds),
             bytes_accessed=4 * (n_i + n_j) * (2 * m + 2 + bw),
@@ -554,7 +574,7 @@ def count_le_pallas(
 
 def _fused_terms_kernel(signs, diff_m, num_t, gammas_ref, thr_ref, x_ref,
                         qi_ref, xjt_ref, qjt_ref, bs_ref, xs1_ref, acc_ref,
-                        cnt_ref):
+                        cnt_ref, cnt_scratch):
     """Per (i, j) tile: shared sq block -> T exps combined into k_c / w
     (see ops/phi.phi_rbf_terms_cross_fused_counts) -> two MXU contractions
     + lane-resident selection counts, all in VMEM. ``signs`` is a static
@@ -567,9 +587,9 @@ def _fused_terms_kernel(signs, diff_m, num_t, gammas_ref, thr_ref, x_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(i == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
-        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        cnt_scratch[:] = jnp.zeros_like(cnt_scratch)
 
     sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (TI, TJ)
     k_c = None
@@ -589,7 +609,8 @@ def _fused_terms_kernel(signs, diff_m, num_t, gammas_ref, thr_ref, x_ref,
         axis=1,
     )
     acc_ref[:] += a_tile
-    _lane_counts(cnt_ref, sq, thr_ref, num_t)
+    _lane_counts(cnt_scratch, sq, thr_ref, num_t)
+    _count_epilogue(i, j, cnt_ref, cnt_scratch)
 
 
 @functools.partial(
@@ -669,14 +690,15 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
         out_specs=(
             pl.BlockSpec((tile_i, bw), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (num_thresholds, tile_j), lambda i, j: (0, j),
+                (num_thresholds, tile_j), lambda i, j: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
             _out_struct((n_i, bw), jnp.float32, vma_axis),
-            _out_struct((num_thresholds, n_j), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
         ),
+        scratch_shapes=[pltpu.VMEM((num_thresholds, tile_j), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * n_i * n_j * (m + bw + num_thresholds + 2 * num_terms),
             bytes_accessed=4 * (n_i + n_j) * (2 * m + 2 + bw),

@@ -293,6 +293,9 @@ class ShardedSVGD:
             self._rbf_psd = True
         self._state = None
         self.stats = None
+        #: Stacked per-iteration debug matrices from the last logging run
+        #: (None until log_intermediate_matrices produces them).
+        self.intermediate_logs = None
         self._fused_pallas = self._resolve_fused_pallas()
         self._build()
 
@@ -393,14 +396,22 @@ class ShardedSVGD:
             )
         self.kernel.update_parameters(params)
         self.kernel.initialize()
+        self._refresh_trace_flags()
+
+    UpdateKernelParameters = update_kernel_parameters
+
+    def _refresh_trace_flags(self):
+        """Re-derive the trace-time constants of the compiled step (fused
+        isotropy eligibility, PSD clamp flags, Mosaic auto-selection) from
+        the kernel's CURRENT values and rebuild the step if any flipped —
+        the single home shared by parameter hot-swap, init_state's
+        stale-mutation guard and the eager hook loop."""
         self._validate_fused_kernel()
         before = (self._term_psd, self._fused_pallas)
         self._refresh_psd()
         self._fused_pallas = self._resolve_fused_pallas()
         if (self._term_psd, self._fused_pallas) != before:
             self._build()
-
-    UpdateKernelParameters = update_kernel_parameters
 
     # ------------------------------------------------------------------
     def _scale(self, coords_local, sources_global, model_params):
@@ -881,12 +892,7 @@ class ShardedSVGD:
             # flags are trace-time constants, so stale ones silently
             # mis-clamp the quadratic forms. Re-derive on the current values
             # (cheap (m, m) eigenvalue checks) and rebuild if flipped.
-            self._validate_fused_kernel()
-            before = (self._term_psd, self._fused_pallas)
-            self._refresh_psd()
-            self._fused_pallas = self._resolve_fused_pallas()
-            if (self._term_psd, self._fused_pallas) != before:
-                self._build()
+            self._refresh_trace_flags()
         sharding = NamedSharding(self.mesh, P(self.axis, None))
 
         def place(x):
@@ -1014,12 +1020,7 @@ class ShardedSVGD:
             state["kernel_params"] = tuple(
                 jnp.asarray(p, dtype) for p in self.kernel.parameters
             )
-            self._validate_fused_kernel()
-            before = (self._term_psd, self._fused_pallas)
-            self._refresh_psd()
-            self._fused_pallas = self._resolve_fused_pallas()
-            if (self._term_psd, self._fused_pallas) != before:
-                self._build()
+            self._refresh_trace_flags()
             state["slot_model_params"] = tuple(
                 tuple(owner.target_model.parameters)
                 if getattr(owner, "target_model", None) is not None
@@ -1098,15 +1099,26 @@ class ShardedSVGD:
     def _write_logs(self, debug):
         """Host-side write of the stacked per-iteration matrices in the
         reference's text format (reference SVGD.hpp:460-476); also kept on
-        the instance as ``intermediate_logs`` (stacked (T, ...) arrays)."""
+        the instance as ``intermediate_logs`` (stacked (T, ...) arrays).
+        Accumulates across step_state()/run_state() calls like the stats
+        recorder (the file is rewritten from the full accumulated stack so
+        per-step driving does not truncate it to the last iteration);
+        run(coords=...) resets the accumulation."""
         import numpy as np
 
         from ..utils.logging import write_intermediate_matrices
 
         host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), debug)
-        self.intermediate_logs = host
+        if self.intermediate_logs is None:
+            self.intermediate_logs = host
+        else:
+            self.intermediate_logs = {
+                k: np.concatenate([self.intermediate_logs[k], host[k]])
+                for k in host
+            }
         write_intermediate_matrices(
-            self.config.intermediate_matrices_output_path, host
+            self.config.intermediate_matrices_output_path,
+            self.intermediate_logs,
         )
 
     def _record_stats(self, stats):
@@ -1138,6 +1150,7 @@ class ShardedSVGD:
         if coords is not None:
             self._state = self.init_state(coords)
             self.stats = None
+            self.intermediate_logs = None
         elif self._state is None:
             raise RuntimeError(
                 "run(coords=None) requires a previous run to continue from."

@@ -365,22 +365,27 @@ class SVGD:
                     "phi_impl='auto') on other backends."
                 )
             if not self._mesh_pallas_ok():
+                mesh = self.options.mesh
+                axis = mesh.axis_names[0]
                 raise ValueError(
                     f"phi_impl={impl!r} with SVGDOptions.mesh requires "
                     f"num_particles ({self.num_particles}) to divide evenly "
-                    f"over the {self.options.mesh.devices.size} mesh "
-                    "devices; pad the particle set or use 'fused'."
+                    f"over the {mesh.shape[axis]} devices of mesh axis "
+                    f"{axis!r} (the axis the internal shard_map shards "
+                    "over); pad the particle set or use 'fused'."
                 )
         self._phi_impl = impl
 
     def _mesh_pallas_ok(self) -> bool:
         """Whether the Mosaic fused sweep can run under SVGDOptions.mesh:
-        the internal shard_map needs the particle rows to split evenly over
-        the mesh devices. (No mesh -> trivially ok.)"""
+        the internal shard_map shards rows over the mesh's FIRST axis, so
+        the particle count must split evenly over that axis's size (not
+        the total device count — a multi-axis mesh only row-shards on
+        axis 0). (No mesh -> trivially ok.)"""
         mesh = self.options.mesh
         return (
             mesh is None
-            or self.num_particles % mesh.devices.size == 0
+            or self.num_particles % mesh.shape[mesh.axis_names[0]] == 0
         )
 
     def _refresh_psd(self):

@@ -858,3 +858,29 @@ def test_sharded_kernel_camelcase_hook(mesh, rng):
     assert CamelKernel.calls == iters
     assert sharded.stats is not None
     assert np.asarray(sharded.stats["phi_rms"]).shape == (iters,)
+
+
+def test_sharded_step_state_logging_accumulates(mesh, rng, tmp_path):
+    """Per-step driving via step_state() must accumulate the debug log
+    across calls (review finding: each call used to truncate the file to
+    one mislabeled step)."""
+    n, dim, steps = 16, 2, 3
+    x0 = rng.normal(size=(n, dim))
+    path = str(tmp_path / "steplog.txt")
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh,
+        config=ShardedSVGDConfig(
+            log_intermediate_matrices=True,
+            intermediate_matrices_output_path=path, row_tile=8,
+        ),
+    )
+    assert sharded.intermediate_logs is None  # probe-able before any run
+    state = sharded.init_state(x0)
+    for _ in range(steps):
+        state = sharded.step_state(state)
+    assert sharded.intermediate_logs["coords"].shape[0] == steps
+    text = open(path).read()
+    assert text.count("========== Step") == steps
+    assert f"========== Step {steps} " in text
