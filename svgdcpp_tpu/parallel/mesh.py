@@ -64,5 +64,25 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
 
 
+def place_sharded(x, sharding: NamedSharding):
+    """Place a logically-global array under ``sharding``.
+
+    On a fully-addressable (single-process) mesh this is a plain
+    device_put; in a multi-process mesh remote shards are NOT addressable,
+    so each process contributes its local rows via
+    make_array_from_callback — every process passes the same logical
+    global array. Single home shared by ShardedSVGD.init_state and the
+    driver's make_state (SVGDOptions.mesh).
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    import numpy as np
+
+    host = np.asarray(x)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())

@@ -893,24 +893,13 @@ class ShardedSVGD:
             # mis-clamp the quadratic forms. Re-derive on the current values
             # (cheap (m, m) eigenvalue checks) and rebuild if flipped.
             self._refresh_trace_flags()
+        from .mesh import place_sharded
+
         sharding = NamedSharding(self.mesh, P(self.axis, None))
 
         def place(x):
-            """Row-shard a (n, m) array over the mesh.
-
-            In a multi-process mesh the full array cannot be device_put
-            (remote shards are not addressable); each process contributes
-            its local rows via make_array_from_callback — every process
-            passes the same logical global array.
-            """
-            if sharding.is_fully_addressable:
-                return jax.device_put(x, sharding)
-            import numpy as np
-
-            host = np.asarray(x)
-            return jax.make_array_from_callback(
-                host.shape, sharding, lambda idx: host[idx]
-            )
+            # Row-shard over the mesh; multi-process safe (see place_sharded)
+            return place_sharded(x, sharding)
 
         coords = place(coords)
         opt_state0 = self.optimizer.init(coords.dtype)

@@ -788,11 +788,15 @@ class SVGD:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from .parallel.mesh import place_sharded
+
             axis = self.mesh.axis_names[0]
             sharding = NamedSharding(self.mesh, P(axis, None))
-            state["coords"] = jax.device_put(state["coords"], sharding)
+            # place_sharded (not plain device_put): a multi-process mesh's
+            # remote shards are not addressable.
+            state["coords"] = place_sharded(state["coords"], sharding)
             state["opt_state"] = jax.tree.map(
-                lambda x, sharded_leaf: jax.device_put(x, sharding)
+                lambda x, sharded_leaf: place_sharded(x, sharding)
                 if sharded_leaf
                 else x,
                 state["opt_state"],

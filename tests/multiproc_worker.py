@@ -148,6 +148,42 @@ np.savez(
 )
 print(f"worker {pid}: fused OK", flush=True)
 
+# Driver GSPMD mesh path across process boundaries (SVGDOptions.mesh):
+# make_state's multi-process-safe placement (parallel/mesh.place_sharded)
+# + the XLA fused sweep partitioned by GSPMD. Each process's addressable
+# row shards must equal the corresponding rows of a process-LOCAL no-mesh
+# run of the identical problem (deterministic in f64).
+
+
+def _build_driver(mesh_opt):
+    model_d = sv.MultivariateNormal(mean, cov)
+    kernel_d = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model_d)
+    return sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=iters,
+            coordinate_matrix=x0.copy(), kernel=kernel_d, model=model_d,
+            optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl="fused",
+            mesh=mesh_opt,
+        )
+    )
+
+
+drv = _build_driver(make_particle_mesh())
+drv.initialize()
+out_mesh = drv.run()
+assert not out_mesh.sharding.is_fully_addressable  # genuinely cross-process
+local_drv = _build_driver(None)
+local_drv.initialize()
+ref_local = np.asarray(local_drv.run())
+for shard in out_mesh.addressable_shards:
+    start = shard.index[0].start or 0
+    rows_d = np.asarray(shard.data)
+    np.testing.assert_allclose(
+        rows_d, ref_local[start : start + rows_d.shape[0]],
+        rtol=1e-9, atol=1e-12,
+    )
+print(f"worker {pid}: driver-mesh OK", flush=True)
+
 rows = []
 starts = []
 for shard in coords.addressable_shards:

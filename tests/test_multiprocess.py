@@ -58,6 +58,8 @@ def test_two_process_sharded_run(tmp_path):
         assert f"worker {pid}: ring OK" in out
         # fused single-sweep (psum'ed lag-1 selection counts) ran
         assert f"worker {pid}: fused OK" in out
+        # driver SVGDOptions.mesh path (GSPMD + multi-process placement)
+        assert f"worker {pid}: driver-mesh OK" in out
 
     # Reassemble the global (16, 2) result from both processes' row shards.
     n, dim, iters = 16, 2, 3
