@@ -8,6 +8,10 @@ work and bf16 halves operand width. This script times the production kernels
 plus the bf16-vs-f32 max relative phi error.
 
 Run on the real chip:  timeout 900 python scripts/bench_bf16.py
+
+STATUS (round 3): outcome recorded in docs/perf.md — with the diff-form
+sq the bf16 opt-in only changes the contraction dots and measured no win
+at m=2; kept for large-m exploration.
 """
 
 import json

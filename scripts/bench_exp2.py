@@ -8,6 +8,10 @@ scalar pre-multiply. This script times both flavors of the φ̂ contraction
 tile body at the flagship shape and prints a JSON line per variant.
 
 Run on the real chip:  timeout 600 python scripts/bench_exp2.py [n]
+
+STATUS (round 3): exp2 (log2e folded into gamma) is now the DEFAULT
+inside every fused Mosaic kernel (docs/perf.md); this script remains the
+standalone measurement harness.
 """
 
 import functools
