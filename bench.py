@@ -196,10 +196,11 @@ def posterior_metrics(coords, mean, cov, model):
     emp_cov = np.cov(coords.T)
     mean = np.asarray(mean, np.float64)
     cov = np.asarray(cov, np.float64)
-    # MC error of the mean of n iid samples per coordinate; the max ratio
-    # across coordinates is the headline (ratio ~ O(1) = sampling-quality).
+    # MC error of the mean of n iid samples per coordinate; the max
+    # PER-COORDINATE ratio is the headline (ratio ~ O(1) = sampling-
+    # quality) — each coordinate's error is normalized by its own MC scale.
     mean_mc = np.sqrt(np.diag(cov) / n)
-    mean_err_ratio = float(np.abs(emp_mean - mean).max() / mean_mc.max())
+    mean_err_ratio = float((np.abs(emp_mean - mean) / mean_mc).max())
     cov_rel_err = float(
         np.linalg.norm(emp_cov - cov) / np.linalg.norm(cov)
     )
@@ -394,13 +395,18 @@ def main():
         help="mvn = primary metric (default); blr / hier = BASELINE configs 3-4",
     )
     args = ap.parse_args()
-    if args.config != "mvn" and (args.check_posterior or args.fused_bins):
+    if args.config != "mvn" and (
+        args.check_posterior or args.fused_bins is not None
+    ):
         # Fail loudly instead of silently skipping the check: the blr/hier
         # targets have no closed-form moments to compare against.
         ap.error(
             "--check-posterior/--fused-bins are only supported for "
             "--config mvn (the MVN target has closed-form moments)."
         )
+    if args.fused_bins is not None and args.fused_bins < 2:
+        ap.error("--fused-bins must be >= 2 (the two-rank selection plan "
+                 "needs at least 3 edges).")
     _wait_for_chip()
 
     if args.quick:

@@ -84,11 +84,14 @@ void append_str(std::vector<char>& buf, const char* s) {
 //   kgrad:  (steps, m*n, n)      stacked KernelGrad blocks
 //   coords: (steps, m, n)        CoordMat
 // Returns 0 on success, nonzero on I/O failure.
-int svgd_write_intermediate_log(const char* path, int64_t steps, int64_t n,
-                                int64_t m, const double* lmg,
-                                const double* ker, const double* kgrad,
-                                const double* coords) {
-  std::FILE* f = std::fopen(path, "wb");
+int svgd_write_intermediate_log_v2(const char* path, int64_t steps,
+                                   int64_t n, int64_t m, int64_t start_step,
+                                   int append, const double* lmg,
+                                   const double* ker, const double* kgrad,
+                                   const double* coords) {
+  // append + start_step let per-step drivers extend an existing dump in
+  // O(new steps) instead of rewriting the whole history each call.
+  std::FILE* f = std::fopen(path, append ? "ab" : "wb");
   if (!f) return 1;
   std::vector<char> buf;
   buf.reserve(static_cast<size_t>(1) << 20);
@@ -97,7 +100,7 @@ int svgd_write_intermediate_log(const char* path, int64_t steps, int64_t n,
     buf.clear();
     std::snprintf(header, sizeof(header),
                   "========== Step %lld ==========\nLogModelGrad=\n",
-                  static_cast<long long>(t + 1));
+                  static_cast<long long>(start_step + t));
     append_str(buf, header);
     append_matrix(buf, lmg + t * m * n, m, n);
     append_str(buf, "\n\nKernel=\n");
@@ -113,6 +116,15 @@ int svgd_write_intermediate_log(const char* path, int64_t steps, int64_t n,
     }
   }
   return std::fclose(f) == 0 ? 0 : 3;
+}
+
+int svgd_write_intermediate_log(const char* path, int64_t steps, int64_t n,
+                                int64_t m, const double* lmg,
+                                const double* ker, const double* kgrad,
+                                const double* coords) {
+  // Original whole-file ABI, kept for compatibility.
+  return svgd_write_intermediate_log_v2(path, steps, n, m, 1, 0, lmg, ker,
+                                        kgrad, coords);
 }
 
 // ---------------------------------------------------------------------

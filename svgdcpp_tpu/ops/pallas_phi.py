@@ -452,11 +452,13 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
                          dot_dtype: str = "float32"):
     """Pallas twin of ops/phi.phi_rbf_fused_counts (isotropic RBF):
     one on-chip pass produces the phi contraction and the median-selection
-    counts. Counts use the same Gram-identity sq as the K tile (mean-
-    centered f32), so self-pairs may carry ~eps residue — rank noise far
-    below what the verified selection can feel. ``dot_dtype='bfloat16'``
-    (experimental, opt-in) halves MXU operand width; the selection counts
-    then ride a bf16-rounded sq tile — still verified, slightly noisier."""
+    counts. Counts use the same sq tile as K: at m <= _DIFF_FORM_MAX_M
+    (f32) that is the cancellation-free VPU difference form with EXACT
+    self-pair zeros; at larger m the bf16x3-split Gram identity leaves
+    ~2^-16 residue — rank noise far below what the verified selection can
+    feel. ``dot_dtype='bfloat16'`` (experimental, opt-in) disables the
+    diff form and runs one-pass bf16 Gram dots throughout (~2^-8 sq
+    rounding); the selection stays count-verified, just noisier."""
     if interpret is None:
         interpret = _default_interpret()
     return _phi_rbf_fused_pallas_cross_impl(

@@ -156,9 +156,12 @@ class ShardedSVGDConfig:
     #: fewer bins = cheaper per-pair compares, coarser per-pass refinement).
     fused_bins: int = 2
     #: MXU operand dtype for the single-term Mosaic fused sweep, mirroring
-    #: SVGDOptions.fused_dot_dtype: 'float32' (default) or 'bfloat16'
-    #: (opt-in rounding; see docs/perf.md — with the diff-form sq the bf16
-    #: path only changes the contraction dots and measured no win at m=2).
+    #: SVGDOptions.fused_dot_dtype: 'float32' (default) or 'bfloat16'.
+    #: bf16 disables the f32-exact diff-form sq and routes the whole tile
+    #: through one-pass bf16 Gram dots (~2^-8 per-pair sq rounding, the
+    #: documented opt-in accuracy cost; the selection remains count-
+    #: verified). Measured no win at m=2 (docs/perf.md) — an MXU-bound
+    #: large-m experiment knob only.
     fused_dot_dtype: str = "float32"
     #: Run the fused sweep as a VMEM-resident Mosaic (Pallas) kernel per
     #: device (the sharded twin of the driver's 'fused_pallas' /
@@ -1090,24 +1093,28 @@ class ShardedSVGD:
         reference's text format (reference SVGD.hpp:460-476); also kept on
         the instance as ``intermediate_logs`` (stacked (T, ...) arrays).
         Accumulates across step_state()/run_state() calls like the stats
-        recorder (the file is rewritten from the full accumulated stack so
-        per-step driving does not truncate it to the last iteration);
-        run(coords=...) resets the accumulation."""
+        recorder; only the NEW iterations are appended to the file (with
+        continuing step numbers), so per-step driving stays O(new steps)
+        in I/O. run(coords=...) resets the accumulation."""
         import numpy as np
 
         from ..utils.logging import write_intermediate_matrices
 
         host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), debug)
         if self.intermediate_logs is None:
+            prior_steps = 0
             self.intermediate_logs = host
         else:
+            prior_steps = self.intermediate_logs["coords"].shape[0]
             self.intermediate_logs = {
                 k: np.concatenate([self.intermediate_logs[k], host[k]])
                 for k in host
             }
         write_intermediate_matrices(
             self.config.intermediate_matrices_output_path,
-            self.intermediate_logs,
+            host,
+            start_step=prior_steps + 1,
+            append=prior_steps > 0,
         )
 
     def _record_stats(self, stats):

@@ -18,7 +18,8 @@ def _format_matrix(mat: np.ndarray) -> str:
     return "\n".join(" ".join(f"{v:.9g}" for v in row) for row in np.atleast_2d(mat))
 
 
-def write_intermediate_matrices(path: str, logs: dict):
+def write_intermediate_matrices(path: str, logs: dict, *,
+                                start_step: int = 1, append: bool = False):
     """Write stacked per-iteration matrices in the reference's text format.
 
     ``logs`` holds arrays stacked over iterations in (n, m) layout:
@@ -28,6 +29,8 @@ def write_intermediate_matrices(path: str, logs: dict):
     Orientation is converted to the reference's column-major conventions:
     LogModelGrad/CoordMat as m x n, Kernel as n x n with (j, i) indexing,
     KernelGrad as the (m n) x n stacked blocks (SVGD.hpp:498-504).
+    ``start_step``/``append`` extend an existing dump with only the new
+    iterations (per-step drivers stay O(new steps) in file I/O).
     """
     lmg = np.asarray(logs["log_model_grad"])
     ker = np.asarray(logs["kernel"])
@@ -46,6 +49,8 @@ def write_intermediate_matrices(path: str, logs: dict):
             ker.transpose(0, 2, 1),
             kgrad.transpose(0, 2, 3, 1).reshape(num_steps, n * m, n),
             coords.transpose(0, 2, 1),
+            start_step=start_step,
+            append=append,
         )
     except RuntimeError as e:
         # Preserve the native writer's failure mode instead of reporting
@@ -61,7 +66,7 @@ def write_intermediate_matrices(path: str, logs: dict):
         return
 
     try:
-        out = open(path, "w")
+        out = open(path, "a" if append else "w")
     except OSError as e:
         raise RuntimeError(
             SVGD_LOG_PREFIX + f"[Runtime Error] Cannot open {path} for writing."
@@ -72,7 +77,7 @@ def write_intermediate_matrices(path: str, logs: dict):
             # reference kernel_grad block (j*m:(j+1)*m, i) = ours kernel_grad[i, j, :]
             kg_ref = kgrad[t].transpose(1, 2, 0).reshape(n * m, n)
             out.write(
-                f"========== Step {t + 1} =========="
+                f"========== Step {start_step + t} =========="
                 f"\nLogModelGrad=\n{_format_matrix(lmg[t].T)}"
                 f"\n\nKernel=\n{_format_matrix(ker[t].T)}"
                 f"\n\nKernelGrad=\n{_format_matrix(kg_ref)}"

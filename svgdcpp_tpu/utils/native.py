@@ -48,6 +48,11 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.svgd_write_intermediate_log.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ] + [ctypes.POINTER(ctypes.c_double)] * 4
+            lib.svgd_write_intermediate_log_v2.restype = ctypes.c_int
+            lib.svgd_write_intermediate_log_v2.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ] + [ctypes.POINTER(ctypes.c_double)] * 4
             lib.svgd_oracle_mvn_rbf_adagrad.restype = ctypes.c_int
             lib.svgd_oracle_mvn_rbf_adagrad.argtypes = [
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
@@ -105,12 +110,15 @@ def host_median(values) -> float:
 
 
 def write_intermediate_log_native(path: str, lmg_ref, ker_ref, kgrad_ref,
-                                  coords_ref) -> bool:
+                                  coords_ref, *, start_step: int = 1,
+                                  append: bool = False) -> bool:
     """Write the debug log via the native writer.
 
     Inputs already in REFERENCE orientation: lmg/coords (T, m, n),
-    ker (T, n, n), kgrad (T, m*n, n). Returns False if the native library is
-    unavailable (caller falls back to the Python writer).
+    ker (T, n, n), kgrad (T, m*n, n). ``start_step``/``append`` let a
+    per-step driver extend an existing dump in O(new steps). Returns False
+    if the native library is unavailable (caller falls back to the Python
+    writer).
     """
     lib = _load()
     if lib is None:
@@ -120,11 +128,13 @@ def write_intermediate_log_native(path: str, lmg_ref, ker_ref, kgrad_ref,
     kgrad = _as_f64_buffer(kgrad_ref)
     coords = _as_f64_buffer(coords_ref)
     steps, m, n = lmg.shape
-    rc = lib.svgd_write_intermediate_log(
+    rc = lib.svgd_write_intermediate_log_v2(
         str(path).encode(),
         steps,
         n,
         m,
+        int(start_step),
+        1 if append else 0,
         lmg.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         ker.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         kgrad.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
