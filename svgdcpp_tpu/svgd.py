@@ -44,6 +44,14 @@ from .utils.logging import write_intermediate_matrices
 #: difference form for small m — see ops/phi.py).
 DENSE_PHI_MAX_PARTICLES = 1024
 
+#: On a real TPU backend, auto prefers the fused lag-1 Mosaic sweep over
+#: the dense exact-median path already above THIS count (measured d=2:
+#: 10.6M vs 1.5M updates/s at n=512, 21.2M vs 12.3M at n=1024; BLR d=50:
+#: 14.8M vs 9.1M at n=1000 — docs/perf.md). Below it the exact same-step
+#: median (strict reference parity) is kept; phi_impl='dense' keeps it at
+#: any n.
+TPU_FUSED_MIN_PARTICLES = 256
+
 
 @dataclasses.dataclass
 class SVGDOptions:
@@ -232,11 +240,19 @@ class SVGD:
             # SVGD.hpp:346-358).
             impl = "generic"
         elif impl == "auto":
+            # TPU prefers the fused Mosaic sweep from a much smaller n
+            # (see TPU_FUSED_MIN_PARTICLES); other backends keep the dense
+            # exact-median path up to DENSE_PHI_MAX_PARTICLES.
+            fused_threshold = (
+                TPU_FUSED_MIN_PARTICLES
+                if jax.default_backend() == "tpu" and self._mesh_pallas_ok()
+                else DENSE_PHI_MAX_PARTICLES
+            )
             if self._rbf_terms is not None:
                 from .kernels.algebra import fused_terms_eligible
 
                 if (
-                    self.num_particles > DENSE_PHI_MAX_PARTICLES
+                    self.num_particles > fused_threshold
                     and fused_terms_eligible(
                         self._rbf_terms, self._adaptive_slots,
                         self.kernel.parameters,
@@ -273,7 +289,7 @@ class SVGD:
             elif (
                 getattr(self.kernel, "scale_method", None)
                 == GaussianRBFKernel.ScaleMethod.MEDIAN
-                and self.num_particles > DENSE_PHI_MAX_PARTICLES
+                and self.num_particles > fused_threshold
             ):
                 # Median-adaptive at scale: ONE fused O(n^2) sweep per step
                 # (phi contraction + next step's median counts) instead of
