@@ -4,9 +4,11 @@ Addresses the "self-graded roofline" gap: commits hard evidence of where a
 step's time goes. Writes a perfetto/xplane trace directory plus a
 one-line summary of the measured step time.
 
-    python scripts/capture_trace.py [outdir=docs/traces] [n=10000] [impl=auto]
+    python scripts/capture_trace.py [outdir=docs/traces] [n=10000] [impl=auto] [config=mvn]
 
-The trace directory can be opened with xprof/tensorboard or perfetto.
+config=hier traces the composed-adaptive-kernel workload (the
+fused_terms_pallas path) instead of the flagship MVN. The trace directory
+can be opened with xprof/tensorboard or perfetto.
 """
 
 import sys
@@ -19,23 +21,44 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 
-def main(outdir="docs/traces", n="10000", impl="auto"):
+def main(outdir="docs/traces", n="10000", impl="auto", config="mvn"):
     import jax
 
     import svgdcpp_tpu as sv
-    from svgdcpp_tpu.utils.workloads import flagship_mvn
 
     n = int(n)
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
 
-    mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
-    model = sv.MultivariateNormal(mean, cov)
-    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+    if config == "hier":
+        # The hierarchical-BLR bench workload: composed adaptive kernel,
+        # fused_terms_pallas on TPU (bench.py --config hier).
+        import bench as bench_mod
+
+        features, labels, x0 = bench_mod.make_blr_workload(
+            n, dim=10, hierarchical=True
+        )
+        dim = x0.shape[1]
+        model = sv.HierarchicalBayesianLogisticRegression(features, labels)
+        kernel = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(dim, dtype=np.float32),
+        )
+        optimizer = sv.Adam(dim, n, 5e-2, 0.9, 0.999)
+    else:
+        from svgdcpp_tpu.utils.workloads import flagship_mvn
+
+        mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
+        dim = 2
+        model = sv.MultivariateNormal(mean, cov)
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        optimizer = sv.AdaGrad(dim, n, 0.1)
     svgd = sv.SVGD(
         sv.SVGDOptions(
-            dimension=2, num_iterations=10, coordinate_matrix=x0,
-            kernel=kernel, model=model, optimizer=sv.AdaGrad(2, n, 0.1),
+            dimension=dim, num_iterations=10, coordinate_matrix=x0,
+            kernel=kernel, model=model, optimizer=optimizer,
             phi_impl=impl,
         )
     )

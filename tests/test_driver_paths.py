@@ -386,3 +386,28 @@ def test_optimizer_state_sharding_declaration():
     for x, f in zip(leaves_state, leaves_flags):
         assert f == (getattr(x, "shape", None) == (16, 2)), (x, f)
     assert any(leaves_flags) and not all(leaves_flags)
+
+
+def test_tpu_fused_auto_threshold(rng, monkeypatch):
+    """On a TPU backend, phi_impl='auto' prefers the fused Mosaic sweep
+    from n > TPU_FUSED_MIN_PARTICLES (the rebuilt kernel beats dense 7x at
+    n=512 — docs/perf.md); other backends keep the 1024 dense cutoff.
+    Selection-only test: initialize() resolves the impl without executing
+    the (CPU-incompatible) compiled Mosaic path."""
+    import svgdcpp_tpu.svgd as svgd_mod
+
+    def impl_for(n, backend):
+        monkeypatch.setattr(
+            svgd_mod.jax, "default_backend", lambda: backend
+        )
+        x0 = rng.normal(size=(n, 2))
+        model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        drv = build(x0, model, kernel, sv.AdaGrad(2, n, 0.1))
+        drv.initialize()
+        return drv._phi_impl
+
+    assert impl_for(256, "tpu") == "dense"   # at the threshold: parity zone
+    assert impl_for(260, "tpu") == "fused_pallas"
+    assert impl_for(260, "cpu") == "dense"   # other backends keep 1024
+    assert impl_for(1030, "cpu") == "fused"
