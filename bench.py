@@ -167,7 +167,11 @@ def _timed_run(svgd, iters, steps_per_call, return_state=False):
     execution completes)."""
     state = svgd.make_state()
     out = svgd._jit_run(state, steps_per_call)
-    np.asarray(out[0]["coords"])
+    # Warm the CHAINED signature too: an output state fed back in may carry
+    # different shardings than make_state's and would recompile once inside
+    # the timed region otherwise.
+    out2 = svgd._jit_run(out[0], steps_per_call)
+    np.asarray(out2[0]["coords"])
     calls = max(1, iters // steps_per_call)
     t0 = time.perf_counter()
     st = state
