@@ -918,26 +918,34 @@ class ShardedSVGD:
             )
         else:
             kparams = (jnp.eye(self.dimension, dtype=coords.dtype),)
-        return {
-            "coords": coords,
-            "opt_state": opt_state,
-            "model_params": tuple(self.model.parameters),
-            "kernel_params": kparams,
-            # Foreign-model params per adaptive slot (None for slots owned
-            # by self.model or with no model) — same contract as the driver.
-            "slot_model_params": tuple(
-                tuple(owner.target_model.parameters)
-                if getattr(owner, "target_model", None) is not None
-                and owner.target_model is not self.model
-                else None
-                for _, owner in self._adaptive_slots
-            ),
-            # warm-start median aux: per-rank distance brackets
-            # (lo1, hi1, lo2, hi2, max_disp [, med for fused_phi]);
-            # hi < lo marks a cold start
-            "scale_aux": self._init_scale_aux(coords, fdt),
-            "iteration": jnp.asarray(0, jnp.int32),
-        }
+        replicated = NamedSharding(self.mesh, P())
+        # Replicated placement for every non-particle leaf: one left on the
+        # default device would make the first CHAINED run_state (an output
+        # state fed back in) recompile once — the output shardings would
+        # not match the input signature (same fix as the driver's
+        # make_state).
+        rep = jax.tree.map(
+            lambda x: place_sharded(jnp.asarray(x), replicated),
+            {
+                "model_params": tuple(self.model.parameters),
+                "kernel_params": kparams,
+                # Foreign-model params per adaptive slot (None for slots
+                # owned by self.model or with no model) — driver contract.
+                "slot_model_params": tuple(
+                    tuple(owner.target_model.parameters)
+                    if getattr(owner, "target_model", None) is not None
+                    and owner.target_model is not self.model
+                    else None
+                    for _, owner in self._adaptive_slots
+                ),
+                # warm-start median aux: per-rank distance brackets
+                # (lo1, hi1, lo2, hi2, max_disp [, med for fused_phi]);
+                # hi < lo marks a cold start
+                "scale_aux": self._init_scale_aux(coords, fdt),
+                "iteration": jnp.asarray(0, jnp.int32),
+            },
+        )
+        return {"coords": coords, "opt_state": opt_state, **rep}
 
     def _init_scale_aux(self, coords, fdt):
         if self.config.fused_phi:
