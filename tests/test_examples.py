@@ -89,3 +89,16 @@ def test_large_scale_example_runs_and_improves_ksd():
     )
     assert out.shape == (2048, 2)
     assert ksd_after < 0.8 * ksd_before
+
+
+def test_sharded_example_converges():
+    """The multi-chip example runs on the simulated 8-device mesh and
+    reduces the KSD toward the target."""
+    import sharded_example
+
+    x0, final, ksd0, ksd1 = sharded_example.run(
+        num_particles=256, num_iterations=150, verbose=False
+    )
+    assert final.shape == x0.shape
+    assert np.isfinite(final).all()
+    assert ksd1 < 0.5 * ksd0  # discrepancy to the target dropped
