@@ -167,11 +167,13 @@ def _timed_run(svgd, iters, steps_per_call, return_state=False):
     execution completes)."""
     state = svgd.make_state()
     out = svgd._jit_run(state, steps_per_call)
-    # Warm the CHAINED signature too: an output state fed back in may carry
-    # different shardings than make_state's and would recompile once inside
-    # the timed region otherwise.
-    out2 = svgd._jit_run(out[0], steps_per_call)
-    np.asarray(out2[0]["coords"])
+    if svgd.mesh is not None:
+        # Warm the CHAINED signature too: under a mesh an output state fed
+        # back in may carry different shardings than make_state's and would
+        # recompile once inside the timed region otherwise. (No mesh: the
+        # signatures are identical — skip the extra segment.)
+        out = svgd._jit_run(out[0], steps_per_call)
+    np.asarray(out[0]["coords"])
     calls = max(1, iters // steps_per_call)
     t0 = time.perf_counter()
     st = state
@@ -296,9 +298,12 @@ def make_blr_workload(particles, dim=50, n_data=1024, hierarchical=False):
     return np.asarray(features), np.asarray(labels), x0
 
 
-def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
-              steps_per_call=100):
-    """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
+def build_blr_svgd(x0, features, labels, hierarchical=False, phi_impl="auto",
+                   steps_per_call=100):
+    """Construct the BLR / hierarchical-BLR driver (BASELINE configs 3-4).
+
+    Single home for the workload construction — scripts/capture_trace.py
+    traces exactly this object, so the trace cannot drift from the bench."""
     import svgdcpp_tpu as sv
 
     particles, full_dim = x0.shape
@@ -322,7 +327,16 @@ def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
         )
     )
     svgd.initialize()
-    return particles * _timed_run(svgd, iters, steps_per_call)
+    return svgd
+
+
+def bench_blr(x0, features, labels, iters, hierarchical=False, phi_impl="auto",
+              steps_per_call=100):
+    """BLR / hierarchical-BLR throughput (BASELINE configs 3-4)."""
+    svgd = build_blr_svgd(
+        x0, features, labels, hierarchical, phi_impl, steps_per_call
+    )
+    return x0.shape[0] * _timed_run(svgd, iters, steps_per_call)
 
 
 def _wait_for_chip(attempts=3, probe_timeout=75, sleep_s=30):

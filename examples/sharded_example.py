@@ -42,6 +42,11 @@ def run(num_particles=4096, num_iterations=200, seed=0, verbose=True):
 
     mesh = make_particle_mesh()
     n_dev = mesh.devices.size
+    if num_particles < n_dev:
+        raise ValueError(
+            f"num_particles ({num_particles}) must be >= the device count "
+            f"({n_dev}): each device owns at least one particle row."
+        )
     # The particle count must split evenly over the mesh.
     n = (num_particles // n_dev) * n_dev
     mean, cov, x0 = flagship_mvn(n, seed=seed, dtype=np.float32)

@@ -31,22 +31,18 @@ def main(outdir="docs/traces", n="10000", impl="auto", config="mvn"):
     out.mkdir(parents=True, exist_ok=True)
 
     if config == "hier":
-        # The hierarchical-BLR bench workload: composed adaptive kernel,
-        # fused_terms_pallas on TPU (bench.py --config hier).
+        # The hierarchical-BLR bench workload: EXACTLY bench.py --config
+        # hier's construction (single-homed in bench.build_blr_svgd so
+        # the trace cannot drift from the benchmark it represents).
         import bench as bench_mod
 
         features, labels, x0 = bench_mod.make_blr_workload(
             n, dim=10, hierarchical=True
         )
-        dim = x0.shape[1]
-        model = sv.HierarchicalBayesianLogisticRegression(features, labels)
-        kernel = sv.GaussianRBFKernel(
-            x0, sv.ScaleMethod.MEDIAN, model
-        ) + sv.GaussianRBFKernel(
-            x0, sv.ScaleMethod.CONSTANT,
-            constant_scale=0.1 * np.eye(dim, dtype=np.float32),
+        svgd = bench_mod.build_blr_svgd(
+            x0, features, labels, hierarchical=True, phi_impl=impl,
+            steps_per_call=10,
         )
-        optimizer = sv.Adam(dim, n, 5e-2, 0.9, 0.999)
     else:
         from svgdcpp_tpu.utils.workloads import flagship_mvn
 
@@ -54,14 +50,13 @@ def main(outdir="docs/traces", n="10000", impl="auto", config="mvn"):
         dim = 2
         model = sv.MultivariateNormal(mean, cov)
         kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
-        optimizer = sv.AdaGrad(dim, n, 0.1)
-    svgd = sv.SVGD(
-        sv.SVGDOptions(
-            dimension=dim, num_iterations=10, coordinate_matrix=x0,
-            kernel=kernel, model=model, optimizer=optimizer,
-            phi_impl=impl,
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=10, coordinate_matrix=x0,
+                kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl=impl,
+            )
         )
-    )
     svgd.initialize()
     state = svgd.make_state()
 

@@ -31,6 +31,7 @@ from .optimizers.adam import Adam
 from .optimizers.base import Optimizer
 from .optimizers.optax_adapter import OptaxOptimizer
 from .optimizers.rmsprop import RMSProp
+from .parallel.mesh import initialize_distributed, make_particle_mesh
 from .svgd import SVGD, SVGDOptions
 
 __version__ = "0.1.0"
@@ -56,6 +57,8 @@ __all__ = [
     "PrecisionPolicy",
     "as_coords",
     "ksd_rbf",
+    "initialize_distributed",
+    "make_particle_mesh",
     "SVGDError",
     "DimensionMismatchError",
     "UnsetError",

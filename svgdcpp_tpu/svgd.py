@@ -811,24 +811,27 @@ class SVGD:
             replicated = NamedSharding(self.mesh, P())
             # place_sharded (not plain device_put): a multi-process mesh's
             # remote shards are not addressable. EVERY leaf gets an explicit
-            # mesh sharding (replicated for the non-particle ones): leaves
-            # left on the default device would make the input signature
-            # differ from the step's OUTPUT shardings, so chaining a run's
-            # output back in would recompile once (measured 2.6 s on the
-            # flagship shape).
-            sharded_leaves = self.optimizer.state_is_particle_sharded(
-                state["opt_state"]
-            )
-            state = jax.tree.map(
-                lambda x: place_sharded(jnp.asarray(x), replicated), state
-            )
+            # mesh sharding — replicated for the non-particle ones ONLY
+            # (replicating the (n, m) arrays first would materialize a full
+            # copy per device): leaves left on the default device would make
+            # the input signature differ from the step's OUTPUT shardings,
+            # so chaining a run's output back in would recompile once
+            # (measured 2.6 s on the flagship shape).
+            for key in (
+                "kernel_params", "model_params", "slot_model_params",
+                "scale_aux", "iteration",
+            ):
+                state[key] = jax.tree.map(
+                    lambda x: place_sharded(jnp.asarray(x), replicated),
+                    state[key],
+                )
             state["coords"] = place_sharded(state["coords"], sharding)
             state["opt_state"] = jax.tree.map(
                 lambda x, sharded_leaf: place_sharded(x, sharding)
                 if sharded_leaf
-                else x,
+                else place_sharded(jnp.asarray(x), replicated),
                 state["opt_state"],
-                sharded_leaves,
+                self.optimizer.state_is_particle_sharded(state["opt_state"]),
             )
         return state
 

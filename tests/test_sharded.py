@@ -884,3 +884,39 @@ def test_sharded_step_state_logging_accumulates(mesh, rng, tmp_path):
     text = open(path).read()
     assert text.count("========== Step") == steps
     assert f"========== Step {steps} " in text
+
+
+def test_chained_run_hits_jit_cache(mesh, rng):
+    """Feeding a run's output state back in must not recompile: every
+    state leaf gets an explicit mesh sharding at init so the chained
+    signature matches the step's output shardings (regression for the
+    measured 2.6 s extra compile per chained call) — on BOTH the driver
+    (SVGDOptions.mesh) and ShardedSVGD."""
+    n, dim = 32, 2
+    x0 = rng.normal(size=(n, dim))
+    model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+
+    sharded = ShardedSVGD(
+        model, sv.AdaGrad(dim, n, 0.1), num_particles=n, dimension=dim,
+        mesh=mesh, config=ShardedSVGDConfig(row_tile=8),
+    )
+    state = sharded.init_state(x0)
+    state = sharded.run_state(state, 2)
+    state = sharded.run_state(state, 2)
+    state = sharded.run_state(state, 2)
+    assert sharded.run_fn._cache_size() == 1
+
+    model2 = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
+    kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model2)
+    drv = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=2, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model2, optimizer=sv.AdaGrad(dim, n, 0.1),
+            mesh=mesh,
+        )
+    )
+    drv.initialize()
+    st = drv.make_state()
+    st, _ = drv._jit_run(st, 2)
+    st, _ = drv._jit_run(st, 2)
+    assert drv._jit_run._cache_size() == 1
