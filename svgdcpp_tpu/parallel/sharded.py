@@ -261,8 +261,12 @@ class ShardedSVGD:
         n_dev = self.mesh.devices.size
         if self.num_particles % n_dev != 0:
             raise DimensionMismatchError(
-                f"num_particles ({self.num_particles}) must divide evenly over "
-                f"{n_dev} devices; pad the particle set."
+                f"num_particles ({self.num_particles}) must divide evenly "
+                f"over {n_dev} devices. For an uneven count use the driver's "
+                "GSPMD path instead — SVGD(SVGDOptions(mesh=...)) handles "
+                "any n exactly (XLA pads internally). Do NOT pad the "
+                "particle set with duplicates: padded particles participate "
+                "in phi and the median and bias the posterior."
             )
         if kernel is not None:
             kernel.initialize()
