@@ -50,12 +50,15 @@ from svgdcpp_tpu.parallel import (  # noqa: E402
 )
 
 
-def measure(n_devices: int, phi_mode: str = "gather") -> float:
+def measure(n_devices: int, phi_mode: str = "gather",
+            n_global=None) -> float:
+    """updates/s on an n_devices mesh. ``n_global=None`` = weak scaling
+    (N_PER_DEVICE rows per device); a fixed value = strong scaling."""
     devices = jax.devices()[:n_devices]
     mesh = make_particle_mesh(devices)
     from svgdcpp_tpu.utils.workloads import flagship_mvn
 
-    n = N_PER_DEVICE * n_devices
+    n = N_PER_DEVICE * n_devices if n_global is None else int(n_global)
     dim = 2
     mean, cov, x0 = flagship_mvn(n, dtype=np.float32)
     model = sv.MultivariateNormal(mean, cov)
@@ -101,8 +104,29 @@ def measure(n_devices: int, phi_mode: str = "gather") -> float:
 
 
 def main():
-    phi_mode = sys.argv[1] if len(sys.argv) > 1 else "gather"
+    args = [a for a in sys.argv[1:] if a != "--strong"]
+    strong = "--strong" in sys.argv
+    phi_mode = args[0] if args else "gather"
     max_d = len(jax.devices())
+    if strong:
+        # Strong scaling: FIXED global n split over D devices — the
+        # latency axis for real slices (per-device work shrinks as n/D * n,
+        # so ideal rate is D x the 1-device rate).
+        n_fixed = N_PER_DEVICE * max_d
+        rates = {}
+        for d in [1, 2, 4, 8]:
+            if d > max_d:
+                break
+            rates[d] = measure(d, phi_mode, n_global=n_fixed)
+        base = rates[1]
+        for d, rate in rates.items():
+            print(json.dumps({
+                "metric": f"strong-scaling updates/s ({phi_mode}, {d} devices, n={n_fixed})",
+                "value": round(rate, 1),
+                "unit": "updates/s",
+                "vs_baseline": round(rate / (d * base), 3),
+            }))
+        return
     rates = {}
     for d in [1, 2, 4, 8]:
         if d > max_d:
