@@ -121,15 +121,7 @@ def kernel_matrix_and_grad(
     reference's kernel_matrix_ / kernel_grad_matrix_ pair (SVGD.hpp:500-502)
     in (n, m) layout — only used by the intermediate-matrix debug dump.
     """
-
-    def pair(x_j, x_i):
-        return kernel_fn(x_j, kernel_params, x_i)
-
-    k = jax.vmap(lambda xi: jax.vmap(lambda xj: pair(xj, xi))(coords))(coords)
-    g = jax.vmap(lambda xi: jax.vmap(lambda xj: jax.grad(pair, 0)(xj, xi))(coords))(
-        coords
-    )
-    return k, g
+    return kernel_matrix_and_grad_cross(coords, coords, kernel_fn, kernel_params)
 
 
 def kernel_matrix_and_grad_cross(

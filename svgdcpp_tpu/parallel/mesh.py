@@ -74,8 +74,20 @@ def place_sharded(x, sharding: NamedSharding):
     global array. Single home shared by ShardedSVGD.init_state and the
     driver's make_state (SVGDOptions.mesh).
     """
+    if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
+        sharding, x.ndim
+    ):
+        # Already placed (e.g. a previous run/step's output chained back in
+        # on a multi-process mesh) — np.asarray on it would raise because
+        # remote shards are not addressable, and re-placing is wasted work.
+        return x
     if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # Differently-sharded distributed array: reshard with a jitted
+        # identity (XLA inserts the cross-process collectives); host
+        # fetch is impossible here.
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
     import numpy as np
 
     host = np.asarray(x)

@@ -300,9 +300,9 @@ class ShardedSVGD:
             self._rbf_psd = True
         self._state = None
         self.stats = None
-        #: Stacked per-iteration debug matrices from the last logging run
-        #: (None until log_intermediate_matrices produces them).
-        self.intermediate_logs = None
+        #: Per-call debug-matrix chunks (see the ``intermediate_logs``
+        #: property; None until log_intermediate_matrices produces them).
+        self._intermediate_log_chunks = None
         self._fused_pallas = self._resolve_fused_pallas()
         self._build()
 
@@ -1100,6 +1100,30 @@ class ShardedSVGD:
         self._state = state
         return state
 
+    @property
+    def intermediate_logs(self):
+        """Stacked (T, ...) per-iteration debug matrices accumulated across
+        step_state()/run_state() calls (None before any logging run).
+        Stored internally as per-call chunks so per-step driving appends in
+        O(new steps); merged (and cached) here on access."""
+        chunks = self._intermediate_log_chunks
+        if chunks is None:
+            return None
+        if len(chunks) > 1:
+            import numpy as np
+
+            self._intermediate_log_chunks = [
+                {
+                    k: np.concatenate([c[k] for c in chunks])
+                    for k in chunks[0]
+                }
+            ]
+        return self._intermediate_log_chunks[0]
+
+    @intermediate_logs.setter
+    def intermediate_logs(self, value):
+        self._intermediate_log_chunks = None if value is None else [value]
+
     def _write_logs(self, debug):
         """Host-side write of the stacked per-iteration matrices in the
         reference's text format (reference SVGD.hpp:460-476); also kept on
@@ -1113,15 +1137,17 @@ class ShardedSVGD:
         from ..utils.logging import write_intermediate_matrices
 
         host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), debug)
-        if self.intermediate_logs is None:
+        if self._intermediate_log_chunks is None:
             prior_steps = 0
-            self.intermediate_logs = host
+            self._intermediate_log_chunks = [host]
         else:
-            prior_steps = self.intermediate_logs["coords"].shape[0]
-            self.intermediate_logs = {
-                k: np.concatenate([self.intermediate_logs[k], host[k]])
-                for k in host
-            }
+            # Append a chunk, don't re-concatenate the whole history: a
+            # per-step driver would otherwise copy O(T^2) host memory. The
+            # chunks merge lazily on first ``intermediate_logs`` access.
+            prior_steps = sum(
+                c["coords"].shape[0] for c in self._intermediate_log_chunks
+            )
+            self._intermediate_log_chunks.append(host)
         write_intermediate_matrices(
             self.config.intermediate_matrices_output_path,
             host,

@@ -89,9 +89,10 @@ class SVGDOptions:
     #: 2 -> 22.8M, 3 -> 18.3M, 4 -> 16.6M updates/s) at coarser per-pass
     #: bracket refinement. The steady-state bracket width is
     #: ~4*disp*bins/(bins-1), so the median estimate error is bounded by
-    #: ~2*disp/(bins-1) — at the default 2 that is 2x the max per-step
-    #: displacement, the same class as the lag-1 scale's own 2*disp error
-    #: (posterior moment errors measured indistinguishable from bins=3,
+    #: half that, ~2*disp*bins/(bins-1) — at the default 2 that is 4x the
+    #: max per-step displacement, the same class as the lag-1 scale's own
+    #: 2*disp movement error (posterior moment errors measured
+    #: indistinguishable from bins=3,
     #: docs/perf.md). The count-verified bracket check + in-graph bisection
     #: fallback hold for any value.
     fused_bins: int = 2
@@ -249,39 +250,41 @@ class SVGD:
                 else DENSE_PHI_MAX_PARTICLES
             )
             if self._rbf_terms is not None:
-                from .kernels.algebra import fused_terms_eligible
+                from .kernels.algebra import (
+                    fused_terms_eligible,
+                    fused_terms_statically_positive,
+                )
 
-                if (
-                    self.num_particles > fused_threshold
-                    and fused_terms_eligible(
+                eligible = fused_terms_eligible(
+                    self._rbf_terms, self._adaptive_slots,
+                    self.kernel.parameters,
+                )
+                # Mosaic terms sweep: ONE shared -sq VMEM tile for all
+                # terms + in-sweep median counts (same reasoning as
+                # 'fused_pallas'). Requires every effective gamma provably
+                # positive (padded-row decay) and — under SVGDOptions.mesh,
+                # where the sweep runs in an internal shard_map because
+                # GSPMD cannot partition a pallas_call — an even particle
+                # split over the devices.
+                mosaic = (
+                    eligible
+                    and jax.default_backend() == "tpu"
+                    and self._mesh_pallas_ok()
+                    and fused_terms_statically_positive(
                         self._rbf_terms, self._adaptive_slots,
                         self.kernel.parameters,
                     )
-                ):
-                    # Isotropic composed median kernel at scale: ONE shared
-                    # -sq sweep for all terms + in-sweep median counts. On a
-                    # real TPU the Mosaic kernel keeps the tile in VMEM
-                    # (same reasoning as 'fused_pallas'); it requires every
-                    # effective gamma provably positive (padded-row decay).
-                    from .kernels.algebra import (
-                        fused_terms_statically_positive,
-                    )
-
-                    if (
-                        jax.default_backend() == "tpu"
-                        # Under SVGDOptions.mesh the sweep is wrapped in an
-                        # internal shard_map (GSPMD cannot partition a
-                        # pallas_call), which needs the particle count to
-                        # divide evenly over the devices.
-                        and self._mesh_pallas_ok()
-                        and fused_terms_statically_positive(
-                            self._rbf_terms, self._adaptive_slots,
-                            self.kernel.parameters,
-                        )
-                    ):
-                        impl = "fused_terms_pallas"
-                    else:
-                        impl = "fused_terms"
+                )
+                # The lowered TPU threshold is justified ONLY by Mosaic
+                # measurements (docs/perf.md); when the fallback would be
+                # the XLA fused_terms sweep (e.g. division terms), keep the
+                # original threshold so small-n composed kernels keep the
+                # exact same-step median of 'rbf_terms'.
+                terms_threshold = (
+                    fused_threshold if mosaic else DENSE_PHI_MAX_PARTICLES
+                )
+                if self.num_particles > terms_threshold and eligible:
+                    impl = "fused_terms_pallas" if mosaic else "fused_terms"
                 else:
                     impl = "rbf_terms"
             elif not self._is_rbf:
@@ -388,7 +391,10 @@ class SVGD:
                     f"num_particles ({self.num_particles}) to divide evenly "
                     f"over the {mesh.shape[axis]} devices of mesh axis "
                     f"{axis!r} (the axis the internal shard_map shards "
-                    "over); pad the particle set or use 'fused'."
+                    "over); use 'fused'/'fused_terms' (GSPMD partitions "
+                    "them for any n). Do NOT pad the particle set with "
+                    "duplicates — padded rows would bias phi and the "
+                    "n^2 median (docs/instructions.md)."
                 )
         self._phi_impl = impl
 

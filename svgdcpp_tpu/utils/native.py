@@ -22,47 +22,67 @@ _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
+def _make(force: bool = False) -> None:
+    cmd = ["make", "-s"] + (["-B"] if force else []) + ["-C", str(_NATIVE_DIR)]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _load_failed
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if not _LIB_PATH.exists():
-                subprocess.run(
-                    ["make", "-s", "-C", str(_NATIVE_DIR)],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            lib = ctypes.CDLL(str(_LIB_PATH))
-            lib.svgd_kth_element_f64.restype = ctypes.c_double
-            lib.svgd_kth_element_f64.argtypes = [
-                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
-            ]
-            lib.svgd_median_f64.restype = ctypes.c_double
-            lib.svgd_median_f64.argtypes = [
-                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
-            ]
-            lib.svgd_write_intermediate_log.restype = ctypes.c_int
-            lib.svgd_write_intermediate_log.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ] + [ctypes.POINTER(ctypes.c_double)] * 4
-            lib.svgd_write_intermediate_log_v2.restype = ctypes.c_int
-            lib.svgd_write_intermediate_log_v2.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
-                ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
-            ] + [ctypes.POINTER(ctypes.c_double)] * 4
-            lib.svgd_oracle_mvn_rbf_adagrad.restype = ctypes.c_int
-            lib.svgd_oracle_mvn_rbf_adagrad.argtypes = [
-                ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-                ctypes.c_double, ctypes.c_double, ctypes.c_int64,
-            ]
+            try:
+                # Always run make (not just when the .so is missing): its
+                # mtime tracking refreshes a STALE library — one built from
+                # an older svgd_host.cpp that lacks newer entry points —
+                # and is a no-op otherwise. Only insist on success when
+                # there is no library at all (no toolchain + prebuilt .so
+                # should still load).
+                _make()
+            except Exception:
+                if not _LIB_PATH.exists():
+                    raise
+            try:
+                lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
+            except AttributeError:
+                # Missing symbol despite make (e.g. clock skew defeating
+                # the mtime check): force one rebuild, then rebind. A
+                # second AttributeError is a real failure -> fallback.
+                _make(force=True)
+                lib = _bind(ctypes.CDLL(str(_LIB_PATH)))
             _lib = lib
         except Exception:
             _load_failed = True
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.svgd_kth_element_f64.restype = ctypes.c_double
+    lib.svgd_kth_element_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.svgd_median_f64.restype = ctypes.c_double
+    lib.svgd_median_f64.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+    ]
+    lib.svgd_write_intermediate_log.restype = ctypes.c_int
+    lib.svgd_write_intermediate_log.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+    ] + [ctypes.POINTER(ctypes.c_double)] * 4
+    lib.svgd_write_intermediate_log_v2.restype = ctypes.c_int
+    lib.svgd_write_intermediate_log_v2.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+    ] + [ctypes.POINTER(ctypes.c_double)] * 4
+    lib.svgd_oracle_mvn_rbf_adagrad.restype = ctypes.c_int
+    lib.svgd_oracle_mvn_rbf_adagrad.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_double, ctypes.c_double, ctypes.c_int64,
+    ]
+    return lib
 
 
 def native_available() -> bool:

@@ -184,6 +184,25 @@ for shard in out_mesh.addressable_shards:
     )
 print(f"worker {pid}: driver-mesh OK", flush=True)
 
+# Chained run: the reference's Run() continues in place (SVGD.hpp:338-366,
+# usage contract doc/instructions.md:86-93), so a SECOND run() must work
+# with the first run's COMMITTED cross-process output as input
+# (make_state -> place_sharded on non-addressable arrays) and match a
+# local 2x run. Also exercises step() once (same placement path).
+drv.run()
+drv.step()
+local_drv.run()
+local_drv.step()
+ref_local2 = np.asarray(local_drv.store.value)
+for shard in drv.store.value.addressable_shards:
+    start = shard.index[0].start or 0
+    rows_d = np.asarray(shard.data)
+    np.testing.assert_allclose(
+        rows_d, ref_local2[start : start + rows_d.shape[0]],
+        rtol=1e-9, atol=1e-12,
+    )
+print(f"worker {pid}: driver-mesh-chained OK", flush=True)
+
 rows = []
 starts = []
 for shard in coords.addressable_shards:

@@ -135,3 +135,42 @@ def test_cpp_oracle_cross_language_trajectory(rng):
     svgd.initialize()
     jax_out = np.asarray(svgd.run())
     np.testing.assert_allclose(jax_out, cpp, rtol=1e-9, atol=1e-12)
+
+
+def test_native_rebuilds_stale_library(tmp_path):
+    """A stale libsvgd_host.so missing newer entry points must be rebuilt,
+    not silently disable EVERY native helper (the blanket fallback would
+    make cpp_oracle parity checks skip without a trace)."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    import svgdcpp_tpu.utils.native as nat
+
+    if not nat.native_available():
+        pytest.skip("native toolchain unavailable")
+    # Overwrite the real library with a stub exporting NONE of the svgd_*
+    # symbols, mtime NEWER than svgd_host.cpp — make's mtime check alone
+    # sees it as fresh, so only the AttributeError-triggered forced
+    # rebuild can recover.
+    stub_c = tmp_path / "stub.c"
+    stub_c.write_text("int svgd_stub(void) { return 0; }\n")
+    subprocess.run(
+        ["g++", "-shared", "-fPIC", "-o", str(nat._LIB_PATH), str(stub_c)],
+        check=True,
+    )
+    backup = tmp_path / "stub_installed.so"
+    shutil.copy2(nat._LIB_PATH, backup)
+    nat._lib = None
+    nat._load_failed = False
+    try:
+        assert nat.native_available(), "stale library was not rebuilt"
+        assert nat.host_median(np.array([3.0, 1.0, 2.0])) == 2.0
+    finally:
+        # On failure the stub may still be installed; force a clean rebuild
+        # for subsequent tests either way.
+        nat._lib = None
+        nat._load_failed = False
+        nat._make(force=True)
+        nat._load()

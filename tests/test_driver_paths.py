@@ -411,3 +411,28 @@ def test_tpu_fused_auto_threshold(rng, monkeypatch):
     assert impl_for(260, "tpu") == "fused_pallas"
     assert impl_for(260, "cpu") == "dense"   # other backends keep 1024
     assert impl_for(1030, "cpu") == "fused"
+
+    def impl_for_composed(n, backend, positive):
+        monkeypatch.setattr(
+            svgd_mod.jax, "default_backend", lambda: backend
+        )
+        x0 = rng.normal(size=(n, 2))
+        model = sv.MultivariateNormal(np.zeros(2), np.eye(2))
+        med = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        const = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT, constant_scale=0.5 * np.eye(2)
+        )
+        kernel = (med + const) if positive else (med / const)
+        drv = build(x0, model, kernel, sv.AdaGrad(2, n, 0.1))
+        drv.initialize()
+        return drv._phi_impl
+
+    # Composed kernels: the lowered TPU threshold applies ONLY when the
+    # Mosaic terms sweep is actually selected. A division term (gamma not
+    # statically positive) must NOT be rerouted to the XLA fused_terms
+    # fallback below the 1024 cutoff — that would silently trade the exact
+    # same-step median for lag-1 with no measured win.
+    assert impl_for_composed(260, "tpu", positive=True) == "fused_terms_pallas"
+    assert impl_for_composed(260, "tpu", positive=False) == "rbf_terms"
+    assert impl_for_composed(1030, "tpu", positive=False) == "fused_terms"
+    assert impl_for_composed(260, "cpu", positive=True) == "rbf_terms"

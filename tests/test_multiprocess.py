@@ -60,6 +60,9 @@ def test_two_process_sharded_run(tmp_path):
         assert f"worker {pid}: fused OK" in out
         # driver SVGDOptions.mesh path (GSPMD + multi-process placement)
         assert f"worker {pid}: driver-mesh OK" in out
+        # second run()/step() chained the committed cross-process output
+        # back through make_state (place_sharded on non-addressable arrays)
+        assert f"worker {pid}: driver-mesh-chained OK" in out
 
     # Reassemble the global (16, 2) result from both processes' row shards.
     n, dim, iters = 16, 2, 3
