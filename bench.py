@@ -74,6 +74,52 @@ def numpy_reference_step(x, s_accum, mean, cov_inv, lr=0.1, eps=1e-8):
     return x, s_accum
 
 
+def _numpy_gmm_scores(x, means, covs):
+    """grad log p for a sum-of-unnormalized-gaussians target, f64.
+
+    The reference's GMM example composes two MVN models with `+`
+    (gmm_example.cpp:24), i.e. p(x) = exp(-q1) + exp(-q2) with each q the
+    MVN quadratic form (MultivariateNormal.hpp:56-61, no normalization
+    constant). Score = softmax(-q) weighted component scores.
+    """
+    qs, grads = [], []
+    for mu, cov in zip(means, covs):
+        cinv = np.linalg.inv(np.asarray(cov, np.float64))
+        diff = x - np.asarray(mu, np.float64)
+        qs.append(0.5 * np.einsum("ni,ij,nj->n", diff, cinv, diff))
+        grads.append(-diff @ cinv.T)
+    q = np.stack(qs, 0)  # (k, n)
+    w = np.exp(-(q - q.min(0)))
+    w /= w.sum(0)
+    return sum(wi[:, None] * gi for wi, gi in zip(w, grads))
+
+
+def numpy_gmm_oracle(x0, means, covs, iters=1000, lr=0.1, b1=0.9, b2=0.999,
+                     eps=1e-8):
+    """Reference-semantics f64 trajectory for the GMM example config
+    (gmm_example.cpp:9-45): per-step median-RBF phi + Adam in the
+    reference's exact `eps + sqrt(v_hat)` form (Adam.hpp:75-96). The parity
+    anchor for tests/test_examples.py::test_gmm_example_covers_both_modes
+    and PARITY_r{N}.json's oracle-vs-chip mode masses."""
+    x = np.asarray(x0, np.float64).copy()
+    n = x.shape[0]
+    m = np.zeros_like(x)
+    v = np.zeros_like(x)
+    for t in range(1, iters + 1):
+        scores = _numpy_gmm_scores(x, means, covs)
+        gamma, sq = _numpy_median_gamma(x)
+        k = np.multiply(sq, -gamma, out=sq)
+        np.exp(k, out=k)
+        rowsum = k.sum(1)
+        phi = (k @ scores - 2.0 * gamma * (k @ x - rowsum[:, None] * x)) / n
+        m = b1 * m + (1 - b1) * phi
+        v = b2 * v + (1 - b2) * phi * phi
+        m_hat = m / (1 - b1**t)
+        v_hat = v / (1 - b2**t)
+        x = x + lr * m_hat / (eps + np.sqrt(v_hat))
+    return x
+
+
 def _numpy_blr_scores(x, features, labels, hierarchical, alpha=0.1, a0=1.0, b0=0.01):
     """grad log p for the (hierarchical) BLR target, vectorized f64.
 

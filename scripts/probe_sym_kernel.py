@@ -252,7 +252,50 @@ def k_sym_rect_uniform(num_t, ri, cj, big, bi_ref, bj_ref, g_ref, thr_ref,
         cnt_out[:] = cnt_sc[:]
 
 
-def build_rect_uniform(num_t, ri, cj, interpret=False):
+def k_sym_rect_uniform2(num_t, ri, cj, big, bi_ref, bj_ref, g_ref, thr_ref,
+                        xi_ref, xjt_ref, btj_ref, bti_ref, acc_out, cnt_out,
+                        acc_sc, cnt_sc, d_sc):
+    """Like k_sym_rect_uniform, but the iota difference (gj - gi without the
+    block offsets) is computed ONCE into a VMEM scratch at t == 0; per tile
+    the upper mask is a single compare against the scalar block offset
+    (bi*ri - bj*cj) instead of two fresh iota materializations."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+        d_sc[:] = (
+            jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+            - jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+        ).astype(jnp.float32)
+
+    sq = _sq_diff(xi_ref, xjt_ref)
+    off = (bi * ri - bj * cj).astype(jnp.float32)
+    sq_m = jnp.where(d_sc[:] >= off, sq, big)
+    k_tile = jnp.exp2(-g_ref[0, 0] * sq_m)
+
+    r1t = jax.lax.dot_general(
+        btj_ref[:], k_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_sc[:, pl.ds(bi * ri, ri)] += r1t
+    r2t = jnp.dot(bti_ref[:], k_tile, preferred_element_type=jnp.float32)
+    acc_sc[:, pl.ds(bj * cj, cj)] += r2t
+
+    for e in range(num_t):
+        cnt_sc[e, :] += jnp.sum(
+            (sq_m <= thr_ref[0, e]).astype(jnp.float32), axis=0)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acc_out[:] = acc_sc[:]
+        cnt_out[:] = cnt_sc[:]
+
+
+def build_rect_uniform(num_t, ri, cj, interpret=False, variant2=False):
     rng = np.random.default_rng(0)
     coords = jnp.asarray(rng.normal(size=(N, M)) * 2, jnp.float32)
     scores = jnp.asarray(rng.normal(size=(N, M)), jnp.float32)
@@ -291,10 +334,12 @@ def build_rect_uniform(num_t, ri, cj, interpret=False):
                          memory_space=vm),
         ),
         scratch_shapes=[pltpu.VMEM((bw, N), jnp.float32),
-                        pltpu.VMEM((num_t, cj), jnp.float32)],
+                        pltpu.VMEM((num_t, cj), jnp.float32)]
+        + ([pltpu.VMEM((ri, cj), jnp.float32)] if variant2 else []),
     )
+    kern = (k_sym_rect_uniform2 if variant2 else k_sym_rect_uniform)
     fn = pl.pallas_call(
-        functools.partial(k_sym_rect_uniform, num_t, ri, cj, big),
+        functools.partial(kern, num_t, ri, cj, big),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((bw, N), jnp.float32),
@@ -530,7 +575,7 @@ def main():
     acc_ref = kmat @ b64
 
     for tile in (256, 512, 1024):
-        for variant in ("tsc_kt", "tsc_rt", "tsc_nt"):
+        for variant in ("rowmajor", "tsc_kt", "tsc_rt", "tsc_nt"):
             try:
                 fn, args, _, _ = build_sym(T_EDGES, tile, variant,
                                            interpret=interpret)
@@ -554,10 +599,6 @@ def main():
                 f"ship) acc_rel={acc_err:.2e} cnt_err_vs_ship={cnt_err}",
                 flush=True,
             )
-
-
-if __name__ == "__main__":
-    main()
 
 
 # --- on-device timing: scan-chained sweeps (one dispatch, K iterations) ---
@@ -628,11 +669,6 @@ def main_scan():
 
 
 
-if __name__ == "__main__" and "--scan" in sys.argv:
-    main_scan()
-    sys.exit(0)
-
-
 def main_rect():
     interpret = jax.default_backend() != "tpu"
     rng = np.random.default_rng(0)
@@ -701,6 +737,66 @@ def main_rect():
                       f"{str(e)[:200]}", flush=True)
 
 
-if __name__ == "__main__" and "--rect" in sys.argv:
-    main_rect()
-    sys.exit(0)
+def main_uniform():
+    """Branch-free rect-triangle variant (diagonal double-count + XLA
+    correction epilogue) — correctness + on-device rate."""
+    interpret = jax.default_backend() != "tpu"
+    rng = np.random.default_rng(0)
+    c32 = np.asarray(rng.normal(size=(N, M)) * 2, np.float32)
+    s32 = np.asarray(rng.normal(size=(N, M)), np.float32)
+    c = c32.astype(np.float64)
+    sqb = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    gamma = np.log(N) / 4.0
+    kmat = np.exp(-gamma * sqb)
+    b64 = np.concatenate([s32.astype(np.float64), c, np.ones((N, 1))], 1)
+    acc_ref = kmat @ b64
+
+    ref_cnt = None
+    if not interpret:
+        fn, args = build_ship()
+        dt, out = timeit(fn, args)
+        ref_cnt = np.asarray(out[1], np.float64)
+        print(f"micro shipping: {dt * 1e3:7.3f} ms/sweep", flush=True)
+
+    for ri, cj, v2 in ((512, 2048, False), (256, 2048, False),
+                       (512, 1024, False), (512, 2048, True),
+                       (256, 2048, True), (512, 1024, True)):
+        try:
+            fn, args, coords, scoresj = build_rect_uniform(
+                T_EDGES, ri, cj, interpret=interpret, variant2=v2)
+            out = fn(*args)
+            acc = np.asarray(out[0], np.float64)
+            cnt = np.asarray(out[1], np.float64)
+            acc_err = np.abs(acc - acc_ref).max() / np.abs(acc_ref).max()
+            cnt_err = (np.abs(cnt - ref_cnt).max()
+                       if ref_cnt is not None else float("nan"))
+            if interpret:
+                print(f"rect_uniform ({ri}x{cj} v2={v2}): acc_rel={acc_err:.2e} "
+                      f"cnt_err={cnt_err}", flush=True)
+                continue
+            bi, bj, g, thrr = args[:4]
+            scores2 = scoresj
+
+            def uni_run(x, fn=fn, bi=bi, bj=bj, g=g, thrr=thrr):
+                b = jnp.concatenate(
+                    [scores2, x, jnp.ones((N, 1), jnp.float32)], 1)
+                return fn(bi, bj, g, thrr, x, x.T, b.T)
+
+            ms = scan_time(uni_run, coords, None)
+            print(f"on-device rect_uniform ({ri}x{cj} v2={v2}): {ms:7.3f} ms/sweep"
+                  f"  acc_rel={acc_err:.2e} cnt_err_vs_ship={cnt_err}",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"rect_uniform ({ri}x{cj} v2={v2}): FAIL {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
+
+
+if __name__ == "__main__":
+    if "--scan" in sys.argv:
+        main_scan()
+    elif "--rect" in sys.argv:
+        main_rect()
+    elif "--uniform" in sys.argv:
+        main_uniform()
+    else:
+        main()

@@ -13,13 +13,12 @@ import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "scripts"))
 
 import jax
 import jax.numpy as jnp
 
-import probe_sym_kernel as pk  # noqa: E402  (scripts/ on path via ROOT insert)
-
-sys.path.insert(0, str(ROOT / "scripts"))
+import probe_sym_kernel as pk  # noqa: E402
 
 
 def make_progs(tile, variant):
@@ -49,6 +48,13 @@ def make_progs(tile, variant):
         e1v = b.T if variant == "tsc_kt" else b
         return fn(bi, bj, g, thrr, x, x.T, e1v, b.T)
 
+    ufn, uargs, _, _ = pk.build_rect_uniform(pk.T_EDGES, 512, 2048)
+    ubi, ubj, ug, uthr = uargs[:4]
+
+    def uni_run(x):
+        b = jnp.concatenate([scores, x, jnp.ones((pk.N, 1), jnp.float32)], 1)
+        return ufn(ubi, ubj, ug, uthr, x, x.T, b.T)
+
     def chain(run):
         def body(x, _):
             acc, cnt = run(x)
@@ -60,31 +66,33 @@ def make_progs(tile, variant):
 
         return prog
 
-    return chain(ship_run), chain(ship_narrow), chain(sym_run), coords
+    return (chain(ship_run), chain(ship_narrow), chain(sym_run),
+            chain(uni_run), coords)
 
 
 def main(tile="512", variant="tsc_kt"):
     assert jax.default_backend() == "tpu"
-    ship, narrow, sym, coords = make_progs(int(tile), variant)
-    for p in (ship, narrow, sym):
+    ship, narrow, sym, uni, coords = make_progs(int(tile), variant)
+    for p in (ship, narrow, sym, uni):
         np.asarray(p(coords)[0])  # compile
-    out = Path("/tmp/trace_sym")
-    with jax.profiler.trace(str(out)):
-        np.asarray(ship(coords)[0])
-        np.asarray(narrow(coords)[0])
-        np.asarray(sym(coords)[0])
-
-    tr = sorted(out.rglob("*.trace.json.gz"))[-1]
-    events = json.loads(gzip.decompress(tr.read_bytes()))["traceEvents"]
-    totals = {}
-    for e in events:
-        if e.get("ph") == "X" and "dur" in e:
-            pid_name = e.get("pid")
-            name = e.get("name", "")
-            totals[name] = totals.get(name, 0) + e["dur"]
-    top = sorted(totals.items(), key=lambda kv: -kv[1])[:25]
-    for name, dur in top:
-        print(f"{dur / 1e3:9.3f} ms  {name[:110]}")
+    # Trace each program into its OWN directory so identically-named fusions
+    # in ship vs narrow vs sym are never conflated in the totals.
+    for label, prog in (("ship", ship), ("narrow", narrow), ("sym", sym),
+                        ("uni", uni)):
+        out = Path(f"/tmp/trace_sym_{label}")
+        with jax.profiler.trace(str(out)):
+            np.asarray(prog(coords)[0])
+        tr = sorted(out.rglob("*.trace.json.gz"))[-1]
+        events = json.loads(gzip.decompress(tr.read_bytes()))["traceEvents"]
+        totals = {}
+        for e in events:
+            if e.get("ph") == "X" and "dur" in e:
+                key = (e.get("pid"), e.get("name", ""))
+                totals[key] = totals.get(key, 0) + e["dur"]
+        top = sorted(totals.items(), key=lambda kv: -kv[1])[:12]
+        print(f"--- {label} ---")
+        for (pid, name), dur in top:
+            print(f"{dur / 1e3:9.3f} ms  pid={pid}  {name[:100]}")
 
 
 if __name__ == "__main__":

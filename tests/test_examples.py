@@ -64,17 +64,39 @@ def test_visual_regression_figure(tmp_path):
 
 
 def test_gmm_example_covers_both_modes():
+    """PARITY anchor: the driver's GMM run must match the f64
+    reference-semantics oracle (bench.numpy_gmm_oracle) PER PARTICLE.
+
+    The oracle reproduces the example's 16/4 mode split from this x0 —
+    mode-mass imbalance is what the reference algorithm itself produces
+    here (SVGD mass allocation is kernel-width-dependent, not 50/50), so
+    the anchor pins the exact assignment vector, not a loose 'bimodal'."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
     x0, final, (mean1, cov1), (mean2, cov2) = gmm_example.run(verbose=False)
+    oracle = bench.numpy_gmm_oracle(
+        x0, (mean1, mean2), (cov1, cov2), iters=1000
+    )
     d1 = np.linalg.norm(final - mean1, axis=1)
     d2 = np.linalg.norm(final - mean2, axis=1)
-    near1 = (d1 < d2).sum()
-    near2 = (d2 <= d1).sum()
-    # Both modes populated (visual-regression analog of the reference
-    # notebooks, examples/README.md:3-14)
-    assert near1 >= 3 and near2 >= 3
-    # Each cluster's mean is near its mode
-    c1 = final[d1 < d2].mean(axis=0)
-    c2 = final[d2 <= d1].mean(axis=0)
+    assign = d1 < d2
+    o1 = np.linalg.norm(oracle - mean1, axis=1)
+    o2 = np.linalg.norm(oracle - mean2, axis=1)
+    oracle_assign = o1 < o2
+    # Exact per-particle mode agreement with the reference-semantics oracle
+    # (both runs share x0; the split is 16/4 for the committed seed).
+    assert np.array_equal(assign, oracle_assign), (
+        f"mode assignment diverged from the f64 oracle: "
+        f"{assign.astype(int)} vs {oracle_assign.astype(int)}"
+    )
+    # Converged particles sit on top of the oracle's (sub-MC-error scale)
+    assert np.abs(final - oracle).max() < 0.15, (
+        f"coordinate drift vs oracle: {np.abs(final - oracle).max()}"
+    )
+    # And the original anchor criteria still hold
+    c1 = final[assign].mean(axis=0)
+    c2 = final[~assign].mean(axis=0)
     assert np.linalg.norm(c1 - mean1) < 1.5
     assert np.linalg.norm(c2 - mean2) < 1.5
 
