@@ -313,7 +313,7 @@ def anchor_checks():
         and np.all(final.std(axis=0) > 0.3 * np.sqrt(np.diag(cov)))
     )
 
-    _, fg, (m1, _c1), (m2, _c2) = gmm_example.run(verbose=False)
+    xg0, fg, (m1, c1), (m2, c2) = gmm_example.run(verbose=False)
     d1 = np.linalg.norm(fg - m1, axis=1)
     d2 = np.linalg.norm(fg - m2, axis=1)
     cl1 = fg[d1 < d2]
@@ -323,11 +323,30 @@ def anchor_checks():
         and np.linalg.norm(cl1.mean(axis=0) - m1) < 1.5
         and np.linalg.norm(cl2.mean(axis=0) - m2) < 1.5
     )
+    # Parity, not vibes: replay the exact config in the f64 NumPy oracle
+    # from the same x0 and compare per-particle mode assignment + final
+    # coordinates (the chip's mode split must be what the reference
+    # algorithm itself produces, not merely "bimodal").
+    oracle = numpy_gmm_oracle(xg0, (m1, m2), (c1, c2), iters=1000)
+    oracle_assign = (
+        np.linalg.norm(oracle - m1, axis=1)
+        < np.linalg.norm(oracle - m2, axis=1)
+    )
+    chip_assign = d1 < d2
     return {
         "mvn_anchor_ok": mvn_ok,
         "mvn_anchor_mean_err_over_tol": round(float((mean_err / tol).max()), 3),
         "gmm_anchor_ok": gmm_ok,
         "gmm_anchor_modes": [int(len(cl1)), int(len(cl2))],
+        "gmm_oracle_modes": [
+            int(oracle_assign.sum()), int((~oracle_assign).sum()),
+        ],
+        "gmm_assign_matches_oracle": bool(
+            np.array_equal(chip_assign, oracle_assign)
+        ),
+        "gmm_max_coord_drift_vs_oracle": round(
+            float(np.abs(fg - oracle).max()), 4
+        ),
     }
 
 

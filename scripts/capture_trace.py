@@ -43,6 +43,16 @@ def main(outdir="docs/traces", n="10000", impl="auto", config="mvn"):
             x0, features, labels, hierarchical=True, phi_impl=impl,
             steps_per_call=10,
         )
+    elif config == "blr":
+        # BASELINE config 3's shape family (d=50): the small-n roofline
+        # regime (VERDICT r3 item 3).
+        import bench as bench_mod
+
+        features, labels, x0 = bench_mod.make_blr_workload(n, dim=50)
+        svgd = bench_mod.build_blr_svgd(
+            x0, features, labels, hierarchical=False, phi_impl=impl,
+            steps_per_call=10,
+        )
     else:
         from svgdcpp_tpu.utils.workloads import flagship_mvn
 

@@ -146,15 +146,85 @@ def ksd_squared_rbf_terms(
     return total
 
 
+def ksd_squared_generic(
+    coords: jnp.ndarray,
+    scores: jnp.ndarray,
+    kernel_fn,
+    params,
+    row_tile: int = 256,
+    ustat: bool = False,
+) -> jnp.ndarray:
+    """Squared KSD for an ARBITRARY kernel via autodiff (the diagnostic twin
+    of the generic phi path, ops/phi.phi_generic_cross).
+
+    ``kernel_fn(x, params, location) -> scalar`` is the Kernel-class
+    contract (kernels/kernel.py:11); every Stein-kernel piece comes from AD:
+    both first gradients in one reverse pass each, and the mixed-Hessian
+    trace from jacfwd over the y-gradient (m forward-over-reverse passes —
+    O(m) kernel evaluations per pair, so this is strictly a diagnostic).
+    Tile-streamed over row blocks like the closed-form RBF path: the (n, n)
+    Stein matrix never materializes. Validated against the closed-form RBF
+    KSD and the composed-terms sum in tests/test_ksd.py.
+    """
+    from .pairwise import auto_row_tile
+
+    coords = jnp.asarray(coords)
+    scores = jnp.asarray(scores)
+    n, m = coords.shape
+    row_tile = auto_row_tile(n, row_tile)
+    params = tuple(jnp.asarray(p) for p in params)
+
+    def k_xy(x, y):
+        return jnp.squeeze(jnp.asarray(kernel_fn(x, params, y)))
+
+    grad_x = jax.grad(k_xy, argnums=0)
+    grad_y = jax.grad(k_xy, argnums=1)
+
+    def u_p(x, sx, y, sy):
+        mixed = jax.jacfwd(lambda xx: grad_y(xx, y))(x)  # (m, m)
+        return (
+            (sx @ sy) * k_xy(x, y)
+            + sx @ grad_y(x, y)
+            + grad_x(x, y) @ sy
+            + jnp.trace(mixed)
+        )
+
+    num_tiles = -(-n // row_tile)
+    pad = num_tiles * row_tile - n
+    x_pad = jnp.pad(coords, ((0, pad), (0, 0)))
+    s_pad = jnp.pad(scores, ((0, pad), (0, 0)))
+    row_valid = jnp.pad(jnp.ones(n, coords.dtype), (0, pad))
+
+    pair_rows = jax.vmap(
+        jax.vmap(u_p, in_axes=(None, None, 0, 0)), in_axes=(0, 0, None, None)
+    )
+
+    def tile_body(t, acc):
+        x_i = jax.lax.dynamic_slice_in_dim(x_pad, t * row_tile, row_tile, 0)
+        s_i = jax.lax.dynamic_slice_in_dim(s_pad, t * row_tile, row_tile, 0)
+        v_i = jax.lax.dynamic_slice_in_dim(row_valid, t * row_tile, row_tile, 0)
+        contrib = pair_rows(x_i, s_i, coords, scores)  # (row_tile, n)
+        return acc + jnp.sum(contrib * v_i[:, None])
+
+    total = jax.lax.fori_loop(
+        0, num_tiles, tile_body, jnp.asarray(0.0, coords.dtype)
+    )
+    if ustat:
+        diag = jnp.sum(jax.vmap(u_p)(coords, scores, coords, scores))
+        return (total - diag) / (float(n) * float(n - 1))
+    return total / (float(n) * float(n))
+
+
 def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
             ustat: bool = True, kernel=None):
     """Convenience: KSD of a particle set against a model's target density.
 
     Uses the model's score and, when ``p_matrix`` is None, the median
-    bandwidth (like the SVGD run itself). Pass ``kernel=<composed Kernel>``
-    to evaluate the KSD under a `+ - * /` tree of pure RBF kernels (its
-    current parameter values are used; raises if the tree does not flatten
-    — see kernels/algebra.py).
+    bandwidth (like the SVGD run itself). Pass ``kernel=<Kernel>`` to
+    evaluate the KSD under any kernel object: a `+ - * /` tree of pure RBF
+    kernels uses the closed-form signed-term sum (kernels/algebra.py);
+    anything else (custom kernel_fn leaves, non-flattenable trees) falls
+    back to the autodiff Stein kernel (ksd_squared_generic).
     """
     from ..kernels.gaussian_rbf import median_scale
 
@@ -172,10 +242,11 @@ def ksd_rbf(model, coords, p_matrix=None, row_tile: int = 1024,
 
         terms = flatten_rbf_terms(kernel)
         if terms is None:
-            raise ValueError(
-                "ksd_rbf(kernel=...) requires a `+ - * /` composition of "
-                "pure GaussianRBFKernels (see kernels/algebra.py)."
+            ksd2 = ksd_squared_generic(
+                coords, scores, kernel._kernel_fn,
+                tuple(kernel.parameters), row_tile, ustat=ustat,
             )
+            return jnp.sqrt(jnp.maximum(ksd2, 0.0))
         ksd2 = ksd_squared_rbf_terms(
             coords, scores, tuple(kernel.parameters), terms, row_tile,
             ustat=ustat,

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .pairwise import squared_pairwise_distances
+from .pairwise import SQ_DOT_PRECISION, squared_pairwise_distances
 
 # ----------------------------------------------------------------------
 # Exact path
@@ -130,7 +130,8 @@ def cross_sq_hist(rows_coords: jnp.ndarray, cols_coords: jnp.ndarray, lo, hi, *,
     def body(t, hist):
         rows = jax.lax.dynamic_slice_in_dim(padded, t * row_tile, row_tile, axis=0)
         row_norms = jax.lax.dynamic_slice_in_dim(row_norms_all, t * row_tile, row_tile)
-        gram = rows @ cols_coords.T  # (row_tile, n_c) MXU matmul
+        gram = jnp.matmul(rows, cols_coords.T,
+                          precision=SQ_DOT_PRECISION)  # (row_tile, n_c) MXU
         sq = jnp.maximum(row_norms[:, None] + col_norms[None, :] - 2.0 * gram, 0.0)
         v = sq.ravel()
         # mask out padded rows
@@ -241,7 +242,8 @@ def count_le_cross(rows_coords, cols_coords, thresholds, *, row_tile: int = 2048
     def body(t, acc):
         rows = jax.lax.dynamic_slice_in_dim(padded, t * row_tile, row_tile, axis=0)
         row_norms = jax.lax.dynamic_slice_in_dim(row_norms_all, t * row_tile, row_tile)
-        gram = rows @ cols_coords.T  # (row_tile, n_c) MXU
+        gram = jnp.matmul(rows, cols_coords.T,
+                          precision=SQ_DOT_PRECISION)  # (row_tile, n_c) MXU
         sq = jnp.maximum(row_norms[:, None] + col_norms[None, :] - 2.0 * gram, 0.0)
         row_ids = jax.lax.broadcasted_iota(jnp.int32, (row_tile, n_c), 0) + t * row_tile
         valid = row_ids < n_r

@@ -7,7 +7,20 @@ the TPU (n, m) layout: the Gram matrix ``X X^T`` is a single MXU matmul.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+#: Precision for any MXU dot whose result feeds a squared distance /
+#: quadratic form that goes through exp(). TPU's DEFAULT matmul precision
+#: feeds the MXU bf16 operands; the resulting ~2^-8 relative sq rounding is
+#: amplified by exp(-gamma*sq) into percent-level kernel error (measured
+#: 10.6% max / 3.2% RMS phi error vs f64 for the XLA Gram-branch fused
+#: sweep at m=11 on v5e — the same failure class as the round-3 Mosaic
+#: bug). HIGH = three bf16 passes (hi/lo split, ~2^-16 residual), the XLA
+#: twin of the Mosaic kernels' manual bf16x3 split; ignored (exact anyway)
+#: on CPU. Contraction dots where K enters LINEARLY stay DEFAULT — that
+#: rounding averages out (docs/perf.md "Numerics").
+SQ_DOT_PRECISION = jax.lax.Precision.HIGH
 
 
 def squared_pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
@@ -21,7 +34,7 @@ def squared_pairwise_distances(coords: jnp.ndarray) -> jnp.ndarray:
     coords = coords - jnp.mean(coords, axis=0)  # translation-invariant;
     # centering keeps the Gram-identity cancellation at O(eps * spread^2)
     # instead of O(eps * |x|^2) for clusters far from the origin
-    gram = coords @ coords.T
+    gram = jnp.matmul(coords, coords.T, precision=SQ_DOT_PRECISION)
     sq_norms = jnp.diagonal(gram)
     sq = sq_norms[:, None] + sq_norms[None, :] - 2.0 * gram
     return jnp.maximum(sq, 0.0)
@@ -43,7 +56,9 @@ def weighted_quadratic_pairwise(
     p_sym = p_matrix + p_matrix.T
     xp = coords @ p_matrix  # (n, m)
     q = jnp.sum(xp * coords, axis=1)  # x_i^T P x_i
-    cross = coords @ p_sym @ coords.T
+    cross = jnp.matmul(
+        coords @ p_sym, coords.T, precision=SQ_DOT_PRECISION
+    )
     quad = q[:, None] + q[None, :] - cross
     if psd:
         quad = jnp.maximum(quad, 0.0)

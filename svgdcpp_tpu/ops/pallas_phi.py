@@ -275,12 +275,28 @@ def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
         # expose): hi/lo bf16 split, drop the lo*lo term — ~2^-16 relative
         # sq error (invisible through exp) at 3 one-pass MXU dots instead
         # of HIGHEST's 6 (measured 7.2M -> 7.9M hier updates/s at m=11).
-        x = x_ref[:]
-        yt = xjt_ref[:]
-        x_hi = x.astype(jnp.bfloat16)
-        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        y_hi = yt.astype(jnp.bfloat16)
-        y_lo = (yt - y_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # Round 4 attempted to pack the four partial products into ONE
+        # depth-2m bf16 dot (concatenate hi|lo along the contraction dim):
+        # 1.2x faster but the compiled kernel lost the lo contributions
+        # (phi err 0.106 ~ one-pass class; with a bitcast-mask split it
+        # degraded differently, 0.29) — a Mosaic lowering minefield around
+        # concatenated-operand dots; measured+discarded, see docs/perf.md.
+        # The hi part is mantissa-masked via bitcast (not
+        # x - convert(convert(x), f32), which the compiler may fold to
+        # zero under excess-precision rules — optimization_barrier does
+        # not lower in Mosaic); the masked hi is exactly representable in
+        # bf16 and the f32 subtraction is exact.
+        def _split(v):
+            bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+            hi_f = jax.lax.bitcast_convert_type(
+                bits & jnp.uint32(0xFFFF0000), jnp.float32
+            )
+            hi = hi_f.astype(jnp.bfloat16)  # exact: mantissa already fits
+            lo = (v - hi_f).astype(jnp.bfloat16)
+            return hi, lo
+
+        x_hi, x_lo = _split(x_ref[:])
+        y_hi, y_lo = _split(xjt_ref[:])
         cross = (
             jnp.dot(x_hi, y_hi, preferred_element_type=jnp.float32)
             + jnp.dot(x_hi, y_lo, preferred_element_type=jnp.float32)
@@ -447,9 +463,200 @@ def _phi_rbf_fused_pallas_cross_impl(
     return phi.astype(targets.dtype), jnp.sum(count_lanes, axis=1)
 
 
+# ----------------------------------------------------------------------
+# symmetric (upper-triangle) fused phi + median-count kernel
+# ----------------------------------------------------------------------
+
+#: Use the triangle sweep from this many particles up. Below it the
+#: tile_j-padding overhead and the per-tile double accumulation beat the
+#: halved pair count. Measured (v5e, 400-sweep scans, ms/sweep sym vs
+#: square, scripts/bench_sym_ship.py): n=1024 0.083 vs 0.077 (sym loses),
+#: n=2048 0.079 vs 0.088, n=4096 0.124 vs 0.130, n=10240 0.341 vs 0.425,
+#: n=20480 1.040 vs 1.465; hier-family (m=11, 2 terms) n=10240 0.735 vs
+#: 1.131.
+_SYM_MIN_N = 2048
+
+#: VMEM budget for the triangle sweep's full-width accumulator pair
+#: (scratch + output, each (2m+1, n_pad) f32). Above it the accumulator
+#: would crowd out the double-buffered operand windows; fall back to the
+#: square sweep, whose outputs are row-blocked.
+_SYM_ACC_VMEM_BYTES = 8 * 2**20
+
+
+def _sym_eligible(n: int, m: int, tile_j: int) -> bool:
+    n_pad = ((n + tile_j - 1) // tile_j) * tile_j
+    return n >= _SYM_MIN_N and 2 * (2 * m + 1) * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+
+
+def _sym_kernel(diff_m, num_t, ri, cj, big, n_real, bi_ref, bj_ref, gamma_ref,
+                thr_ref, x_ref, qi_ref, xjt_ref, qjt_ref, btj_ref, bti_ref,
+                acc_ref, cnt_ref, acc_sc, cnt_sc):
+    """One upper-triangle super-tile (ri x cj) per grid step, enumerated by
+    the scalar-prefetched (bi, bj) block arrays. sq(i,j) = sq(j,i), so each
+    visited tile accumulates BOTH contraction directions into the
+    transposed (bw, n_pad) VMEM accumulator:
+
+        acc[:, rows bi] += B_j^T K^T     (an NT dot_general - no transpose)
+        acc[:, cols bj] += B_i^T K
+
+    The lower triangle is masked branch-free by routing sq through +big
+    (K and the counts both die there); diagonal self-pairs are double
+    counted by the two dots and corrected exactly in the XLA epilogue
+    (K(i,i) = 1 => acc -= B^T; counts = 2*upper_sum - n). Net: the
+    VPU-bound per-pair work (sq, exp2, selection compares) halves at
+    unchanged MXU flops vs the square sweep (reference visits all n^2
+    pairs, SVGD.hpp:445-449; measured 1.33x the sweep rate at N=10k)."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (ri, cj)
+    gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    sq = jnp.where(gj >= gi, sq, big)
+    # Pin the diagonal to EXACT zeros (only real rows: pads sit at n..n_pad
+    # where the row and transposed-column pad coordinates differ): the
+    # epilogue's K(i,i) = 1 correction and the 2*sum - n count fold then
+    # hold exactly even on the bf16x3 Gram branch, whose ~2^-16 sq residue
+    # would otherwise leak g*residue into every diagonal term.
+    if diff_m is None:
+        sq = jnp.where((gj == gi) & (gi < n_real), 0.0, sq)
+    gamma2 = gamma_ref[0, 0] * _LOG2E
+    k_tile = jnp.exp2(-gamma2 * sq).astype(btj_ref.dtype)
+
+    r1t = jax.lax.dot_general(
+        btj_ref[:], k_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_sc[:, pl.ds(bi * ri, ri)] += r1t
+    r2t = jnp.dot(bti_ref[:], k_tile, preferred_element_type=jnp.float32)
+    acc_sc[:, pl.ds(bj * cj, cj)] += r2t
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acc_ref[:] = acc_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_thresholds", "tile_i", "tile_j", "interpret", "dot_dtype",
+    ),
+)
+def _phi_rbf_fused_pallas_sym_impl(
+    coords, scores, gamma, thresholds_sq, num_thresholds, tile_i, tile_j,
+    interpret, dot_dtype: str = "float32",
+):
+    """Self-pair-only triangle form of _phi_rbf_fused_pallas_cross_impl
+    (the sharded cross form stays a square sweep: a local row band of a
+    global set has no exploitable symmetry). Same phi/counts contract."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    ddt = jnp.dtype(dot_dtype)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    diff_m = m if (m <= _DIFF_FORM_MAX_M and ddt == jnp.float32) else None
+    # Python float: the kernel closes over it as a static constant.
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    # Rows and the transposed column copy pad at OPPOSITE diff-form
+    # coordinates so pad x pad pairs explode like pad x real ones.
+    x_p = _pad_rows(coords32, tile_j, value=pad_t).astype(ddt)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_p = _pad_cols(coords32.T, tile_j, value=pad_s).astype(ddt)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bt_p = _pad_cols(b.T, tile_j).astype(ddt)  # (bw, n_pad)
+    n_pad = x_p.shape[0]
+    bw = 2 * m + 1
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    # Upper-triangle super-tile enumeration: row block bi meets column
+    # super-block bj iff bj's last column can reach bi's first row.
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pairs = [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
+    bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs),),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bw, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bw, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    acc_t, count_lanes = pl.pallas_call(
+        functools.partial(_sym_kernel, diff_m, num_thresholds, tile_i,
+                          tile_j, big, n),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(pairs) * tile_i * tile_j * (m + 2 * bw),
+            bytes_accessed=4 * n_pad * (2 * m + 2 + 2 * bw),
+            transcendentals=len(pairs) * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(bi_arr, bj_arr, gamma32, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    # Diagonal correction: K(i,i) = 1 entered both accumulation directions.
+    a = acc_t[:, :n].T - b
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    gamma_f = jnp.asarray(gamma, jnp.float32)
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
 def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
                          tile_i: int = 512, tile_j: int = 2048, interpret=None,
-                         dot_dtype: str = "float32"):
+                         dot_dtype: str = "float32", sym=None):
     """Pallas twin of ops/phi.phi_rbf_fused_counts (isotropic RBF):
     one on-chip pass produces the phi contraction and the median-selection
     counts. Counts use the same sq tile as K: at m <= _DIFF_FORM_MAX_M
@@ -458,9 +665,22 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
     ~2^-16 residue — rank noise far below what the verified selection can
     feel. ``dot_dtype='bfloat16'`` (experimental, opt-in) disables the
     diff form and runs one-pass bf16 Gram dots throughout (~2^-8 sq
-    rounding); the selection stays count-verified, just noisier."""
+    rounding); the selection stays count-verified, just noisier.
+
+    ``sym`` selects the upper-triangle sweep (half the VPU-bound per-pair
+    work; measured 1.33x the sweep rate at N=10k on v5e): None (default)
+    auto-selects it when n and the accumulator VMEM footprint allow."""
     if interpret is None:
         interpret = _default_interpret()
+    n, m = coords.shape
+    if sym is None:
+        sym = _sym_eligible(n, m, tile_j)
+    if sym:
+        return _phi_rbf_fused_pallas_sym_impl(
+            coords, scores, gamma, thresholds_sq,
+            int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+            str(dot_dtype),
+        )
     return _phi_rbf_fused_pallas_cross_impl(
         coords, coords, scores, gamma, thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
@@ -718,15 +938,206 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
     return phi.astype(targets.dtype), jnp.sum(count_lanes, axis=1)
 
 
+def _sym_terms_kernel(signs, diff_m, num_t, ri, cj, big, n_real, bi_ref,
+                      bj_ref, gammas_ref, thr_ref, x_ref, qi_ref, xjt_ref,
+                      qjt_ref, bst_ref, xs1t_ref, bsti_ref, xs1ti_ref,
+                      acck_ref, accw_ref, cnt_ref, acck_sc, accw_sc, cnt_sc):
+    """Triangle form of _fused_terms_kernel (see _sym_kernel for the
+    enumeration/masking/diagonal contract): the shared sq tile feeds the
+    per-term exps ONCE per unordered pair, then k_c and w each contract in
+    both directions into their transposed full-width accumulators."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acck_sc[:] = jnp.zeros_like(acck_sc)
+        accw_sc[:] = jnp.zeros_like(accw_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (ri, cj)
+    gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    sq = jnp.where(gj >= gi, sq, big)
+    if diff_m is None:
+        sq = jnp.where((gj == gi) & (gi < n_real), 0.0, sq)
+
+    k_c = None
+    w = None
+    for t_i, s in enumerate(signs):
+        g = gammas_ref[0, t_i]
+        k_t = jnp.exp2(-(g * _LOG2E) * sq)
+        k_term = s * k_t
+        w_term = (s * g) * k_t
+        k_c = k_term if k_c is None else k_c + k_term
+        w = w_term if w is None else w + w_term
+
+    acck_sc[:, pl.ds(bi * ri, ri)] += jax.lax.dot_general(
+        bst_ref[:], k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acck_sc[:, pl.ds(bj * cj, cj)] += jnp.dot(
+        bsti_ref[:], k_c, preferred_element_type=jnp.float32
+    )
+    accw_sc[:, pl.ds(bi * ri, ri)] += jax.lax.dot_general(
+        xs1t_ref[:], w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    accw_sc[:, pl.ds(bj * cj, cj)] += jnp.dot(
+        xs1ti_ref[:], w, preferred_element_type=jnp.float32
+    )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acck_ref[:] = acck_sc[:]
+        accw_ref[:] = accw_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "num_thresholds", "tile_i", "tile_j",
+                     "interpret"),
+)
+def _phi_rbf_terms_fused_pallas_sym_impl(
+    coords, scores, gammas, signs, thresholds_sq, num_thresholds, tile_i,
+    tile_j, interpret,
+):
+    """Self-pair triangle form of _phi_rbf_terms_fused_pallas_cross_impl.
+    Per visited tile the MXU work doubles (four dots instead of two) but
+    tiles halve, so MXU flops are unchanged while the VPU-bound per-pair
+    work — the shared sq tile plus num_terms exps, which dominate the
+    multi-term sweep — halves."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    num_terms = len(signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.reshape(
+        jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas]),
+        (1, num_terms),
+    )
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, tile_j, value=pad_t)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_p = _pad_cols(coords32.T, tile_j, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bst_p = _pad_cols(scores32.T, tile_j)  # (m, n_pad)
+    xs1t_p = _pad_cols(xs1.T, tile_j)      # (m+1, n_pad)
+    n_pad = x_p.shape[0]
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pairs = [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
+    bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs),),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, n_pad), jnp.float32),
+            pltpu.VMEM((m + 1, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    acck_t, accw_t, count_lanes = pl.pallas_call(
+        functools.partial(
+            _sym_terms_kernel, tuple(float(s) for s in signs), diff_m,
+            num_thresholds, tile_i, tile_j, big, n,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((m + 1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(pairs) * tile_i * tile_j
+            * (m + 2 * (2 * m + 1) + 2 * num_terms),
+            bytes_accessed=4 * n_pad * (4 * m + 4),
+            transcendentals=num_terms * len(pairs) * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(bi_arr, bj_arr, gammas32, thr, x_p, qi_p, xjt_p, qjt_p, bst_p, xs1t_p,
+      bst_p, xs1t_p)
+
+    # Diagonal correction: K_c(i,i) = sum(s_t), W(i,i) = sum(s_t * g_t)
+    # entered both accumulation directions once too many.
+    s_sum = float(sum(float(s) for s in signs))
+    sg_sum = jnp.sum(gammas32[0] * jnp.asarray(list(signs), jnp.float32))
+    ks = acck_t[:, :n].T - s_sum * scores32
+    aw = accw_t[:, :n].T - sg_sum * xs1
+    wx = aw[:, :m]
+    w_rowsum = aw[:, m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
 def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
                                tile_i: int = 512, tile_j: int = 2048,
-                               interpret=None):
+                               interpret=None, sym=None):
     """Pallas twin of ops/phi.phi_rbf_terms_fused_counts: the composed
     isotropic-RBF single sweep as ONE Mosaic kernel. Only valid when every
     effective gamma is positive (kernels/algebra.fused_terms_statically_
-    positive) — the padded-row decay trick requires it."""
+    positive) — the padded-row decay trick requires it. ``sym`` as in
+    phi_rbf_fused_pallas (upper-triangle sweep; auto when None)."""
     if interpret is None:
         interpret = _default_interpret()
+    n, m = coords.shape
+    if sym is None:
+        sym = _sym_eligible(n, m, tile_j)
+    if sym:
+        return _phi_rbf_terms_fused_pallas_sym_impl(
+            coords, scores, tuple(gammas),
+            tuple(float(s) for s in signs), thresholds_sq,
+            int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+        )
     return _phi_rbf_terms_fused_pallas_cross_impl(
         coords, coords, scores, tuple(gammas),
         tuple(float(s) for s in signs), thresholds_sq,

@@ -66,7 +66,7 @@ def phi_generic_cross(
     The cross form (local target rows x global sources) is the building
     block of the sharded multi-chip generic phi.
     """
-    from .pairwise import auto_row_tile
+    from .pairwise import SQ_DOT_PRECISION, auto_row_tile
 
     n_t, m = targets.shape
     n_s = sources.shape[0]
@@ -210,7 +210,7 @@ def phi_rbf_cross(
     quadratic form: algebraic division terms (kernels/algebra.py) carry an
     indefinite effective P whose quadratic form is legitimately negative.
     """
-    from .pairwise import auto_row_tile
+    from .pairwise import SQ_DOT_PRECISION, auto_row_tile
 
     # phi is translation-invariant (kernel and its gradient depend only on
     # differences); centering protects the Gram-identity branch from f32
@@ -277,7 +277,9 @@ def phi_rbf_cross(
     def tile_body(t, acc):
         rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
         q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
-        cross = rows @ src_ps.T  # (row_tile, n_s) MXU
+        cross = jnp.matmul(
+            rows, src_ps.T, precision=SQ_DOT_PRECISION
+        )  # (row_tile, n_s) MXU
         quad = q_rows[:, None] + q_src[None, :] - cross
         if psd:
             quad = jnp.maximum(quad, 0.0)
@@ -412,7 +414,7 @@ def phi_rbf_terms_cross_fused_counts(
 
     Returns (phi_local (n_t, m) normalized by n_src, counts (E,) f32).
     """
-    from .pairwise import auto_row_tile
+    from .pairwise import SQ_DOT_PRECISION, auto_row_tile
 
     center = jnp.mean(sources, axis=0)
     targets = targets - center
@@ -513,7 +515,9 @@ def phi_rbf_terms_cross_fused_counts(
         acc, counts = carry
         rows = jax.lax.dynamic_slice_in_dim(targets_pad, t * row_tile, row_tile, 0)
         q_rows = jax.lax.dynamic_slice_in_dim(q_tgt_pad, t * row_tile, row_tile)
-        gram = rows @ sources.T  # MXU
+        gram = jnp.matmul(
+            rows, sources.T, precision=SQ_DOT_PRECISION
+        )  # MXU
         sq = jnp.maximum(q_rows[:, None] + q_src[None, :] - 2.0 * gram, 0.0)
         if single:
             k_tile = jnp.exp(-gammas[0] * sq)

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.median import kth_smallest_bisect
+from ..ops.pairwise import SQ_DOT_PRECISION
 
 
 def _rotate(x, axis_name):
@@ -36,14 +37,19 @@ def ring_phi_rbf(
     axis_name: str,
     n_global: int,
     psd: bool = True,
+    row_tile: int = 256,
 ) -> jnp.ndarray:
     """phi for local targets with sources streamed around the ring.
 
-    Per rotation: one (n_loc x n_loc) kernel block built from Gram pieces
-    and contracted against the rotating B = [S | X | 1] block. D rotations
-    cover all sources exactly once. ``psd=False`` skips the clamp-at-zero
-    guard on the quadratic form (algebraic division terms carry an
-    indefinite effective P — see kernels/algebra.py).
+    Per rotation the local targets stream in ``row_tile`` bands against the
+    rotating (n_loc, .) source block, so the largest live intermediate is
+    the (row_tile, n_loc) kernel tile — per-device memory stays
+    O(row_tile * n/D + n m / D). (Round 4: a full (n_loc, n_loc) block per
+    rotation measured 17.7 GB/device of XLA temporaries at n=256k, D=8 —
+    scripts/measure_sharded_memory.py; tiled it is ~row_tile/n_loc of
+    that.) D rotations cover all sources exactly once. ``psd=False`` skips
+    the clamp-at-zero guard on the quadratic form (algebraic division
+    terms carry an indefinite effective P — see kernels/algebra.py).
     """
     n_loc, m = coords_local.shape
     size = jax.lax.axis_size(axis_name)
@@ -62,21 +68,41 @@ def ring_phi_rbf(
         axis=1,
     )
 
+    row_tile = min(row_tile, n_loc)
+    num_tiles = -(-n_loc // row_tile)
+    pad = num_tiles * row_tile - n_loc
+    x_pad = jnp.pad(coords_local, ((0, pad), (0, 0)))
+    q_pad = jnp.pad(q_tgt, (0, pad))  # padded rows: junk phi, trimmed below
+    bw = 2 * m + 1
+
     def body(_, carry):
         src_ps, q_src, b, acc = carry
-        cross = coords_local @ src_ps.T  # (n_loc, n_loc) MXU
-        quad = q_tgt[:, None] + q_src[None, :] - cross
-        if psd:
-            quad = jnp.maximum(quad, 0.0)
-        k_block = jnp.exp(-quad)
-        acc = acc + jnp.dot(k_block, b, preferred_element_type=acc.dtype)
+
+        def tile_body(t, acc):
+            x_i = jax.lax.dynamic_slice_in_dim(x_pad, t * row_tile, row_tile, 0)
+            q_i = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile, 0)
+            cross = jnp.matmul(
+                x_i, src_ps.T, precision=SQ_DOT_PRECISION
+            )  # (row_tile, n_loc) MXU
+            quad = q_i[:, None] + q_src[None, :] - cross
+            if psd:
+                quad = jnp.maximum(quad, 0.0)
+            k_tile = jnp.exp(-quad)
+            contrib = jnp.dot(k_tile, b, preferred_element_type=acc.dtype)
+            prev = jax.lax.dynamic_slice_in_dim(acc, t * row_tile, row_tile, 0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                acc, prev + contrib, t * row_tile, 0
+            )
+
+        acc = jax.lax.fori_loop(0, num_tiles, tile_body, acc)
         return (_rotate(src_ps, axis_name), _rotate(q_src, axis_name),
                 _rotate(b, axis_name), acc)
 
-    acc0 = jnp.zeros((n_loc, 2 * m + 1), coords_local.dtype)
+    acc0 = jnp.zeros((num_tiles * row_tile, bw), coords_local.dtype)
     acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
     _, _, _, acc = jax.lax.fori_loop(0, size, body, (src_ps0, q_src0, b0, acc0))
 
+    acc = acc[:n_loc]
     ks = acc[:, :m]
     kx = acc[:, m : 2 * m]
     rowsum = acc[:, 2 * m]
@@ -91,6 +117,7 @@ def ring_phi_rbf_terms(
     axis_name: str,
     n_global: int,
     psd_flags=None,
+    row_tile: int = 256,
 ) -> jnp.ndarray:
     """Gather-free phi for a composed kernel flattened to signed RBF terms.
 
@@ -113,7 +140,8 @@ def ring_phi_rbf_terms(
     for (sign, plist), t_psd in zip(terms, psd_flags):
         p = term_precision(plist, kernel_params)
         t_phi = ring_phi_rbf(
-            coords_local, scores_local, p, axis_name, n_global, psd=t_psd
+            coords_local, scores_local, p, axis_name, n_global, psd=t_psd,
+            row_tile=row_tile,
         )
         t_phi = t_phi if sign > 0 else -t_phi
         phi = t_phi if phi is None else phi + t_phi
@@ -165,13 +193,17 @@ def ring_count_le(
     thresholds: jnp.ndarray,
     axis_name: str,
     n_global: int = None,
+    row_tile: int = 256,
 ) -> jnp.ndarray:
     """Global pair counts (sq dist <= t per threshold) via ring rotations.
 
     Each device counts its local rows against every rotating column block
     (covering its disjoint row-band of the global n x n pair matrix), then a
     psum totals the bands. Coordinates are global-mean centered first (see
-    ring_phi_rbf).
+    ring_phi_rbf). Rows stream in ``row_tile`` bands and the T thresholds
+    reduce sequentially over the shared sq tile, so the largest live
+    intermediate is one (row_tile, n_loc) tile — NOT the
+    (T, n_loc, n_loc) broadcast a vectorized compare would materialize.
     """
     if n_global is None:
         n_global = coords_local.shape[0] * jax.lax.axis_size(axis_name)
@@ -180,15 +212,36 @@ def ring_count_le(
     q_loc = jnp.sum(coords_local * coords_local, axis=1)
     num_t = thresholds.shape[0]
 
+    n_loc = coords_local.shape[0]
+    row_tile = min(row_tile, n_loc)
+    num_tiles = -(-n_loc // row_tile)
+    pad = num_tiles * row_tile - n_loc
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    x_pad = jnp.pad(coords_local, ((0, pad), (0, 0)))
+    # padded rows carry q = +big -> sq explodes -> never counted
+    q_pad = jnp.pad(q_loc, (0, pad), constant_values=big)
+
     def body(_, carry):
         cols, q_cols, acc = carry
-        cross = coords_local @ cols.T
-        sq = jnp.maximum(q_loc[:, None] + q_cols[None, :] - 2.0 * cross, 0.0)
-        c = jnp.sum(
-            (sq[None, :, :] <= thresholds[:, None, None]).astype(jnp.float32),
-            axis=(1, 2),
+
+        def tile_body(t, acc):
+            x_i = jax.lax.dynamic_slice_in_dim(x_pad, t * row_tile, row_tile, 0)
+            q_i = jax.lax.dynamic_slice_in_dim(q_pad, t * row_tile, row_tile, 0)
+            cross = jnp.matmul(x_i, cols.T, precision=SQ_DOT_PRECISION)
+            sq = jnp.maximum(q_i[:, None] + q_cols[None, :] - 2.0 * cross, 0.0)
+            c = jnp.stack(
+                [
+                    jnp.sum((sq <= thresholds[e]).astype(jnp.float32))
+                    for e in range(num_t)
+                ]
+            )
+            return acc + c
+
+        return (
+            _rotate(cols, axis_name),
+            _rotate(q_cols, axis_name),
+            jax.lax.fori_loop(0, num_tiles, tile_body, acc),
         )
-        return _rotate(cols, axis_name), _rotate(q_cols, axis_name), acc + c
 
     size = jax.lax.axis_size(axis_name)
     acc0 = jax.lax.pcast(
@@ -207,6 +260,7 @@ def ring_pairwise_median(
     *,
     bins: int = 16,
     passes: int = 6,
+    row_tile: int = 256,
 ) -> jnp.ndarray:
     """Gather-free global median of all n^2 pairwise distances."""
     from ..ops.median import centered_count_env
@@ -217,7 +271,9 @@ def ring_pairwise_median(
     _, hi0 = centered_count_env(
         coords_local, None, axis_name=axis_name, n_global=n_global
     )
-    count_fn = lambda thr: ring_count_le(coords_local, thr, axis_name, n_global)
+    count_fn = lambda thr: ring_count_le(
+        coords_local, thr, axis_name, n_global, row_tile=row_tile
+    )
     ks = (total // 2, total // 2 + 1) if total % 2 == 0 else ((total + 1) // 2,)
     mids = kth_smallest_bisect(count_fn, ks, 0.0, hi0, bins=bins, passes=passes)
     return jnp.mean(jnp.sqrt(mids))

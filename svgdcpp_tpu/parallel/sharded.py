@@ -499,7 +499,8 @@ class ShardedSVGD:
                 # ring mode has no gathered global set: stream the counts
                 # around the ring instead (ring_count_le centers itself).
                 count_fn = lambda thr: ring_count_le(
-                    coords_local, thr, axis, n_global
+                    coords_local, thr, axis, n_global,
+                    row_tile=cfg.row_tile,
                 )
                 sample_fn = None  # ring mode has no global random access
             else:
@@ -551,6 +552,7 @@ class ShardedSVGD:
                     med_scale = ring_median_scale(
                         coords_local, axis, n_global,
                         bins=cfg.median_bins, passes=cfg.median_passes,
+                        row_tile=cfg.row_tile,
                     )
                 else:
                     med_scale = sharded_median_scale(
@@ -606,6 +608,7 @@ class ShardedSVGD:
                         phi_local = ring_phi_rbf_terms(
                             coords_local, scores_local, kparams, terms,
                             axis, n_global, psd_flags=self._term_psd,
+                            row_tile=cfg.row_tile,
                         )
                     else:
                         from .ring import ring_phi_generic
@@ -730,6 +733,7 @@ class ShardedSVGD:
                     p_matrix = ring_median_scale(
                         coords_local, axis, self.num_particles,
                         bins=cfg.median_bins, passes=cfg.median_passes,
+                        row_tile=cfg.row_tile,
                     )
                 else:
                     p_matrix = self._scale(coords_local, None, model_params)
@@ -737,6 +741,7 @@ class ShardedSVGD:
                 phi_local = ring_phi_rbf(
                     coords_local, scores_local, p_matrix, axis,
                     self.num_particles, psd=self._rbf_psd,
+                    row_tile=cfg.row_tile,
                 )
             else:
                 if warm:

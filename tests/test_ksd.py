@@ -126,10 +126,9 @@ def test_ksd_terms_matches_autodiff_oracle(rng):
 
 
 def test_ksd_rbf_kernel_argument(rng):
-    """ksd_rbf(kernel=...) evaluates under the composed kernel and rejects
-    non-flattenable kernels."""
-    import pytest
-
+    """ksd_rbf(kernel=...) evaluates under the composed kernel; a custom
+    (non-flattenable) kernel routes through the autodiff Stein kernel and,
+    for a kernel that happens to BE an RBF, must equal the closed form."""
     n, dim = 32, 2
     model = sv.MultivariateNormal(np.zeros(dim), np.eye(dim))
     x0 = rng.normal(size=(n, dim))
@@ -144,8 +143,66 @@ def test_ksd_rbf_kernel_argument(rng):
         dimension=dim,
         kernel_fn=lambda x, p, loc: jnp.exp(-jnp.sum((x - loc) ** 2)),
     )
-    with pytest.raises(ValueError, match="composition"):
-        ksd_rbf(model, x0, kernel=custom)
+    generic_val = float(ksd_rbf(model, x0, kernel=custom, ustat=True))
+    closed_val = float(
+        ksd_rbf(model, x0, p_matrix=jnp.eye(dim, dtype=x0.dtype), ustat=True)
+    )
+    np.testing.assert_allclose(generic_val, closed_val, rtol=1e-6)
+
+
+def test_ksd_generic_matches_closed_form_rbf(rng):
+    """The autodiff Stein kernel (ksd_squared_generic) against the
+    closed-form RBF KSD, anisotropic P, both statistics."""
+    from svgdcpp_tpu.ops.ksd import ksd_squared_generic
+
+    n, m = 24, 3
+    coords = jnp.asarray(rng.normal(size=(n, m)))
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    p_mat = jnp.asarray(
+        np.array([[0.7, 0.1, 0.0], [0.1, 0.5, 0.2], [0.0, 0.2, 0.9]])
+    )
+
+    def kfn(x, params, loc):
+        d = x - loc
+        return jnp.exp(-d @ params[0] @ d)
+
+    for ustat in (False, True):
+        g = float(
+            ksd_squared_generic(
+                coords, scores, kfn, (p_mat,), row_tile=8, ustat=ustat
+            )
+        )
+        c = float(
+            ksd_squared_rbf(coords, scores, p_mat, row_tile=8, ustat=ustat)
+        )
+        np.testing.assert_allclose(g, c, rtol=1e-8)
+
+
+def test_ksd_generic_matches_terms_on_composed(rng):
+    """Generic autodiff KSD on a composed (sum) kernel function equals the
+    signed closed-form term sum."""
+    from svgdcpp_tpu.ops.ksd import ksd_squared_generic, ksd_squared_rbf
+
+    n, m = 20, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)))
+    scores = jnp.asarray(rng.normal(size=(n, m)))
+    p1 = jnp.asarray(np.array([[0.8, 0.1], [0.1, 0.6]]))
+    p2 = 0.2 * jnp.eye(m)
+
+    def kfn(x, params, loc):
+        d = x - loc
+        return jnp.exp(-d @ params[0] @ d) + jnp.exp(-d @ params[1] @ d)
+
+    g = float(
+        ksd_squared_generic(
+            coords, scores, kfn, (p1, p2), row_tile=8, ustat=False
+        )
+    )
+    c = float(
+        ksd_squared_rbf(coords, scores, p1, row_tile=8)
+        + ksd_squared_rbf(coords, scores, p2, row_tile=8)
+    )
+    np.testing.assert_allclose(g, c, rtol=1e-8)
 
 
 def test_ksd_huge_n_no_int32_overflow():

@@ -578,3 +578,122 @@ def test_fused_terms_pallas_gram_branch_large_m(rng):
         np.asarray(phi_p), np.asarray(phi_x), rtol=5e-4, atol=5e-5
     )
     assert np.abs(np.asarray(cnt_p) - np.asarray(cnt_x)).max() <= n
+
+
+def _phi_counts_oracle(coords, scores, gamma, thresholds):
+    """f64 dense oracle for the isotropic fused sweep (phi + counts)."""
+    c = np.asarray(coords, np.float64)
+    s = np.asarray(scores, np.float64)
+    n = c.shape[0]
+    sq = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    k = np.exp(-float(gamma) * sq)
+    rowsum = k.sum(1)
+    phi = (k @ s - 2.0 * float(gamma) * (k @ c - rowsum[:, None] * c)) / n
+    cnt = np.stack([(sq <= t).sum() for t in np.asarray(thresholds, np.float64)])
+    return phi, cnt
+
+
+def test_fused_pallas_sym_matches_oracle(rng):
+    """The upper-triangle (sym) sweep: branch-free triangle enumeration,
+    double-direction accumulation, diagonal/count epilogue corrections —
+    against the f64 dense oracle and the square sweep, at a ragged n
+    (padding must not leak through the triangle mask) off-origin."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+
+    n, m = 300, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 50.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.6
+    thresholds = jnp.asarray(np.linspace(0.0, 20.0, 5), jnp.float32)
+
+    phi_ref, cnt_ref = _phi_counts_oracle(coords, scores, gamma, thresholds)
+    phi_s, cnt_s = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=128, sym=True
+    )
+    phi_q, cnt_q = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=128, sym=False
+    )
+    rel = np.abs(np.asarray(phi_s) - phi_ref).max() / np.abs(phi_ref).max()
+    assert rel < 2e-4, rel
+    # diff-form sq is exact: counts match the oracle exactly at this scale
+    np.testing.assert_array_equal(np.asarray(cnt_s), cnt_ref)
+    np.testing.assert_array_equal(np.asarray(cnt_q), cnt_ref)
+
+
+def test_fused_pallas_sym_gram_branch(rng):
+    """Gram-branch (m > _DIFF_FORM_MAX_M) sym sweep: the in-kernel diagonal
+    pin keeps self-pairs exact (counts at threshold 0 = n) and the
+    K(i,i)=1 epilogue correction exact despite the bf16x3 sq residue."""
+    from svgdcpp_tpu.ops.pallas_phi import _DIFF_FORM_MAX_M, phi_rbf_fused_pallas
+
+    n, m = 200, 11
+    assert m > _DIFF_FORM_MAX_M
+    coords = jnp.asarray(rng.normal(size=(n, m)) + 2.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gamma = 0.3
+    thresholds = jnp.asarray([0.0, 30.0, 90.0], jnp.float32)
+
+    phi_ref, cnt_ref = _phi_counts_oracle(coords, scores, gamma, thresholds)
+    phi_s, cnt_s = phi_rbf_fused_pallas(
+        coords, scores, gamma, thresholds, tile_i=64, tile_j=64, sym=True
+    )
+    rel = np.abs(np.asarray(phi_s) - phi_ref).max() / np.abs(phi_ref).max()
+    assert rel < 5e-4, rel
+    assert np.asarray(cnt_s)[0] == n  # exact self-pairs at thr = 0
+    # bf16x3 sq residue may flip near-boundary pairs only
+    assert np.abs(np.asarray(cnt_s) - cnt_ref).max() <= n
+
+
+def test_fused_terms_pallas_sym_matches_oracle(rng):
+    """Multi-term triangle sweep incl. a negative term, vs f64 oracle and
+    the square terms sweep."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_terms_fused_pallas
+
+    n, m = 300, 3
+    coords = jnp.asarray(rng.normal(size=(n, m)) - 4.0, jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    gammas = [jnp.float32(0.5), jnp.float32(1.7)]
+    signs = [1.0, -0.25]
+    thresholds = jnp.asarray([0.0, 8.0, 40.0], jnp.float32)
+
+    c = np.asarray(coords, np.float64)
+    s = np.asarray(scores, np.float64)
+    sq = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    kc = sum(si * np.exp(-float(g) * sq) for si, g in zip(signs, gammas))
+    w = sum(si * float(g) * np.exp(-float(g) * sq)
+            for si, g in zip(signs, gammas))
+    phi_ref = (kc @ s - 2.0 * ((w @ c) - w.sum(1)[:, None] * c)) / n
+    cnt_ref = np.stack(
+        [(sq <= t).sum() for t in np.asarray(thresholds, np.float64)]
+    )
+
+    phi_s, cnt_s = phi_rbf_terms_fused_pallas(
+        coords, scores, gammas, signs, thresholds, tile_i=64, tile_j=128,
+        sym=True,
+    )
+    phi_q, cnt_q = phi_rbf_terms_fused_pallas(
+        coords, scores, gammas, signs, thresholds, tile_i=64, tile_j=128,
+        sym=False,
+    )
+    rel = np.abs(np.asarray(phi_s) - phi_ref).max() / np.abs(phi_ref).max()
+    assert rel < 2e-4, rel
+    np.testing.assert_array_equal(np.asarray(cnt_s), cnt_ref)
+    np.testing.assert_allclose(
+        np.asarray(phi_s), np.asarray(phi_q), rtol=5e-4, atol=5e-5
+    )
+
+
+def test_sym_auto_selection_bounds():
+    """sym auto-selects only above _SYM_MIN_N and under the accumulator
+    VMEM budget (full-width (2m+1, n_pad) scratch + output pair)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _SYM_ACC_VMEM_BYTES,
+        _SYM_MIN_N,
+        _sym_eligible,
+    )
+
+    assert not _sym_eligible(_SYM_MIN_N - 1, 2, 2048)
+    assert _sym_eligible(_SYM_MIN_N, 2, 2048)
+    # large n x large m blows the accumulator budget -> square sweep
+    big_n = _SYM_ACC_VMEM_BYTES // (2 * 5 * 4) + 2048
+    assert not _sym_eligible(big_n, 2, 2048)
