@@ -131,6 +131,77 @@ def fused_terms_eligible(terms, adaptive_slots, parameters) -> bool:
     return True
 
 
+def split_iso_aniso_terms(terms, adaptive_slots, parameters):
+    """Classify flattened terms by whether their effective P is isotropic.
+
+    A term is isotropic iff every participating CONSTANT slot currently
+    holds gamma * I (adaptive slots are median-scaled, hence isotropic).
+    Returns (iso_idx, aniso_idx) index tuples into ``terms`` — the static
+    routing for the anisotropic fused Mosaic sweep.
+    """
+    import numpy as np
+
+    adaptive_idx = {idx for idx, _ in adaptive_slots}
+    iso, aniso = [], []
+    for t_i, (_, plist) in enumerate(terms):
+        is_iso = True
+        for idx, _ in plist:
+            if idx in adaptive_idx:
+                continue
+            p = np.asarray(parameters[idx])
+            if p.ndim != 2 or not np.allclose(
+                p, p[0, 0] * np.eye(p.shape[0])
+            ):
+                is_iso = False
+                break
+        (iso if is_iso else aniso).append(t_i)
+    return tuple(iso), tuple(aniso)
+
+
+def fused_aniso_terms_supported(terms, adaptive_slots, parameters) -> bool:
+    """True when the composition can run the ANISOTROPIC fused Mosaic
+    sweep (ops/pallas_phi.phi_rbf_aniso_terms_fused_pallas):
+
+      * flattenable, with at least one adaptive slot, every adaptive slot
+        median-scaled (the in-sweep selection counts are Euclidean);
+      * no division terms (every slot sign positive);
+      * every term's CURRENT effective precision positive definite —
+        the padded-row q = +big decay and the quadratic-form clamp both
+        require it. Checked against concrete values at initialization and
+        re-checked on hot-swap.
+    """
+    import numpy as np
+
+    from .gaussian_rbf import GaussianRBFKernel
+
+    if terms is None or not adaptive_slots:
+        return False
+    adaptive_idx = set()
+    for idx, owner in adaptive_slots:
+        if owner.scale_method != GaussianRBFKernel.ScaleMethod.MEDIAN:
+            return False
+        adaptive_idx.add(idx)
+    for _, plist in terms:
+        p_eff = None
+        for idx, psign in plist:
+            if psign <= 0:
+                return False
+            p = np.asarray(parameters[idx], np.float64)
+            if p.ndim != 2:
+                return False
+            if idx in adaptive_idx and float(p[0, 0]) <= 0.0:
+                # an uninitialized median slot; the refill makes it
+                # log(n)/med^2 > 0, so treat it as a positive isotropic
+                # placeholder for the PD check
+                p = np.eye(p.shape[0])
+            contrib = psign * p
+            p_eff = contrib if p_eff is None else p_eff + contrib
+        sym = 0.5 * (p_eff + p_eff.T)
+        if float(np.linalg.eigvalsh(sym).min()) <= 1e-12:
+            return False
+    return True
+
+
 def fused_terms_statically_positive(terms, adaptive_slots, parameters) -> bool:
     """True when every term's effective isotropic gamma is provably > 0
     at trace time: all slot signs positive (no division) and every

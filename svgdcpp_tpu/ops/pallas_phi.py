@@ -1119,6 +1119,367 @@ def _phi_rbf_terms_fused_pallas_sym_impl(
     return phi.astype(coords.dtype), counts
 
 
+# ----------------------------------------------------------------------
+# anisotropic composed-RBF fused sweep (triangle form)
+# ----------------------------------------------------------------------
+
+
+def _aniso_default_tiles(n_w: int):
+    """Measured on v5e (n=10240, m=11, /tmp tile sweep, round 4): a single
+    gradient accumulator sweeps fastest at 1024x1024 (1.43 ms vs 1.62 at
+    512x2048); with >=2 the batched-concat dot temporaries (2 x
+    (ri, n_w*cj) f32) must fit the 16 MB scoped-vmem stack, and 512x512
+    wins (iso+aniso 1.53 ms, 2-aniso 1.80 ms; 512x2048 OOMs)."""
+    return (1024, 1024) if n_w <= 1 else (512, 512)
+
+
+def aniso_sym_eligible(n: int, m: int, n_aniso: int, has_iso: bool,
+                       tile_j: int | None = None) -> bool:
+    """Auto-selection gate for the anisotropic terms triangle sweep: the
+    accumulator set is (m) + n_w * (m+1) full-width rows (scratch+output
+    pairs), n_w = aniso terms + one shared isotropic W."""
+    n_w = (1 if has_iso else 0) + n_aniso
+    if tile_j is None:
+        tile_j = _aniso_default_tiles(n_w)[1]
+    n_pad = ((n + tile_j - 1) // tile_j) * tile_j
+    band = -(-(m + 1) // 8) * 8
+    rows = m + n_w * band
+    return n >= _SYM_MIN_N and 2 * rows * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+
+
+def _sym_aniso_terms_kernel(n_iso, n_aniso, iso_signs, aniso_signs, diff_m,
+                            num_t, ri, cj, big, n_real, bi_ref, bj_ref,
+                            gammas_ref, thr_ref, *refs):
+    """Triangle fused sweep for composed RBF kernels with ANISOTROPIC
+    terms (reference: arbitrary P in composed kernels,
+    GaussianRBFKernel.hpp:75-81).
+
+    Isotropic terms share the Euclidean sq tile (which also feeds the
+    median-selection counts); each anisotropic term builds its own
+    P-space quadratic-form tile from per-term Gram pieces. The kernel-sum
+    contraction k_c @ S is shared; the GRADIENT direction differs per
+    anisotropic term (grad_y k_t = k_t P_sym_t (x - y)), so each
+    anisotropic term accumulates its own W_t = s_t k_t contraction against
+    [X | 1] (the P_sym_t factor applies in the XLA epilogue), while the
+    isotropic terms share one w_iso = sum(s_t g_t k_t) accumulator.
+    Triangle masking / diagonal pinning / double-count epilogue exactly as
+    _sym_kernel."""
+    # refs layout: euclid x, qi, xjt, qjt, bst, xs1t, bsti, xs1ti,
+    #              then per aniso term (ypt, qti, qtjt),
+    #              then outputs (acck, accw_packed, cnt),
+    #              then scratches (same order as outputs).
+    # All n_w gradient-direction accumulators live in ONE full-width
+    # buffer in 8-aligned (m+1)-row bands: a third separate full-width
+    # VMEM output crashes the TPU compiler subprocess (two are fine —
+    # found by bisection; packing sidesteps it and keeps sublane slices
+    # aligned).
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    x_ref, qi_ref, xjt_ref, qjt_ref = refs[0:4]
+    bst_ref, xs1t_ref, bsti_ref, xs1ti_ref = refs[4:8]
+    base = 8
+    aniso_in = refs[base : base + 3 * n_aniso]
+    acck_ref, accw_ref, cnt_ref, acck_sc, accw_sc, cnt_sc = refs[
+        base + 3 * n_aniso :
+    ]
+
+    @pl.when(t == 0)
+    def _():
+        acck_sc[:] = jnp.zeros_like(acck_sc)
+        accw_sc[:] = jnp.zeros_like(accw_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    upper = gj >= gi
+    diag = (gj == gi) & (gi < n_real)
+
+    def masked(sq_raw, pin_diag):
+        sq_m = jnp.where(upper, sq_raw, big)
+        if pin_diag:
+            sq_m = jnp.where(diag, 0.0, sq_m)
+        return sq_m
+
+    sq_e = masked(
+        _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref),
+        diff_m is None,
+    )
+
+    mw = x_ref.shape[1] + 1  # m + 1 rows per W band
+    band = -(-mw // 8) * 8   # 8-aligned band stride in the packed buffer
+
+    def accum_rows(sc, row0, nrows, w_tile, bt_j, bt_i):
+        sc[row0 : row0 + nrows, pl.ds(bi * ri, ri)] += jax.lax.dot_general(
+            bt_j[:], w_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sc[row0 : row0 + nrows, pl.ds(bj * cj, cj)] += jnp.dot(
+            bt_i[:], w_tile, preferred_element_type=jnp.float32
+        )
+
+    k_c = None
+    w_iso = None
+    w_tiles = []  # gradient-direction tiles, in packed-band order
+    for t_i, s in enumerate(iso_signs):
+        g = gammas_ref[0, t_i]
+        k_t = jnp.exp2(-(g * _LOG2E) * sq_e)
+        k_c = s * k_t if k_c is None else k_c + s * k_t
+        w_term = (s * g) * k_t
+        w_iso = w_term if w_iso is None else w_iso + w_term
+    if n_iso:
+        w_tiles.append(w_iso)
+    for a in range(n_aniso):
+        ypt_ref, qti_ref, qtjt_ref = aniso_in[3 * a : 3 * a + 3]
+        # P-space Gram form; always pin the diagonal (the split residue
+        # has no diff-form alternative here).
+        sq_t = masked(_sq_tile(None, x_ref, qti_ref, ypt_ref, qtjt_ref), True)
+        k_t = jnp.exp2(-_LOG2E * sq_t)
+        s = aniso_signs[a]
+        k_c = s * k_t if k_c is None else k_c + s * k_t
+        w_tiles.append(s * k_t)
+
+    accum_rows(acck_sc, 0, x_ref.shape[1], k_c, bst_ref, bsti_ref)
+    if len(w_tiles) == 1:
+        accum_rows(accw_sc, 0, mw, w_tiles[0], xs1t_ref, xs1ti_ref)
+    else:
+        # A third accumulation-dot pair per grid step crashes the TPU
+        # compiler subprocess (bisected round 4); batching every W tile
+        # into ONE concatenated dot pair keeps the per-step dot count at
+        # the level the working kernels use, with per-band slice writes.
+        n_w = len(w_tiles)
+        cat_r = jnp.concatenate(w_tiles, axis=0)  # (n_w*ri, cj)
+        r1t = jax.lax.dot_general(
+            xs1t_ref[:], cat_r, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (mw, n_w*ri)
+        cat_c = jnp.concatenate(w_tiles, axis=1)  # (ri, n_w*cj)
+        r2t = jnp.dot(
+            xs1ti_ref[:], cat_c, preferred_element_type=jnp.float32
+        )  # (mw, n_w*cj)
+        for a in range(n_w):
+            accw_sc[a * band : a * band + mw, pl.ds(bi * ri, ri)] += (
+                r1t[:, a * ri : (a + 1) * ri]
+            )
+            accw_sc[a * band : a * band + mw, pl.ds(bj * cj, cj)] += (
+                r2t[:, a * cj : (a + 1) * cj]
+            )
+    _lane_counts(cnt_sc, sq_e, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acck_ref[:] = acck_sc[:]
+        accw_ref[:] = accw_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iso_signs", "aniso_signs", "num_thresholds", "tile_i",
+                     "tile_j", "interpret"),
+)
+def _phi_rbf_aniso_terms_fused_pallas_sym_impl(
+    coords, scores, iso_gammas, iso_signs, aniso_ps, aniso_signs,
+    thresholds_sq, num_thresholds, tile_i, tile_j, interpret,
+):
+    """Triangle fused sweep for composed kernels whose constant slots are
+    anisotropic (every term's effective P must still be positive definite
+    — the padded-row decay and the clamp both rely on it; validated by
+    kernels/algebra.fused_aniso_terms_supported). Returns (phi, counts)
+    with counts on the EUCLIDEAN pair distances (the adaptive median
+    slots are isotropic by construction)."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    n_iso = len(iso_signs)
+    n_aniso = len(aniso_signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.reshape(
+        jnp.stack(
+            [jnp.asarray(g, jnp.float32) for g in iso_gammas]
+        ) if n_iso else jnp.zeros((1,), jnp.float32),
+        (1, max(n_iso, 1)),
+    )
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate([coords32, jnp.ones((n, 1), jnp.float32)], axis=1)
+
+    # The diff form's +/-_PAD_C row padding would feed the ANISO terms'
+    # Gram cross with ~1e19 coordinates (clamped to sq_t = 0 -> K = 1 for
+    # padded pairs); with aniso terms present every tile uses the Gram
+    # identity with zero-padded coords and q = +big.
+    diff_m = None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_j)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_p = _pad_cols(coords32.T, tile_j)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bst_p = _pad_cols(scores32.T, tile_j)
+    xs1t_p = _pad_cols(xs1.T, tile_j)
+    n_pad = x_p.shape[0]
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    # Per anisotropic term: P-space Gram pieces (q_t, (P+P^T) X^T).
+    aniso_ops = []
+    p_syms = []
+    for p_t in aniso_ps:
+        p32 = jnp.asarray(p_t, jnp.float32)
+        p_sym = p32 + p32.T
+        p_syms.append(p_sym)
+        # HIGHEST: these feed the Gram cancellation q_i + q_j - 2*cross,
+        # where TPU-default bf16 dot error (~2^-8 of |q|) survives into
+        # small sq_t values (measured 2.3e-2 rel phi error vs 1e-3 fixed).
+        q_t = jnp.sum(
+            jnp.dot(coords32, p32, precision=jax.lax.Precision.HIGHEST)
+            * coords32,
+            axis=1,
+        )
+        # _sq_tile's Gram form computes q_i + q_j - 2*cross, so the
+        # transposed operand carries P_sym/2: 2*(x . (P_sym/2) y) = x P_sym y.
+        ypt = jnp.dot(coords32, 0.5 * p_sym,
+                      precision=jax.lax.Precision.HIGHEST).T  # (m, n)
+        aniso_ops.extend([
+            _pad_cols(ypt, tile_j),
+            _pad_rows(q_t[:, None], tile_j, value=big),
+            _pad_cols(q_t[None, :], tile_j, value=big),
+        ])
+
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pairs = [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
+    bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    vm = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, max(n_iso, 1)), lambda t, bi, bj: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                     memory_space=vm),
+        pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                     memory_space=vm),
+        pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                     memory_space=vm),
+        pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                     memory_space=vm),
+        pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                     memory_space=vm),
+        pl.BlockSpec((m + 1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                     memory_space=vm),
+        pl.BlockSpec((m, tile_i), lambda t, bi, bj: (0, bi[t]),
+                     memory_space=vm),
+        pl.BlockSpec((m + 1, tile_i), lambda t, bi, bj: (0, bi[t]),
+                     memory_space=vm),
+    ]
+    for _ in range(n_aniso):
+        in_specs.extend([
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=vm),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=vm),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=vm),
+        ])
+    n_w = (1 if n_iso else 0) + n_aniso
+    band = -(-(m + 1) // 8) * 8  # packed W row stride (see kernel)
+    out_specs = [
+        pl.BlockSpec((m, n_pad), lambda t, bi, bj: (0, 0), memory_space=vm),
+        pl.BlockSpec((n_w * band, n_pad), lambda t, bi, bj: (0, 0),
+                     memory_space=vm),
+        pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                     memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((m, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((n_w * band, n_pad), jnp.float32),
+        jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((m, n_pad), jnp.float32),
+        pltpu.VMEM((n_w * band, n_pad), jnp.float32),
+        pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs),),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch_shapes,
+    )
+    outs = pl.pallas_call(
+        functools.partial(
+            _sym_aniso_terms_kernel, n_iso, n_aniso,
+            tuple(float(s) for s in iso_signs),
+            tuple(float(s) for s in aniso_signs),
+            diff_m, num_thresholds, tile_i, tile_j, big, n,
+        ),
+        grid_spec=grid_spec,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(bi_arr, bj_arr, gammas32, thr, x_p, qi_p, xjt_p, qjt_p, bst_p, xs1t_p,
+      bst_p, xs1t_p, *aniso_ops)
+
+    acck_t, accw_t, count_lanes = outs
+
+    # Diagonal corrections: every pinned k_t(i,i) = 1.
+    s_total = float(sum(float(s) for s in iso_signs)
+                    + sum(float(s) for s in aniso_signs))
+    ks = acck_t[:, :n].T - s_total * scores32
+    phi = ks
+    idx = 0
+    if n_iso:
+        sg_iso = jnp.sum(
+            gammas32[0, :n_iso]
+            * jnp.asarray(list(iso_signs), jnp.float32)
+        )
+        aw = accw_t[: m + 1, :n].T - sg_iso * xs1
+        phi = phi - 2.0 * (aw[:, :m] - aw[:, m][:, None] * coords32)
+        idx = 1
+    for a in range(n_aniso):
+        s = float(aniso_signs[a])
+        row0 = (idx + a) * band
+        aw = accw_t[row0 : row0 + m + 1, :n].T - s * xs1
+        phi = phi - jnp.dot(
+            aw[:, :m] - aw[:, m][:, None] * coords32, p_syms[a],
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    phi = phi / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
+def phi_rbf_aniso_terms_fused_pallas(coords, scores, iso_gammas, iso_signs,
+                                     aniso_ps, aniso_signs, thresholds_sq,
+                                     tile_i: int | None = None,
+                                     tile_j: int | None = None,
+                                     interpret=None):
+    """Composed-RBF fused Mosaic sweep with ANISOTROPIC constant terms:
+    isotropic (adaptive-median / isotropic-constant) terms pass as
+    ``iso_gammas``/``iso_signs``, anisotropic terms as full precision
+    matrices ``aniso_ps``/``aniso_signs``. Triangle form only (the
+    auto-selection gates on n >= _SYM_MIN_N; smaller problems keep the
+    exact per-term 'rbf_terms' path)."""
+    if interpret is None:
+        interpret = _default_interpret()
+    if tile_i is None or tile_j is None:
+        n_w = (1 if iso_gammas else 0) + len(aniso_ps)
+        d_i, d_j = _aniso_default_tiles(n_w)
+        tile_i = d_i if tile_i is None else tile_i
+        tile_j = d_j if tile_j is None else tile_j
+    return _phi_rbf_aniso_terms_fused_pallas_sym_impl(
+        coords, scores, tuple(iso_gammas),
+        tuple(float(s) for s in iso_signs), tuple(aniso_ps),
+        tuple(float(s) for s in aniso_signs), thresholds_sq,
+        int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+    )
+
+
 def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
                                tile_i: int = 512, tile_j: int = 2048,
                                interpret=None, sym=None):

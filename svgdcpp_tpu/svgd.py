@@ -285,6 +285,12 @@ class SVGD:
                 )
                 if self.num_particles > terms_threshold and eligible:
                     impl = "fused_terms_pallas" if mosaic else "fused_terms"
+                elif self._aniso_terms_auto_ok():
+                    # Anisotropic constant slots: the triangle Mosaic sweep
+                    # keeps the composition fused (per-term P-space
+                    # quadratic-form tiles; VERDICT r3 measured the
+                    # 'rbf_terms' fallback at 4.4M vs 9.2M+ fused).
+                    impl = "fused_aniso_terms_pallas"
                 else:
                     impl = "rbf_terms"
             elif not self._is_rbf:
@@ -323,7 +329,8 @@ class SVGD:
                 f"phi_impl={impl!r} requires an uncomposed GaussianRBFKernel."
             )
         if (
-            impl in ("rbf_terms", "fused_terms", "fused_terms_pallas")
+            impl in ("rbf_terms", "fused_terms", "fused_terms_pallas",
+                     "fused_aniso_terms_pallas")
             and self._rbf_terms is None
         ):
             raise ValueError(
@@ -354,6 +361,29 @@ class SVGD:
                     "phi_impl='fused_terms_pallas' requires every effective "
                     "term gamma to be provably positive (no division terms, "
                     "positive constant scales); use 'fused_terms'."
+                )
+        if impl == "fused_aniso_terms_pallas":
+            from .kernels.algebra import fused_aniso_terms_supported
+
+            if self._rbf_terms is None:
+                raise ValueError(
+                    "phi_impl='fused_aniso_terms_pallas' requires a "
+                    "`+ - * /` composition of pure GaussianRBFKernels."
+                )
+            if not fused_aniso_terms_supported(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            ):
+                raise ValueError(
+                    "phi_impl='fused_aniso_terms_pallas' requires "
+                    "median-scaled adaptive slots, no division terms, and "
+                    "every term's effective precision positive definite; "
+                    "use 'rbf_terms' for the general case."
+                )
+            if self.options.mesh is not None:
+                raise ValueError(
+                    "phi_impl='fused_aniso_terms_pallas' does not support "
+                    "SVGDOptions.mesh (the triangle sweep is single-device);"
+                    " use 'rbf_terms' under a mesh."
                 )
         if impl in ("fused", "fused_pallas") and (
             getattr(self.kernel, "scale_method", None)
@@ -408,6 +438,35 @@ class SVGD:
         return (
             mesh is None
             or self.num_particles % mesh.shape[mesh.axis_names[0]] == 0
+        )
+
+    def _aniso_terms_auto_ok(self) -> bool:
+        """Auto-selection gate for the anisotropic fused Mosaic sweep:
+        supported composition, real TPU, no mesh (the triangle sweep is
+        single-device), and n/VMEM within the triangle's budget."""
+        import jax as _jax
+
+        from .kernels.algebra import (
+            fused_aniso_terms_supported,
+            split_iso_aniso_terms,
+        )
+        from .ops.pallas_phi import aniso_sym_eligible
+
+        if self._rbf_terms is None or self.options.mesh is not None:
+            return False
+        if _jax.default_backend() != "tpu":
+            return False
+        if not fused_aniso_terms_supported(
+            self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+        ):
+            return False
+        iso_idx, aniso_idx = split_iso_aniso_terms(
+            self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+        )
+        if not aniso_idx:
+            return False  # all-isotropic compositions use the shared-sq path
+        return aniso_sym_eligible(
+            self.num_particles, self.dimension, len(aniso_idx), bool(iso_idx)
         )
 
     def _refresh_psd(self):
@@ -590,15 +649,27 @@ class SVGD:
             ]
 
         fused = self._phi_impl in (
-            "fused", "fused_pallas", "fused_terms", "fused_terms_pallas"
+            "fused", "fused_pallas", "fused_terms", "fused_terms_pallas",
+            "fused_aniso_terms_pallas",
         )
         fused_pallas = self._phi_impl == "fused_pallas"
-        fused_terms = self._phi_impl in ("fused_terms", "fused_terms_pallas")
+        fused_terms = self._phi_impl in (
+            "fused_terms", "fused_terms_pallas", "fused_aniso_terms_pallas"
+        )
         fused_terms_pallas = self._phi_impl == "fused_terms_pallas"
+        fused_aniso = self._phi_impl == "fused_aniso_terms_pallas"
         fused_bins = int(self.options.fused_bins)
         if fused_terms:
             median_slot_idx = [idx for idx, _ in self._adaptive_slots]
             term_signs = [s for s, _ in self._rbf_terms]
+        if fused_aniso:
+            from .kernels.algebra import split_iso_aniso_terms
+
+            iso_idx, aniso_idx = split_iso_aniso_terms(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+            # trace-time routing constant; hot-swap rebuilds on change
+            self._aniso_split = (iso_idx, aniso_idx)
 
         def step_fn(state, _=None):
             coords = state["coords"]
@@ -640,7 +711,24 @@ class SVGD:
                     )
                 else:
                     kparams = (gamma * jnp.eye(m, dtype=coords.dtype),)
-                if fused_terms_pallas:
+                if fused_aniso:
+                    from .kernels.algebra import term_precision
+                    from .ops.pallas_phi import (
+                        phi_rbf_aniso_terms_fused_pallas,
+                    )
+
+                    phi, counts = phi_rbf_aniso_terms_fused_pallas(
+                        coords, scores,
+                        [gammas[i] for i in iso_idx],
+                        [term_signs[i] for i in iso_idx],
+                        [
+                            term_precision(self._rbf_terms[i][1], kparams)
+                            for i in aniso_idx
+                        ],
+                        [term_signs[i] for i in aniso_idx],
+                        thresholds,
+                    )
+                elif fused_terms_pallas:
                     if self.mesh is not None:
                         phi, counts = self._mosaic_sweep_mesh(
                             coords, scores, thresholds,
@@ -850,7 +938,8 @@ class SVGD:
             # {med, lo, hi, disp}: exact/hybrid median of the INITIAL
             # positions seeds the lag-1 fused pipeline.
             return (self.kernel.init_fused_aux(coords),)
-        if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
+        if self._phi_impl in ("fused_terms", "fused_terms_pallas",
+                              "fused_aniso_terms_pallas"):
             # Composed kernel: same lag-1 seed as init_fused_aux, computed
             # at the root (only RBF leaves have init_fused_aux). Honor the
             # adaptive leaves' median_method — a leaf built with
@@ -957,6 +1046,33 @@ class SVGD:
             # construction, SVGD.hpp:304-332): the impl/PSD flags don't
             # exist yet — initialize() derives them from the new values.
             return
+        if self._phi_impl == "fused_aniso_terms_pallas":
+            from .kernels.algebra import (
+                fused_aniso_terms_supported,
+                split_iso_aniso_terms,
+            )
+
+            if not fused_aniso_terms_supported(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            ):
+                # A non-PD effective term would invert the padded-row decay
+                # (exp(+big) = inf) — reject the swap like the iso path.
+                raise ValueError(
+                    "phi_impl='fused_aniso_terms_pallas' requires every "
+                    "term's effective precision to stay positive definite; "
+                    "the swapped parameters violate that. Rebuild with "
+                    "phi_impl='rbf_terms'."
+                )
+            # The iso/aniso routing is a trace-time constant: a constant
+            # slot flipping isotropy regroups the terms — rebuild the step.
+            new_split = split_iso_aniso_terms(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+            if new_split != getattr(self, "_aniso_split", new_split):
+                self._aniso_split = new_split
+                self._build_step()
+            else:
+                self._aniso_split = new_split
         if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
             # The fused-terms sweep reads each constant slot as gamma =
             # P[0, 0] (isotropy was proven at initialize()); an anisotropic

@@ -697,3 +697,185 @@ def test_sym_auto_selection_bounds():
     # large n x large m blows the accumulator budget -> square sweep
     big_n = _SYM_ACC_VMEM_BYTES // (2 * 5 * 4) + 2048
     assert not _sym_eligible(big_n, 2, 2048)
+
+
+def _aniso_p(m, rng, scale=0.3, ridge=0.4):
+    a = rng.normal(size=(m, m)) * scale
+    return jnp.asarray(a @ a.T + ridge * np.eye(m), jnp.float32)
+
+
+def test_fused_aniso_terms_pallas_matches_oracle(rng):
+    """Anisotropic composed-RBF triangle sweep vs an f64 dense oracle:
+    isotropic terms share the Euclidean sq tile (which feeds the counts),
+    each anisotropic term gets its own P-space quadratic-form tile and its
+    own gradient-direction contraction."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_aniso_terms_fused_pallas
+
+    n, m = 500, 3
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 4.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    iso_gammas = (jnp.float32(0.7),)
+    iso_signs = (1.0,)
+    p_aniso = _aniso_p(m, rng)
+    thr = jnp.asarray([0.0, 4.0, 30.0], jnp.float32)
+
+    phi_p, cnt_p = phi_rbf_aniso_terms_fused_pallas(
+        x, s, iso_gammas, iso_signs, (p_aniso,), (0.8,), thr,
+        tile_i=64, tile_j=128,
+    )
+
+    c = np.asarray(x, np.float64)
+    sc = np.asarray(s, np.float64)
+    d = c[:, None, :] - c[None, :, :]
+    sq = (d**2).sum(-1)
+    k_iso = np.exp(-0.7 * sq)
+    P = np.asarray(p_aniso, np.float64)
+    qf = np.einsum("ija,ab,ijb->ij", d, P, d)
+    k_an = np.exp(-qf)
+    kc = 1.0 * k_iso + 0.8 * k_an
+    w_iso = 0.7 * k_iso
+    phi_ref = (
+        kc @ sc
+        - 2.0 * ((w_iso @ c) - w_iso.sum(1)[:, None] * c)
+        - ((0.8 * k_an @ c) - (0.8 * k_an).sum(1)[:, None] * c) @ (P + P.T)
+    ) / n
+    cnt_ref = np.stack([(sq <= t).sum() for t in np.asarray(thr, np.float64)])
+
+    rel = np.abs(np.asarray(phi_p) - phi_ref).max() / np.abs(phi_ref).max()
+    assert rel < 5e-4, rel
+    assert np.abs(np.asarray(cnt_p) - cnt_ref).max() <= n
+
+
+def test_fused_aniso_driver_first_step_matches_rbf_terms(rng):
+    """One driver step: the aniso fused sweep's lag-1 seed is the exact
+    median of x0, identical to rbf_terms' same-step median — the first
+    steps must agree to numerical tolerance."""
+    import svgdcpp_tpu as sv
+
+    n, dim = 300, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 2
+    p_aniso = np.asarray(_aniso_p(dim, rng, scale=0.2, ridge=0.15))
+
+    def run(impl, iters=1):
+        model = sv.MultivariateNormal(
+            np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+        )
+        kernel = sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT, constant_scale=p_aniso
+        )
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1), phi_impl=impl,
+            )
+        )
+        svgd.initialize()
+        return np.asarray(svgd.run())
+
+    np.testing.assert_allclose(
+        run("fused_aniso_terms_pallas"), run("rbf_terms"),
+        rtol=2e-3, atol=2e-4,
+    )
+    # multi-step: lag-1 median semantics diverge slightly from same-step;
+    # the runs must stay close over a few iterations
+    out_f = run("fused_aniso_terms_pallas", iters=4)
+    out_r = run("rbf_terms", iters=4)
+    assert np.abs(out_f - out_r).max() < 0.05
+
+
+def test_fused_aniso_validation_and_hot_swap(rng):
+    """Explicit-request validation (PD terms, no division) and hot-swap
+    re-validation (non-PD swap rejected; isotropy flip rebuilds)."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+
+    n, dim = 200, 2
+    x0 = rng.normal(size=(n, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    p_aniso = np.asarray(_aniso_p(dim, rng, scale=0.2, ridge=0.15))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=p_aniso
+    )
+    svgd = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel, model=model, optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused_aniso_terms_pallas",
+        )
+    )
+    svgd.initialize()
+    out1 = np.asarray(svgd.run())
+    assert np.isfinite(out1).all()
+
+    # non-PD constant swap -> rejected
+    params = list(svgd.kernel.parameters)
+    bad = params[:]
+    bad[-1] = jnp.asarray(-np.eye(dim), jnp.float32)
+    with pytest.raises(ValueError, match="positive definite"):
+        svgd.update_kernel_parameters(tuple(bad))
+
+    # isotropy flip (aniso -> iso constant): accepted, rebuilds, still runs
+    good = list(svgd.kernel.parameters)
+    good[-1] = jnp.asarray(0.2 * np.eye(dim), jnp.float32)
+    svgd.update_kernel_parameters(tuple(good))
+    out2 = np.asarray(svgd.run())
+    assert np.isfinite(out2).all()
+
+    # division composition -> validation rejects
+    kernel_div = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) / sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=0.05 * np.eye(dim, dtype=np.float32),
+    )
+    svgd_div = sv.SVGD(
+        sv.SVGDOptions(
+            dimension=dim, num_iterations=1, coordinate_matrix=x0.copy(),
+            kernel=kernel_div, model=model,
+            optimizer=sv.AdaGrad(dim, n, 0.1),
+            phi_impl="fused_aniso_terms_pallas",
+        )
+    )
+    with pytest.raises(ValueError, match="positive definite|division"):
+        svgd_div.initialize()
+
+
+def test_split_iso_aniso_terms(rng):
+    """Static term routing: terms touching an anisotropic constant slot
+    classify aniso; pure-median and isotropic-constant terms stay iso."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.kernels.algebra import (
+        flatten_rbf_terms,
+        fused_aniso_terms_supported,
+        split_iso_aniso_terms,
+    )
+
+    dim = 2
+    x0 = rng.normal(size=(16, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    p_aniso = np.asarray(_aniso_p(dim, rng, scale=0.2, ridge=0.15))
+    kernel = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT, constant_scale=p_aniso
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=0.3 * np.eye(dim, dtype=np.float32),
+    )
+    terms = flatten_rbf_terms(kernel)
+    slots = kernel.adaptive_slots()
+    iso_idx, aniso_idx = split_iso_aniso_terms(
+        terms, slots, kernel.parameters
+    )
+    assert len(iso_idx) == 2 and len(aniso_idx) == 1
+    assert fused_aniso_terms_supported(terms, slots, kernel.parameters)
