@@ -454,11 +454,12 @@ def main():
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
     ap.add_argument(
-        "--steps-per-call", type=int, default=250,
+        "--steps-per-call", type=int, default=500,
         help="scan-segment length; the reference's Run() contract is ONE "
         "call for a whole run, so long segments (amortized dispatch) are "
-        "the faithful comparison. Small segments re-pay the ~0.35 ms/call "
-        "tunnel dispatch",
+        "the faithful comparison. Small segments re-pay the per-call "
+        "tunnel dispatch (measured at the flagship shape: 250-step "
+        "segments 33.6M updates/s, 500-step 35.0M, flat beyond)",
     )
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(

@@ -125,10 +125,21 @@ def fused_terms_eligible(terms, adaptive_slots, parameters) -> bool:
         for idx, _ in plist:
             if idx in adaptive_idx:
                 continue
-            p = np.asarray(parameters[idx])
-            if p.ndim != 2 or not np.allclose(p, p[0, 0] * np.eye(p.shape[0])):
+            if not _slot_is_isotropic(parameters[idx]):
                 return False
     return True
+
+
+def _slot_is_isotropic(p) -> bool:
+    """True when a concrete parameter slot holds gamma * I (the shared
+    predicate for fused_terms eligibility and the iso/aniso term split —
+    one tolerance, one definition)."""
+    import numpy as np
+
+    p = np.asarray(p)
+    return p.ndim == 2 and bool(
+        np.allclose(p, p[0, 0] * np.eye(p.shape[0]))
+    )
 
 
 def split_iso_aniso_terms(terms, adaptive_slots, parameters):
@@ -139,21 +150,13 @@ def split_iso_aniso_terms(terms, adaptive_slots, parameters):
     Returns (iso_idx, aniso_idx) index tuples into ``terms`` — the static
     routing for the anisotropic fused Mosaic sweep.
     """
-    import numpy as np
-
     adaptive_idx = {idx for idx, _ in adaptive_slots}
     iso, aniso = [], []
     for t_i, (_, plist) in enumerate(terms):
-        is_iso = True
-        for idx, _ in plist:
-            if idx in adaptive_idx:
-                continue
-            p = np.asarray(parameters[idx])
-            if p.ndim != 2 or not np.allclose(
-                p, p[0, 0] * np.eye(p.shape[0])
-            ):
-                is_iso = False
-                break
+        is_iso = all(
+            idx in adaptive_idx or _slot_is_isotropic(parameters[idx])
+            for idx, _ in plist
+        )
         (iso if is_iso else aniso).append(t_i)
     return tuple(iso), tuple(aniso)
 
@@ -165,10 +168,16 @@ def fused_aniso_terms_supported(terms, adaptive_slots, parameters) -> bool:
       * flattenable, with at least one adaptive slot, every adaptive slot
         median-scaled (the in-sweep selection counts are Euclidean);
       * no division terms (every slot sign positive);
-      * every term's CURRENT effective precision positive definite —
-        the padded-row q = +big decay and the quadratic-form clamp both
-        require it. Checked against concrete values at initialization and
-        re-checked on hot-swap.
+      * every term's effective precision positive definite FOR EVERY
+        adaptive gamma > 0 — the padded-row q = +big decay and the
+        quadratic-form clamp both require it. Adaptive slots contribute
+        gamma * I with gamma = log(n)/med^2 > 0 recomputed each step, so
+        the STATIC requirement is on the constant part C = sum(sign * P)
+        per term: C must be PSD when the term has an adaptive slot (then
+        C + gamma*I is PD for any gamma > 0) and PD outright when it has
+        none. A current-value-only check would admit terms whose
+        effective precision drifts indefinite as the per-step median
+        moves. Re-checked on constant-slot hot-swap.
     """
     import numpy as np
 
@@ -182,22 +191,25 @@ def fused_aniso_terms_supported(terms, adaptive_slots, parameters) -> bool:
             return False
         adaptive_idx.add(idx)
     for _, plist in terms:
-        p_eff = None
+        c_const = None
+        has_adaptive = False
         for idx, psign in plist:
             if psign <= 0:
                 return False
+            if idx in adaptive_idx:
+                has_adaptive = True
+                continue
             p = np.asarray(parameters[idx], np.float64)
             if p.ndim != 2:
                 return False
-            if idx in adaptive_idx and float(p[0, 0]) <= 0.0:
-                # an uninitialized median slot; the refill makes it
-                # log(n)/med^2 > 0, so treat it as a positive isotropic
-                # placeholder for the PD check
-                p = np.eye(p.shape[0])
             contrib = psign * p
-            p_eff = contrib if p_eff is None else p_eff + contrib
-        sym = 0.5 * (p_eff + p_eff.T)
-        if float(np.linalg.eigvalsh(sym).min()) <= 1e-12:
+            c_const = contrib if c_const is None else c_const + contrib
+        if c_const is None:
+            continue  # purely adaptive term: gamma * I, always PD
+        sym = 0.5 * (c_const + c_const.T)
+        min_eig = float(np.linalg.eigvalsh(sym).min())
+        ok = min_eig >= -1e-12 if has_adaptive else min_eig > 1e-12
+        if not ok:
             return False
     return True
 

@@ -1124,21 +1124,46 @@ def _phi_rbf_terms_fused_pallas_sym_impl(
 # ----------------------------------------------------------------------
 
 
+#: Byte budget for EACH batched-concat dot temporary (n_w tiles of
+#: (tile_i, tile_j) f32 concatenated along one axis). Measured envelope on
+#: v5e: n_w * ti * tj * 4 = 4 MB compiles (1024x1024 @ n_w=1, 512x1024 @
+#: n_w=2), 8 MB OOMs the 16 MB scoped-vmem stack (512x2048 @ n_w=2,
+#: 1024x2048 @ n_w=1 — the rest of the stack is sq/k tiles and operand
+#: windows).
+_ANISO_CAT_VMEM_BYTES = 4 * 2**20
+
+#: Auto-selection cap on gradient-direction accumulators (iso shared W +
+#: one per aniso term): verified compiling and beating 'rbf_terms' on
+#: chip up to 8 (see docs/perf.md); beyond that unmeasured — fall back.
+_ANISO_MAX_W = 8
+
+
 def _aniso_default_tiles(n_w: int):
-    """Measured on v5e (n=10240, m=11, /tmp tile sweep, round 4): a single
-    gradient accumulator sweeps fastest at 1024x1024 (1.43 ms vs 1.62 at
-    512x2048); with >=2 the batched-concat dot temporaries (2 x
-    (ri, n_w*cj) f32) must fit the 16 MB scoped-vmem stack, and 512x512
-    wins (iso+aniso 1.53 ms, 2-aniso 1.80 ms; 512x2048 OOMs)."""
-    return (1024, 1024) if n_w <= 1 else (512, 512)
+    """Largest measured-safe tile shape for the accumulator count.
+
+    Measured on v5e (n=10240, m=11, round 4): a single gradient
+    accumulator sweeps fastest at 1024x1024 (1.43 ms vs 1.62 at
+    512x2048); with >=2 the concat temporaries bound the shape and
+    512x512 wins (iso+aniso 1.53 ms, 2-aniso 1.80 ms vs 512x1024's
+    1.54/2.24; 512x2048 OOMs). Beyond n_w=4 the shapes shrink along the
+    same _ANISO_CAT_VMEM_BYTES envelope."""
+    for ti, tj in ((1024, 1024), (512, 512), (256, 512), (256, 256),
+                   (128, 256), (128, 128)):
+        if max(n_w, 1) * ti * tj * 4 <= _ANISO_CAT_VMEM_BYTES:
+            return ti, tj
+    return 128, 128
 
 
 def aniso_sym_eligible(n: int, m: int, n_aniso: int, has_iso: bool,
                        tile_j: int | None = None) -> bool:
     """Auto-selection gate for the anisotropic terms triangle sweep: the
     accumulator set is (m) + n_w * (m+1) full-width rows (scratch+output
-    pairs), n_w = aniso terms + one shared isotropic W."""
+    pairs), n_w = aniso terms + one shared isotropic W. Beyond
+    _ANISO_MAX_W accumulators the default tiles shrink past the measured
+    envelope — the per-term 'rbf_terms' sweeps take over."""
     n_w = (1 if has_iso else 0) + n_aniso
+    if n_w > _ANISO_MAX_W:
+        return False
     if tile_j is None:
         tile_j = _aniso_default_tiles(n_w)[1]
     n_pad = ((n + tile_j - 1) // tile_j) * tile_j
@@ -1421,6 +1446,15 @@ def _phi_rbf_aniso_terms_fused_pallas_sym_impl(
         ),
         grid_spec=grid_spec,
         out_shape=tuple(out_shape),
+        cost_estimate=pl.CostEstimate(
+            # per visited tile: (1 + n_aniso) bf16x3 sq assemblies (3 dots
+            # of depth m each), the shared k_c contraction pair (m rows)
+            # and the batched W contraction pair (n_w * (m + 1) rows)
+            flops=2 * len(pairs) * tile_i * tile_j
+            * (3 * m * (1 + n_aniso) + 2 * m + 2 * n_w * (m + 1)),
+            bytes_accessed=4 * n_pad * (4 * m + 4 + n_aniso * (m + 2)),
+            transcendentals=(n_iso + n_aniso) * len(pairs) * tile_i * tile_j,
+        ),
         interpret=interpret,
     )(bi_arr, bj_arr, gammas32, thr, x_p, qi_p, xjt_p, qjt_p, bst_p, xs1t_p,
       bst_p, xs1t_p, *aniso_ops)

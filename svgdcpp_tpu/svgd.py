@@ -365,11 +365,8 @@ class SVGD:
         if impl == "fused_aniso_terms_pallas":
             from .kernels.algebra import fused_aniso_terms_supported
 
-            if self._rbf_terms is None:
-                raise ValueError(
-                    "phi_impl='fused_aniso_terms_pallas' requires a "
-                    "`+ - * /` composition of pure GaussianRBFKernels."
-                )
+            # (self._rbf_terms is None already rejected above with the
+            # shared composition-required message.)
             if not fused_aniso_terms_supported(
                 self._rbf_terms, self._adaptive_slots, self.kernel.parameters
             ):
@@ -1039,21 +1036,25 @@ class SVGD:
     # Parameter hot-swap (reference SVGD.hpp:304-332)
     # ------------------------------------------------------------------
     def update_kernel_parameters(self, params):
-        self.kernel.update_parameters(params)
-        self.kernel.initialize()
         if not getattr(self, "_initialized", False):
             # Pre-initialize hot-swap (reference allows it any time after
             # construction, SVGD.hpp:304-332): the impl/PSD flags don't
             # exist yet — initialize() derives them from the new values.
+            self.kernel.update_parameters(params)
+            self.kernel.initialize()
             return
+        # Validate against the PROSPECTIVE values BEFORE mutating the
+        # kernel (guarded swap, like MultivariateNormal.update_parameters):
+        # a rejected swap must leave the running driver's parameters — and
+        # the still-compiled step that reads them — untouched.
+        from .kernels.kernel import _as_param_tuple
+
+        new_params = _as_param_tuple(params)
         if self._phi_impl == "fused_aniso_terms_pallas":
-            from .kernels.algebra import (
-                fused_aniso_terms_supported,
-                split_iso_aniso_terms,
-            )
+            from .kernels.algebra import fused_aniso_terms_supported
 
             if not fused_aniso_terms_supported(
-                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+                self._rbf_terms, self._adaptive_slots, new_params
             ):
                 # A non-PD effective term would invert the padded-row decay
                 # (exp(+big) = inf) — reject the swap like the iso path.
@@ -1063,16 +1064,6 @@ class SVGD:
                     "the swapped parameters violate that. Rebuild with "
                     "phi_impl='rbf_terms'."
                 )
-            # The iso/aniso routing is a trace-time constant: a constant
-            # slot flipping isotropy regroups the terms — rebuild the step.
-            new_split = split_iso_aniso_terms(
-                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
-            )
-            if new_split != getattr(self, "_aniso_split", new_split):
-                self._aniso_split = new_split
-                self._build_step()
-            else:
-                self._aniso_split = new_split
         if self._phi_impl in ("fused_terms", "fused_terms_pallas"):
             # The fused-terms sweep reads each constant slot as gamma =
             # P[0, 0] (isotropy was proven at initialize()); an anisotropic
@@ -1083,7 +1074,7 @@ class SVGD:
             )
 
             if not fused_terms_eligible(
-                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+                self._rbf_terms, self._adaptive_slots, new_params
             ):
                 raise ValueError(
                     "phi_impl='fused_terms' requires isotropic constant "
@@ -1092,8 +1083,7 @@ class SVGD:
                 )
             if self._phi_impl == "fused_terms_pallas" and not (
                 fused_terms_statically_positive(
-                    self._rbf_terms, self._adaptive_slots,
-                    self.kernel.parameters,
+                    self._rbf_terms, self._adaptive_slots, new_params
                 )
             ):
                 # A non-positive constant gamma would invert the Mosaic
@@ -1103,14 +1093,27 @@ class SVGD:
                     "slot gamma to stay positive; the swapped parameters "
                     "violate that. Rebuild with phi_impl='fused_terms'."
                 )
-        # Constant-slot values feed the PSD clamp decisions, which are
-        # trace-time constants in the compiled step — re-derive them and
-        # rebuild the step if they flipped.
-        if getattr(self, "_initialized", False):
-            before = (self._rbf_psd, self._term_psd)
-            self._refresh_psd()
-            if (self._rbf_psd, self._term_psd) != before:
-                self._build_step()
+        self.kernel.update_parameters(new_params)
+        self.kernel.initialize()
+        # Trace-time constants the compiled step bakes in: the iso/aniso
+        # term routing and the PSD clamp flags. Re-derive both, then
+        # rebuild AT MOST ONCE if either changed.
+        rebuild = False
+        if self._phi_impl == "fused_aniso_terms_pallas":
+            from .kernels.algebra import split_iso_aniso_terms
+
+            new_split = split_iso_aniso_terms(
+                self._rbf_terms, self._adaptive_slots, self.kernel.parameters
+            )
+            if new_split != getattr(self, "_aniso_split", new_split):
+                self._aniso_split = new_split
+                rebuild = True
+        before = (self._rbf_psd, self._term_psd)
+        self._refresh_psd()
+        if (self._rbf_psd, self._term_psd) != before:
+            rebuild = True
+        if rebuild:
+            self._build_step()
 
     def update_model_parameters(self, params):
         self.model.update_parameters(params)

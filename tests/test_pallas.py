@@ -815,12 +815,16 @@ def test_fused_aniso_validation_and_hot_swap(rng):
     out1 = np.asarray(svgd.run())
     assert np.isfinite(out1).all()
 
-    # non-PD constant swap -> rejected
-    params = list(svgd.kernel.parameters)
-    bad = params[:]
+    # non-PD constant swap -> rejected AND the running driver's parameters
+    # stay untouched (guarded swap: validate before mutating)
+    params = [np.asarray(p) for p in svgd.kernel.parameters]
+    bad = list(svgd.kernel.parameters)
     bad[-1] = jnp.asarray(-np.eye(dim), jnp.float32)
     with pytest.raises(ValueError, match="positive definite"):
         svgd.update_kernel_parameters(tuple(bad))
+    for before, after in zip(params, svgd.kernel.parameters):
+        np.testing.assert_array_equal(before, np.asarray(after))
+    assert np.isfinite(np.asarray(svgd.run())).all()
 
     # isotropy flip (aniso -> iso constant): accepted, rebuilds, still runs
     good = list(svgd.kernel.parameters)
@@ -879,3 +883,56 @@ def test_split_iso_aniso_terms(rng):
     )
     assert len(iso_idx) == 2 and len(aniso_idx) == 1
     assert fused_aniso_terms_supported(terms, slots, kernel.parameters)
+
+
+def test_fused_aniso_gate_is_static_in_adaptive_gamma(rng):
+    """The PD gate must hold for EVERY adaptive gamma > 0, not just the
+    current value: a product term median * const with an INDEFINITE
+    constant part is PD only while gamma stays large — as the per-step
+    median drifts, gamma*I + P goes indefinite mid-run. Such compositions
+    must be rejected statically; a PSD constant part passes."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.kernels.algebra import (
+        flatten_rbf_terms,
+        fused_aniso_terms_supported,
+    )
+
+    dim = 2
+    x0 = rng.normal(size=(16, dim)).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+
+    def prod_kernel(const_scale):
+        return sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) * sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=np.asarray(const_scale, np.float32),
+        )
+
+    # indefinite constant part: PD at large gamma, indefinite at small —
+    # statically unsupported regardless of the current median value
+    k_bad = prod_kernel(np.diag([1.0, -0.3]))
+    assert not fused_aniso_terms_supported(
+        flatten_rbf_terms(k_bad), k_bad.adaptive_slots(), k_bad.parameters
+    )
+
+    # PSD (even singular) constant part: gamma*I + P is PD for any
+    # gamma > 0 — supported
+    k_ok = prod_kernel(np.diag([1.0, 0.0]))
+    assert fused_aniso_terms_supported(
+        flatten_rbf_terms(k_ok), k_ok.adaptive_slots(), k_ok.parameters
+    )
+
+    # a PD constant-only term needs no adaptive slot; a singular
+    # constant-only term is rejected (no gamma*I to lift it)
+    k_mix = sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.MEDIAN, model
+    ) + sv.GaussianRBFKernel(
+        x0, sv.ScaleMethod.CONSTANT,
+        constant_scale=np.asarray(np.diag([0.5, 0.0]), np.float32),
+    )
+    assert not fused_aniso_terms_supported(
+        flatten_rbf_terms(k_mix), k_mix.adaptive_slots(), k_mix.parameters
+    )
