@@ -674,7 +674,18 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
         interpret = _default_interpret()
     n, m = coords.shape
     if sym is None:
-        sym = _sym_eligible(n, m, tile_j)
+        # Full-width sym within the accumulator budget; past it the
+        # panel-rotated form keeps the triangle (O(1)-in-n VMEM); 'panel'
+        # forces the latter for testing.
+        sym = "panel" if (
+            n >= _SYM_MIN_N and not _sym_eligible(n, m, tile_j)
+        ) else _sym_eligible(n, m, tile_j)
+    if sym == "panel":
+        return _phi_rbf_fused_pallas_sympanel_impl(
+            coords, scores, gamma, thresholds_sq,
+            int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+            str(dot_dtype),
+        )
     if sym:
         return _phi_rbf_fused_pallas_sym_impl(
             coords, scores, gamma, thresholds_sq,
@@ -686,6 +697,244 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
         str(dot_dtype),
     )
+
+
+#: Panel count floor for the panel-rotated triangle sweep: waste from the
+#: rectangular diagonal panels is ~1/(2*nb) of the pair work, so nb = 8
+#: caps it at ~6% while keeping the super-pair count (nb*(nb+1)/2 = 36)
+#: and the per-panel VMEM window small.
+_SYM_PANEL_MIN_BLOCKS = 8
+
+#: Super-block width ceilings (chip-bisected round 4): for the
+#: single-window kernel W = 126976 (the n=1M nb=8 plan, 5.1 MB window at
+#: m=2) crashes the TPU compiler subprocess while W = 63488 (nb=16)
+#: compiles and sweeps n=1M at 1.85 s vs the square sweep's 2.72 s. The
+#: DUAL-window terms kernel is far tighter at m > 4: W = 6144 crashes,
+#: W = 4096 compiles (82.7 vs the square's 110 ms at n=100k, m=11, T=2);
+#: 8-aligning the window rows does not help.
+_SYM_PANEL_MAX_W = 65536
+_SYM_PANEL_MAX_W_DUAL_GRAM = 4096
+
+#: Panel-count ceiling: with W pinned small (dual Gram case) the panel
+#: count nb*(nb+1)/2 — and with it the HBM panel buffer and write-back
+#: traffic — grows quadratically in n, so past this the square sweep wins.
+_SYM_PANEL_MAX_BLOCKS = 32
+
+
+def _sym_panel_plan(n: int, m: int, tile_j: int, dual: bool = False):
+    """(nb, W, n_pad) super-block decomposition for the panel sweep.
+
+    W (the super-block width) is a tile_j multiple; the rotating output
+    window(s) — (2m+1, 2W) f32 combined — must fit the full-sym
+    accumulator budget. Unlike the full-width sym accumulator this is
+    independent of n, so the triangle form extends to ANY particle count
+    (up to the dual-window panel-count ceiling; see
+    _sym_panel_terms_eligible). ``dual`` marks the two-rotating-window
+    terms kernel, whose Gram-branch W ceiling is much lower."""
+    bw = 2 * m + 1
+    w_cap = (_SYM_PANEL_MAX_W_DUAL_GRAM
+             if dual and m > _DIFF_FORM_MAX_M else _SYM_PANEL_MAX_W)
+    w_max = min(_SYM_ACC_VMEM_BYTES // (bw * 4 * 2), w_cap)
+    w_max = max(tile_j, (w_max // tile_j) * tile_j)
+    nb = max(_SYM_PANEL_MIN_BLOCKS, -(-n // w_max))
+    w = -(-(-(-n // nb)) // tile_j) * tile_j
+    return nb, w, nb * w
+
+
+def _sym_panel_terms_eligible(n: int, m: int, tile_j: int) -> bool:
+    """Past-the-budget triangle eligibility for the MULTI-TERM sweep: the
+    dual-window plan must stay under the panel-count ceiling (the
+    single-term kernel has no such limit in practice — its W cap keeps nb
+    ~ n / 64k)."""
+    nb, _, _ = _sym_panel_plan(n, m, tile_j, dual=True)
+    return nb <= _SYM_PANEL_MAX_BLOCKS
+
+
+def _sym_panel_kernel(diff_m, num_t, ri, cj, w, big, n_real, i_arr_ref,
+                      j_arr_ref, gamma_ref, thr_ref, x_ref, qi_ref, xjt_ref,
+                      qjt_ref, btj_ref, bti_ref, acc_ref, cnt_ref, cnt_sc):
+    """Panel-rotated triangle sweep: grid (P, W/ri, W/cj) walks the
+    upper-triangle SUPER-BLOCK pairs (I <= J, prefetched i_arr/j_arr); the
+    (bw, 2W) output window holds one panel's two accumulation directions
+    ([0, W) -> super-block I rows, [W, 2W) -> super-block J columns) and
+    rotates per panel — VMEM use is independent of n, unlike _sym_kernel's
+    full-width accumulator, so the halved per-pair VPU work extends past
+    the _SYM_ACC_VMEM_BYTES ceiling (N=1M class). Diagonal panels (I == J)
+    mask their lower triangle branch-free exactly as _sym_kernel; the XLA
+    epilogue scatters panel halves onto the global accumulator and applies
+    the same diagonal/count corrections."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    num_i = pl.num_programs(1)
+    num_j = pl.num_programs(2)
+    bi = i_arr_ref[p]
+    bj = j_arr_ref[p]
+
+    @pl.when((p == 0) & (i == 0) & (j == 0))
+    def _():
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (ri, cj)
+    li = i * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    lj = j * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    is_diag = bi == bj
+    sq = jnp.where(is_diag & (lj < li), big, sq)
+    if diff_m is None:
+        # Exact-zero diagonal pin, real rows only (see _sym_kernel).
+        gi = bi * w + li
+        sq = jnp.where(is_diag & (lj == li) & (gi < n_real), 0.0, sq)
+    gamma2 = gamma_ref[0, 0] * _LOG2E
+    k_tile = jnp.exp2(-gamma2 * sq).astype(btj_ref.dtype)
+
+    r1t = jax.lax.dot_general(
+        btj_ref[:], k_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[:, pl.ds(i * ri, ri)] += r1t
+    r2t = jnp.dot(bti_ref[:], k_tile, preferred_element_type=jnp.float32)
+    acc_ref[:, pl.ds(w + j * cj, cj)] += r2t
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when((p == pl.num_programs(0) - 1) & (i == num_i - 1)
+             & (j == num_j - 1))
+    def _():
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_thresholds", "tile_i", "tile_j", "interpret", "dot_dtype",
+        "panel_blocks",
+    ),
+)
+def _phi_rbf_fused_pallas_sympanel_impl(
+    coords, scores, gamma, thresholds_sq, num_thresholds, tile_i, tile_j,
+    interpret, dot_dtype: str = "float32", panel_blocks: int | None = None,
+):
+    """Triangle sweep for n past the full-width accumulator budget: same
+    phi/counts contract as _phi_rbf_fused_pallas_sym_impl, O(1)-in-n VMEM
+    via the rotating (bw, 2W) panel window."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    ddt = jnp.dtype(dot_dtype)
+    nb, w, n_pad = _sym_panel_plan(n, m, tile_j)
+    if panel_blocks is not None:
+        nb = panel_blocks
+        w = -(-(-(-n // nb)) // tile_j) * tile_j
+        n_pad = nb * w
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    diff_m = m if (m <= _DIFF_FORM_MAX_M and ddt == jnp.float32) else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t).astype(ddt)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_p = _pad_cols(coords32.T, n_pad, value=pad_s).astype(ddt)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bt_p = _pad_cols(b.T, n_pad).astype(ddt)
+    bw = 2 * m + 1
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    pairs = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    i_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    j_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    num_p = len(pairs)
+    ni, nj = w // tile_i, w // tile_j
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_p, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, m),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, 1),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_i),
+                lambda p, i, j, bi, bj, _ni=ni: (0, bi[p] * _ni + i),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bw, 2 * w), lambda p, i, j, bi, bj: (0, p)),
+            pl.BlockSpec((num_thresholds, tile_j),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    panels, count_lanes = pl.pallas_call(
+        functools.partial(_sym_panel_kernel, diff_m, num_thresholds, tile_i,
+                          tile_j, w, big, n),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((bw, num_p * 2 * w), jnp.float32),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_p * ni * nj * tile_i * tile_j * (m + 2 * bw),
+            bytes_accessed=4 * n_pad * (2 * m + 2 + 2 * bw)
+            + 4 * num_p * bw * 2 * w,
+            transcendentals=num_p * ni * nj * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(i_arr, j_arr, gamma32, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    # Scatter panel halves onto the global (bw, n_pad) accumulator: half 0
+    # is super-block I's row direction, half 1 super-block J's column
+    # direction (block-granular adds — no element scatter).
+    halves = panels.reshape(bw, num_p, 2, w)
+    acc_blocks = jnp.zeros((bw, nb, w), jnp.float32)
+    acc_blocks = acc_blocks.at[:, i_arr, :].add(halves[:, :, 0, :])
+    acc_blocks = acc_blocks.at[:, j_arr, :].add(halves[:, :, 1, :])
+    acc_t = acc_blocks.reshape(bw, n_pad)
+
+    # Identical epilogue to the full-width sym form.
+    a = acc_t[:, :n].T - b
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    gamma_f = jnp.asarray(gamma, jnp.float32)
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
 
 
 def phi_rbf_fused_pallas_cross(targets, sources, source_scores, gamma,
@@ -1119,6 +1368,226 @@ def _phi_rbf_terms_fused_pallas_sym_impl(
     return phi.astype(coords.dtype), counts
 
 
+def _sym_panel_terms_kernel(signs, diff_m, num_t, ri, cj, w, big, n_real,
+                            i_arr_ref, j_arr_ref, gammas_ref, thr_ref, x_ref,
+                            qi_ref, xjt_ref, qjt_ref, bst_ref, xs1t_ref,
+                            bsti_ref, xs1ti_ref, acck_ref, accw_ref, cnt_ref,
+                            cnt_sc):
+    """Panel-rotated variant of _sym_terms_kernel (see _sym_panel_kernel
+    for the panel scheme): the two accumulation windows (k_c against
+    scores, W against [X | 1]) rotate per super-block pair, so composed
+    median kernels keep the triangle past the full-width accumulator
+    budget (~n > 45k at m=11)."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    bi = i_arr_ref[p]
+    bj = j_arr_ref[p]
+
+    @pl.when((p == 0) & (i == 0) & (j == 0))
+    def _():
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acck_ref[:] = jnp.zeros_like(acck_ref)
+        accw_ref[:] = jnp.zeros_like(accw_ref)
+
+    sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)  # (ri, cj)
+    li = i * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    lj = j * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    is_diag = bi == bj
+    sq = jnp.where(is_diag & (lj < li), big, sq)
+    if diff_m is None:
+        gi = bi * w + li
+        sq = jnp.where(is_diag & (lj == li) & (gi < n_real), 0.0, sq)
+
+    k_c = None
+    w_t = None
+    for t_i, s in enumerate(signs):
+        g = gammas_ref[0, t_i]
+        k_t = jnp.exp2(-(g * _LOG2E) * sq)
+        k_c = s * k_t if k_c is None else k_c + s * k_t
+        w_term = (s * g) * k_t
+        w_t = w_term if w_t is None else w_t + w_term
+
+    # The rotating windows' row counts are 8-padded (m -> mk rows etc.):
+    # 11/12-row dual rotating windows crash the TPU compiler subprocess at
+    # W >= 8192 (chip-bisected round 4; 8-aligned rows compile), echoing
+    # the aniso kernel's band-alignment workaround.
+    mk = bst_ref.shape[0]
+    mw = xs1t_ref.shape[0]
+    acck_ref[:mk, pl.ds(i * ri, ri)] += jax.lax.dot_general(
+        bst_ref[:], k_c, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acck_ref[:mk, pl.ds(w + j * cj, cj)] += jnp.dot(
+        bsti_ref[:], k_c, preferred_element_type=jnp.float32
+    )
+    accw_ref[:mw, pl.ds(i * ri, ri)] += jax.lax.dot_general(
+        xs1t_ref[:], w_t, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    accw_ref[:mw, pl.ds(w + j * cj, cj)] += jnp.dot(
+        xs1ti_ref[:], w_t, preferred_element_type=jnp.float32
+    )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when((p == pl.num_programs(0) - 1) & (i == pl.num_programs(1) - 1)
+             & (j == pl.num_programs(2) - 1))
+    def _():
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "panel_blocks"),
+)
+def _phi_rbf_terms_fused_pallas_sympanel_impl(
+    coords, scores, gammas, signs, thresholds_sq, num_thresholds, tile_i,
+    tile_j, interpret, panel_blocks: int | None = None,
+):
+    """Panel-rotated triangle form of the multi-term fused sweep — same
+    phi/counts contract as _phi_rbf_terms_fused_pallas_sym_impl, O(1)-in-n
+    VMEM (see _phi_rbf_fused_pallas_sympanel_impl)."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    num_terms = len(signs)
+    nb, w, n_pad = _sym_panel_plan(n, m, tile_j, dual=True)
+    if panel_blocks is not None:
+        nb = panel_blocks
+        w = -(-(-(-n // nb)) // tile_j) * tile_j
+        n_pad = nb * w
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.reshape(
+        jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas]),
+        (1, num_terms),
+    )
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_p = _pad_cols(coords32.T, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bst_p = _pad_cols(scores32.T, n_pad)   # (m, n_pad)
+    xs1t_p = _pad_cols(xs1.T, n_pad)       # (m+1, n_pad)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    pairs = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    i_arr = jnp.asarray([pp[0] for pp in pairs], jnp.int32)
+    j_arr = jnp.asarray([pp[1] for pp in pairs], jnp.int32)
+    num_p = len(pairs)
+    ni, nj = w // tile_i, w // tile_j
+    mk_pad = -(-m // 8) * 8        # 8-aligned rotating-window rows (see
+    mw_pad = -(-(m + 1) // 8) * 8  # kernel comment)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_p, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, m),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, 1),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m + 1, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_i),
+                lambda p, i, j, bi, bj, _ni=ni: (0, bi[p] * _ni + i),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m + 1, tile_i),
+                lambda p, i, j, bi, bj, _ni=ni: (0, bi[p] * _ni + i),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((mk_pad, 2 * w), lambda p, i, j, bi, bj: (0, p)),
+            pl.BlockSpec((mw_pad, 2 * w), lambda p, i, j, bi, bj: (0, p)),
+            pl.BlockSpec((num_thresholds, tile_j),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    acck_t, accw_t, count_lanes = pl.pallas_call(
+        functools.partial(
+            _sym_panel_terms_kernel, tuple(float(s) for s in signs), diff_m,
+            num_thresholds, tile_i, tile_j, w, big, n,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((mk_pad, num_p * 2 * w), jnp.float32),
+            jax.ShapeDtypeStruct((mw_pad, num_p * 2 * w), jnp.float32),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_p * ni * nj * tile_i * tile_j
+            * (m + 2 * (2 * m + 1) + 2 * num_terms),
+            bytes_accessed=4 * n_pad * (4 * m + 4)
+            + 4 * num_p * (2 * m + 1) * 2 * w,
+            transcendentals=num_terms * num_p * ni * nj * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(i_arr, j_arr, gammas32, thr, x_p, qi_p, xjt_p, qjt_p, bst_p, xs1t_p,
+      bst_p, xs1t_p)
+
+    def _gather_panels(panels, rows_pad, rows):
+        halves = panels.reshape(rows_pad, num_p, 2, w)[:rows]
+        blocks = jnp.zeros((rows, nb, w), jnp.float32)
+        blocks = blocks.at[:, i_arr, :].add(halves[:, :, 0, :])
+        blocks = blocks.at[:, j_arr, :].add(halves[:, :, 1, :])
+        return blocks.reshape(rows, n_pad)
+
+    acck_g = _gather_panels(acck_t, mk_pad, m)
+    accw_g = _gather_panels(accw_t, mw_pad, m + 1)
+
+    s_sum = float(sum(float(s) for s in signs))
+    sg_sum = jnp.sum(gammas32[0] * jnp.asarray(list(signs), jnp.float32))
+    ks = acck_g[:, :n].T - s_sum * scores32
+    aw = accw_g[:, :n].T - sg_sum * xs1
+    wx = aw[:, :m]
+    w_rowsum = aw[:, m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
 # ----------------------------------------------------------------------
 # anisotropic composed-RBF fused sweep (triangle form)
 # ----------------------------------------------------------------------
@@ -1526,7 +1995,16 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
         interpret = _default_interpret()
     n, m = coords.shape
     if sym is None:
-        sym = _sym_eligible(n, m, tile_j)
+        sym = "panel" if (
+            n >= _SYM_MIN_N and not _sym_eligible(n, m, tile_j)
+            and _sym_panel_terms_eligible(n, m, tile_j)
+        ) else _sym_eligible(n, m, tile_j)
+    if sym == "panel":
+        return _phi_rbf_terms_fused_pallas_sympanel_impl(
+            coords, scores, tuple(gammas),
+            tuple(float(s) for s in signs), thresholds_sq,
+            int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
+        )
     if sym:
         return _phi_rbf_terms_fused_pallas_sym_impl(
             coords, scores, tuple(gammas),

@@ -699,6 +699,118 @@ def test_sym_auto_selection_bounds():
     assert not _sym_eligible(big_n, 2, 2048)
 
 
+def test_sym_panel_matches_fused_counts(rng):
+    """Panel-rotated triangle sweep (the past-the-VMEM-budget sym form) vs
+    the XLA fused oracle: phi and counts must match across diff-form and
+    Gram branches, including panel padding (n far from nb*W)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _phi_rbf_fused_pallas_sympanel_impl,
+        _sym_panel_plan,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    for n, m, ti, tj in [(1000, 2, 128, 128), (2500, 3, 128, 256),
+                         (700, 6, 64, 128)]:
+        x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.5, jnp.float32)
+        s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+        thr = jnp.asarray([1.0, 5.0, 25.0], jnp.float32)
+        g = jnp.float32(0.6)
+        nb, w, n_pad = _sym_panel_plan(n, m, tj)
+        assert n_pad >= n and w % tj == 0
+        ref_phi, ref_cnt = phi_rbf_fused_counts(x, s, g, thr)
+        phi, cnt = _phi_rbf_fused_pallas_sympanel_impl(
+            x, s, g, thr, 3, ti, tj, True)
+        rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+            np.abs(np.asarray(ref_phi)).max()
+        )
+        assert rel < (5e-6 if m <= 4 else 5e-4), (n, m, rel)
+        # f32 threshold ties can shift a handful of counts; the verified
+        # selection absorbs far more (same tolerance as the sym suite)
+        assert np.abs(np.asarray(cnt) - np.asarray(ref_cnt)).max() <= n
+
+
+def test_sym_panel_terms_matches_fused_counts(rng):
+    """Dual-window panel-rotated triangle sweep for composed kernels vs
+    the XLA fused multi-term oracle (diff-form and Gram branches)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _phi_rbf_terms_fused_pallas_sympanel_impl,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    for n, m, ti, tj in [(900, 2, 128, 128), (1500, 11, 64, 128)]:
+        x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+        s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+        thr = jnp.asarray([1.0, 9.0], jnp.float32)
+        gs = (jnp.float32(0.6), jnp.float32(0.15))
+        sg = (1.0, 1.0)
+        ref_phi, ref_cnt = phi_rbf_terms_fused_counts(
+            x, s, list(gs), list(sg), thr
+        )
+        phi, cnt = _phi_rbf_terms_fused_pallas_sympanel_impl(
+            x, s, gs, sg, thr, 2, ti, tj, True)
+        rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+            np.abs(np.asarray(ref_phi)).max()
+        )
+        assert rel < (5e-6 if m <= 4 else 5e-4), (n, m, rel)
+        assert np.abs(np.asarray(cnt) - np.asarray(ref_cnt)).max() <= n
+
+
+def test_sym_panel_terms_eligibility():
+    """The dual-window Gram plan caps at _SYM_PANEL_MAX_BLOCKS: composed
+    sweeps beyond it keep the square form."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _SYM_PANEL_MAX_BLOCKS,
+        _SYM_PANEL_MAX_W_DUAL_GRAM,
+        _sym_panel_plan,
+        _sym_panel_terms_eligible,
+    )
+
+    assert _sym_panel_terms_eligible(100_000, 11, 2048)
+    assert not _sym_panel_terms_eligible(500_000, 11, 2048)
+    nb, w, n_pad = _sym_panel_plan(100_000, 11, 2048, dual=True)
+    assert w <= _SYM_PANEL_MAX_W_DUAL_GRAM and nb <= _SYM_PANEL_MAX_BLOCKS
+    # diff-form dual plans keep the wide window
+    nb2, w2, _ = _sym_panel_plan(1_000_000, 2, 2048, dual=True)
+    assert w2 > _SYM_PANEL_MAX_W_DUAL_GRAM
+
+
+def test_sym_panel_auto_dispatch(rng):
+    """phi_rbf_fused_pallas routes past-the-budget shapes to the panel
+    form and within-budget shapes to the full-width sym form."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _SYM_ACC_VMEM_BYTES,
+        _sym_eligible,
+    )
+
+    # n beyond the full-width accumulator budget at m=2
+    big_n = _SYM_ACC_VMEM_BYTES // (2 * 5 * 4) + 4096
+    assert not _sym_eligible(big_n, 2, 2048)
+    # the panel plan covers it (no upper n limit)
+    from svgdcpp_tpu.ops.pallas_phi import _sym_panel_plan
+
+    nb, w, n_pad = _sym_panel_plan(big_n, 2, 2048)
+    assert n_pad >= big_n
+    assert 2 * (2 * 2 + 1) * 2 * w * 4 <= _SYM_ACC_VMEM_BYTES
+
+    # functional check on a forced-panel small shape: sym='panel'
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m = 600, 2
+    x = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([0.5, 2.0], jnp.float32)
+    phi, cnt = phi_rbf_fused_pallas(
+        x, s, jnp.float32(0.8), thr, tile_i=64, tile_j=64, sym="panel",
+        interpret=True,
+    )
+    ref_phi, _ = phi_rbf_fused_counts(x, s, jnp.float32(0.8), thr)
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < 5e-6, rel
+
+
 def _aniso_p(m, rng, scale=0.3, ridge=0.4):
     a = rng.normal(size=(m, m)) * scale
     return jnp.asarray(a @ a.T + ridge * np.eye(m), jnp.float32)
