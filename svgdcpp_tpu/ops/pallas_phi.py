@@ -675,10 +675,11 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
     n, m = coords.shape
     if sym is None:
         # Full-width sym within the accumulator budget; past it the
-        # panel-rotated form keeps the triangle (O(1)-in-n VMEM); 'panel'
-        # forces the latter for testing.
+        # panel-rotated form keeps the triangle (O(1)-in-n VMEM) up to
+        # its own HBM/window ceilings; 'panel' forces it for testing.
         sym = "panel" if (
             n >= _SYM_MIN_N and not _sym_eligible(n, m, tile_j)
+            and _sym_panel_eligible(n, m, tile_j)
         ) else _sym_eligible(n, m, tile_j)
     if sym == "panel":
         return _phi_rbf_fused_pallas_sympanel_impl(
@@ -720,6 +721,17 @@ _SYM_PANEL_MAX_W_DUAL_GRAM = 4096
 #: traffic — grows quadratically in n, so past this the square sweep wins.
 _SYM_PANEL_MAX_BLOCKS = 32
 
+#: HBM ceiling for the (bw, P*2W) panel output buffer: at fixed W the
+#: buffer grows ~ (n/W)^2, so very large single-term sweeps (n ~ 4M+ at
+#: m=2) would out-allocate the chip for particle data that is itself tiny
+#: — those shapes keep the O(n)-memory square sweep.
+_SYM_PANEL_MAX_HBM_BYTES = 2 * 2**30
+
+
+def _ceil_mult(x: int, mult: int) -> int:
+    """Round x up to a multiple of mult."""
+    return -(-x // mult) * mult
+
 
 def _sym_panel_plan(n: int, m: int, tile_j: int, dual: bool = False):
     """(nb, W, n_pad) super-block decomposition for the panel sweep.
@@ -728,7 +740,7 @@ def _sym_panel_plan(n: int, m: int, tile_j: int, dual: bool = False):
     window(s) — (2m+1, 2W) f32 combined — must fit the full-sym
     accumulator budget. Unlike the full-width sym accumulator this is
     independent of n, so the triangle form extends to ANY particle count
-    (up to the dual-window panel-count ceiling; see
+    (up to the eligibility ceilings; see _sym_panel_eligible /
     _sym_panel_terms_eligible). ``dual`` marks the two-rotating-window
     terms kernel, whose Gram-branch W ceiling is much lower."""
     bw = 2 * m + 1
@@ -737,15 +749,38 @@ def _sym_panel_plan(n: int, m: int, tile_j: int, dual: bool = False):
     w_max = min(_SYM_ACC_VMEM_BYTES // (bw * 4 * 2), w_cap)
     w_max = max(tile_j, (w_max // tile_j) * tile_j)
     nb = max(_SYM_PANEL_MIN_BLOCKS, -(-n // w_max))
-    w = -(-(-(-n // nb)) // tile_j) * tile_j
+    w = _ceil_mult(-(-n // nb), tile_j)
     return nb, w, nb * w
 
 
+def _sym_panel_eligible(n: int, m: int, tile_j: int) -> bool:
+    """Past-the-budget triangle eligibility for the SINGLE-term sweep:
+    the window must genuinely fit the accumulator budget (very high m
+    would need a sub-tile_j W — the plan's tile_j floor must not override
+    the budget), and the quadratically-growing (bw, P*2W) HBM panel
+    buffer must stay under _SYM_PANEL_MAX_HBM_BYTES (n ~ 4M+ at m=2
+    would out-allocate the chip). Ineligible shapes keep the O(n)-memory
+    square sweep."""
+    bw = 2 * m + 1
+    if _SYM_ACC_VMEM_BYTES // (bw * 4 * 2) < tile_j:
+        return False
+    nb, w, _ = _sym_panel_plan(n, m, tile_j)
+    num_p = nb * (nb + 1) // 2
+    return num_p * bw * 2 * w * 4 <= _SYM_PANEL_MAX_HBM_BYTES
+
+
 def _sym_panel_terms_eligible(n: int, m: int, tile_j: int) -> bool:
-    """Past-the-budget triangle eligibility for the MULTI-TERM sweep: the
-    dual-window plan must stay under the panel-count ceiling (the
-    single-term kernel has no such limit in practice — its W cap keeps nb
-    ~ n / 64k)."""
+    """Past-the-budget triangle eligibility for the MULTI-TERM sweep.
+
+    Gram branch (m > 4) only: the dual-window kernel's compile envelope
+    was chip-validated there (W = 4096, up to 32 super-blocks ~ n <=
+    131k); the m <= 4 diff branch CRASHES the TPU compiler at the wide
+    windows its plan selects (W = 63488/32768 at n >= 500k all die,
+    bisected round 4), and its only viable range (~209-327k at W <=
+    20480) is a sliver not worth the fragility — those compositions keep
+    the square sweep."""
+    if m <= _DIFF_FORM_MAX_M:
+        return False
     nb, _, _ = _sym_panel_plan(n, m, tile_j, dual=True)
     return nb <= _SYM_PANEL_MAX_BLOCKS
 
@@ -827,7 +862,7 @@ def _phi_rbf_fused_pallas_sympanel_impl(
     nb, w, n_pad = _sym_panel_plan(n, m, tile_j)
     if panel_blocks is not None:
         nb = panel_blocks
-        w = -(-(-(-n // nb)) // tile_j) * tile_j
+        w = _ceil_mult(-(-n // nb), tile_j)
         n_pad = nb * w
     center = jnp.mean(coords.astype(jnp.float32), axis=0)
     coords32 = coords.astype(jnp.float32) - center
@@ -1115,6 +1150,17 @@ def _phi_rbf_terms_fused_pallas_cross_impl(
 
     # Small m: VPU difference-form sq with +/-_PAD_C padding (see _sq_tile).
     diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    # Large source sets push the multi-term kernel's temporaries (sq +
+    # per-term k + k_c + w tiles) over the 16 MB scoped-VMEM stack at
+    # 512x2048 tiles — NON-monotonically in n (m=2: n=131k/250k/300k OOM
+    # while 200k compiles; chip-probed round 4). Clamp tile_j on the
+    # diff branch past the largest chip-verified always-safe size; the
+    # Gram branch compiled everywhere probed (up to n=500k) but gets the
+    # same guard at very large n. 512x1024 measured ~equal speed.
+    if diff_m is not None and n_s > 65536:
+        tile_j = min(tile_j, 1024)
+    elif n_s > 524288:
+        tile_j = min(tile_j, 1024)
     big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
     pad_t = _PAD_C if diff_m is not None else 0.0
     pad_s = -_PAD_C if diff_m is not None else 0.0
@@ -1458,7 +1504,7 @@ def _phi_rbf_terms_fused_pallas_sympanel_impl(
     nb, w, n_pad = _sym_panel_plan(n, m, tile_j, dual=True)
     if panel_blocks is not None:
         nb = panel_blocks
-        w = -(-(-(-n // nb)) // tile_j) * tile_j
+        w = _ceil_mult(-(-n // nb), tile_j)
         n_pad = nb * w
     center = jnp.mean(coords.astype(jnp.float32), axis=0)
     coords32 = coords.astype(jnp.float32) - center

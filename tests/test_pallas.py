@@ -756,8 +756,9 @@ def test_sym_panel_terms_matches_fused_counts(rng):
 
 
 def test_sym_panel_terms_eligibility():
-    """The dual-window Gram plan caps at _SYM_PANEL_MAX_BLOCKS: composed
-    sweeps beyond it keep the square form."""
+    """The dual-window Gram plan caps at _SYM_PANEL_MAX_BLOCKS and is
+    Gram-branch-only: composed sweeps beyond either keep the square
+    form (the m<=4 dual windows crash the TPU compiler, chip-bisected)."""
     from svgdcpp_tpu.ops.pallas_phi import (
         _SYM_PANEL_MAX_BLOCKS,
         _SYM_PANEL_MAX_W_DUAL_GRAM,
@@ -767,11 +768,71 @@ def test_sym_panel_terms_eligibility():
 
     assert _sym_panel_terms_eligible(100_000, 11, 2048)
     assert not _sym_panel_terms_eligible(500_000, 11, 2048)
+    assert not _sym_panel_terms_eligible(300_000, 2, 2048)  # diff branch
     nb, w, n_pad = _sym_panel_plan(100_000, 11, 2048, dual=True)
     assert w <= _SYM_PANEL_MAX_W_DUAL_GRAM and nb <= _SYM_PANEL_MAX_BLOCKS
-    # diff-form dual plans keep the wide window
-    nb2, w2, _ = _sym_panel_plan(1_000_000, 2, 2048, dual=True)
-    assert w2 > _SYM_PANEL_MAX_W_DUAL_GRAM
+
+
+def test_sym_panel_single_eligibility():
+    """Single-term panel gates: the HBM panel buffer must stay bounded
+    (quadratic in n at the W cap) and the window budget must genuinely
+    fit (very high m keeps the square sweep)."""
+    from svgdcpp_tpu.ops.pallas_phi import _sym_panel_eligible
+
+    assert _sym_panel_eligible(1_000_000, 2, 2048)
+    assert _sym_panel_eligible(262_144, 2, 2048)
+    assert not _sym_panel_eligible(8_000_000, 2, 2048)  # HBM buffer
+    assert not _sym_panel_eligible(4096, 300, 2048)     # window > budget
+
+
+def test_sym_panel_auto_route(rng, monkeypatch):
+    """sym=None on a past-the-budget shape must take the panel impl (not
+    silently fall back to square): route proven by instrumenting the
+    impls, output proven against the XLA oracle."""
+    import svgdcpp_tpu.ops.pallas_phi as pp
+    from svgdcpp_tpu.ops.phi import (
+        phi_rbf_fused_counts,
+        phi_rbf_terms_fused_counts,
+    )
+
+    monkeypatch.setattr(pp, "_sym_eligible", lambda *a: False)
+    hits = []
+    real_panel = pp._phi_rbf_fused_pallas_sympanel_impl
+    monkeypatch.setattr(
+        pp, "_phi_rbf_fused_pallas_sympanel_impl",
+        lambda *a, **k: (hits.append("single"), real_panel(*a, **k))[1],
+    )
+    real_tpanel = pp._phi_rbf_terms_fused_pallas_sympanel_impl
+    monkeypatch.setattr(
+        pp, "_phi_rbf_terms_fused_pallas_sympanel_impl",
+        lambda *a, **k: (hits.append("terms"), real_tpanel(*a, **k))[1],
+    )
+
+    n = 2048
+    thr = jnp.asarray([0.5, 2.0], jnp.float32)
+    x2 = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    s2 = jnp.asarray(rng.normal(size=(n, 2)), jnp.float32)
+    phi, _ = pp.phi_rbf_fused_pallas(
+        x2, s2, jnp.float32(0.8), thr, tile_i=128, tile_j=256,
+        interpret=True,
+    )
+    ref, _ = phi_rbf_fused_counts(x2, s2, jnp.float32(0.8), thr)
+    assert hits == ["single"]
+    assert np.abs(np.asarray(phi) - np.asarray(ref)).max() < 1e-4
+
+    x11 = jnp.asarray(rng.normal(size=(n, 11)), jnp.float32)
+    s11 = jnp.asarray(rng.normal(size=(n, 11)), jnp.float32)
+    gs = (jnp.float32(0.3), jnp.float32(0.08))
+    sg = (1.0, 1.0)
+    phi_t, _ = pp.phi_rbf_terms_fused_pallas(
+        x11, s11, gs, sg, thr, tile_i=128, tile_j=256, interpret=True,
+    )
+    ref_t, _ = phi_rbf_terms_fused_counts(x11, s11, list(gs), list(sg), thr)
+    assert hits == ["single", "terms"]
+    rel = np.abs(np.asarray(phi_t) - np.asarray(ref_t)).max() / (
+        np.abs(np.asarray(ref_t)).max()
+    )
+    assert rel < 5e-4, rel
 
 
 def test_sym_panel_auto_dispatch(rng):
