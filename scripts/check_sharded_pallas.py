@@ -98,6 +98,41 @@ def run_case(name, kernel_fn, n=4096, dim=2, steps=20):
     return ok
 
 
+def run_sym_case(n=4096, dim=2, steps=20):
+    """The symmetric distributed sweep (fused_sym): global triangle pair
+    list split across devices + accumulator psum vs the cross sweep —
+    both Mosaic, trajectory-compared, custom-call asserted."""
+    rng = np.random.default_rng(0)
+    x0 = (rng.normal(size=(n, dim)) * 2 + 1.5).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    outs = {}
+    mosaic_in_hlo = None
+    for sym in (True, False):
+        drv = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            config=ShardedSVGDConfig(fused_phi=True, fused_sym=sym),
+        )
+        assert drv._fused_sym is sym, (sym, drv._fused_sym)
+        state = drv.init_state(x0.copy())
+        if sym:
+            mosaic_in_hlo = _has_mosaic_call(drv._step_full, state)
+        state = drv.run_state(state, steps)
+        outs[sym] = np.asarray(jax.device_get(state["coords"]))
+    dmean, dcov = _moment_diff(outs[True], outs[False])
+    ok = bool(
+        np.isfinite(outs[True]).all()
+        and dmean < 5e-3 and dcov < 2e-2 and mosaic_in_hlo
+    )
+    _emit({
+        "case": "fused_sym_vs_cross", "n": n, "steps": steps,
+        "moment_diff_vs_cross": {"mean": dmean, "cov": dcov},
+        "mosaic_custom_call_in_hlo": bool(mosaic_in_hlo), "ok": ok,
+    })
+    return ok
+
+
 def run_driver_mesh_case(n=4096, dim=2, steps=20):
     """SVGDOptions.mesh keeps the Mosaic sweep: phi_impl='auto' on a TPU
     mesh selects 'fused_pallas' (internal shard_map wrapper), the compiled
@@ -165,6 +200,7 @@ def main():
             constant_scale=0.1 * np.eye(x0.shape[1], dtype=np.float32),
         ),
     )
+    ok &= run_sym_case()
     ok &= run_driver_mesh_case()
     if args.out:
         Path(args.out).write_text(

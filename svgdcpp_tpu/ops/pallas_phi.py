@@ -972,6 +972,179 @@ def _phi_rbf_fused_pallas_sympanel_impl(
     return phi.astype(coords.dtype), counts
 
 
+def sym_pairs_plan(n: int, num_chunks: int, tile_i: int = 512,
+                   tile_j: int = 2048):
+    """Static distribution plan for the SHARDED symmetric sweep.
+
+    Splits the global upper-triangle super-tile list across ``num_chunks``
+    devices (each unordered pair visited by exactly ONE device — the
+    multi-chip extension of the single-chip triangle win: per-pair VPU
+    work halves at unchanged MXU flops, traded against one (bw, n_pad)
+    psum). Returns (pair_i, pair_j, n_pad, per_chunk) with the pair
+    arrays padded to num_chunks * per_chunk using a SENTINEL pair that
+    points at fully-padded row/column blocks (its contributions and
+    counts are exactly zero), so every device runs an identical-shape
+    grid.
+    """
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    import numpy as _np
+
+    r = tile_j // tile_i
+
+    def build(npad):
+        nbi, nbj = npad // tile_i, npad // tile_j
+        return [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
+
+    n_pad = _ceil_mult(n, tile_j)
+    pairs = build(n_pad)
+    per = -(-len(pairs) // num_chunks)
+    short = num_chunks * per - len(pairs)
+    if short:
+        # Sentinel = a STRICTLY lower-triangle tile: every element masks
+        # to +big, so its phi contributions and counts are exactly zero
+        # at no extra padding. Exists once the last row block starts past
+        # the first column block; extend the padding in the (tiny-n)
+        # corner where it does not.
+        if (n_pad // tile_i - 1) * tile_i < tile_j:
+            n_pad += tile_j
+            pairs = build(n_pad)
+            per = -(-len(pairs) // num_chunks)
+            short = num_chunks * per - len(pairs)
+        sentinel = (n_pad // tile_i - 1, 0)
+        assert sentinel[0] * tile_i >= tile_j
+        pairs = pairs + [sentinel] * short
+    return (
+        _np.asarray([p[0] for p in pairs], _np.int32),
+        _np.asarray([p[1] for p in pairs], _np.int32),
+        n_pad,
+        per,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_pad", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "vma_axis"),
+)
+def phi_rbf_fused_pallas_sym_sharded(
+    coords, scores, gamma, thresholds_sq, pair_i, pair_j, *, n_pad,
+    num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
+    vma_axis=None,
+):
+    """One device's chunk of the GLOBAL symmetric fused sweep.
+
+    ``coords``/``scores`` are the gathered GLOBAL set (identical on every
+    device); ``pair_i``/``pair_j`` are this device's super-tile chunk from
+    :func:`sym_pairs_plan` (dynamic values — slice them by
+    ``lax.axis_index`` inside shard_map). Returns the RAW transposed
+    accumulator (2m+1, n_pad) and count lanes — psum BOTH over the mesh
+    axis, fold counts as 2*sum - n once globally, and finish each row
+    band with :func:`phi_rbf_fused_sym_finish`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_p = _pad_cols(coords32.T, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bt_p = _pad_cols(b.T, n_pad)
+    bw = 2 * m + 1
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+    per = pair_i.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(per,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bw, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bw, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (pair_i, pair_j, gamma32, thr, x_p, qi_p, xjt_p, qjt_p,
+                  bt_p, bt_p)
+    ]
+    acc_t, count_lanes = pl.pallas_call(
+        functools.partial(_sym_kernel, diff_m, num_thresholds, tile_i,
+                          tile_j, big, n),
+        grid_spec=grid_spec,
+        out_shape=(
+            _out_struct((bw, n_pad), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * per * tile_i * tile_j * (m + 2 * bw),
+            bytes_accessed=4 * n_pad * (2 * m + 2 + 2 * bw),
+            transcendentals=per * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return acc_t, count_lanes
+
+
+def phi_rbf_fused_sym_finish(acc_band_t, scores_band, coords_band, center,
+                             gamma, n):
+    """Per-band epilogue of the sharded symmetric sweep: ``acc_band_t`` is
+    this device's (2m+1, n_local) column band of the PSUMMED global
+    accumulator; applies the same diagonal double-count correction and phi
+    assembly as the single-chip sym form."""
+    m = coords_band.shape[1]
+    coords32 = coords_band.astype(jnp.float32) - center
+    b = jnp.concatenate(
+        [scores_band.astype(jnp.float32), coords32,
+         jnp.ones((coords_band.shape[0], 1), jnp.float32)],
+        axis=1,
+    )
+    a = acc_band_t.T - b
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    gamma_f = jnp.asarray(gamma, jnp.float32)
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
+    return phi.astype(coords_band.dtype)
+
+
 def phi_rbf_fused_pallas_cross(targets, sources, source_scores, gamma,
                                thresholds_sq, tile_i: int = 512,
                                tile_j: int = 2048, interpret=None,

@@ -74,12 +74,20 @@ def place_sharded(x, sharding: NamedSharding):
     global array. Single home shared by ShardedSVGD.init_state and the
     driver's make_state (SVGDOptions.mesh).
     """
-    if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
-        sharding, x.ndim
+    if (
+        isinstance(x, jax.Array)
+        and isinstance(x.sharding, NamedSharding)
+        and x.sharding.is_equivalent_to(sharding, x.ndim)
     ):
         # Already placed (e.g. a previous run/step's output chained back in
         # on a multi-process mesh) — np.asarray on it would raise because
         # remote shards are not addressable, and re-placing is wasted work.
+        # NamedSharding only: a merely-EQUIVALENT SingleDeviceSharding (a
+        # device_put'ed array on a 1-device mesh) must still be normalized,
+        # or the jit signature of a fresh state differs from a chained
+        # output state and the second run_state call recompiles (~2 s
+        # through the tunnel; the sharded mirror of the driver's
+        # chained-run fix).
         return x
     if sharding.is_fully_addressable:
         return jax.device_put(x, sharding)

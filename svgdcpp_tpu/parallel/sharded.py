@@ -170,6 +170,21 @@ class ShardedSVGDConfig:
     #: statically positive). True forces it (raises off-TPU: the pallas
     #: interpreter cannot run inside shard_map); False keeps the XLA sweep.
     fused_pallas: Optional[bool] = None
+    #: SYMMETRIC distributed fused sweep: instead of every device sweeping
+    #: its local row band x the gathered global set (all n^2 ordered
+    #: pairs across the mesh), the GLOBAL upper-triangle super-tile list
+    #: is split across devices — each unordered pair visited by exactly
+    #: one device (ops/pallas_phi.sym_pairs_plan) — and the (2m+1, n_pad)
+    #: transposed accumulators are psum'ed before the per-band epilogue.
+    #: Halves the per-pair VPU work (sq, exp, selection counts) at
+    #: unchanged MXU flops for one extra O(n * (2m+1)) collective — a
+    #: clear win whenever n/D >> m (the multi-chip extension of the
+    #: single-chip triangle sweep, docs/perf.md). None = auto: on when
+    #: the Mosaic fused sweep is active (fused_pallas), the kernel is the
+    #: built-in single RBF, and the global accumulator fits the VMEM
+    #: budget (ops/pallas_phi._sym_eligible). True forces it (raises when
+    #: unsupported); False keeps the cross sweep.
+    fused_sym: Optional[bool] = None
     #: Composed-kernel phi path (only used with kernel=<Kernel>):
     #: 'auto' = algebraic closed-form terms when the kernel is a `+ - * /`
     #: tree of pure RBFs (kernels/algebra.py), generic VJP otherwise;
@@ -210,6 +225,8 @@ class ShardedSVGDConfig:
             # Explicitly forcing the Mosaic sweep without the fused sweep is
             # a configuration error, not a silent no-op.
             raise ValueError("fused_pallas=True requires fused_phi=True.")
+        if self.fused_sym and not self.fused_phi:
+            raise ValueError("fused_sym=True requires fused_phi=True.")
         if self.log_intermediate_matrices and self.phi_mode != "gather":
             raise ValueError(
                 "log_intermediate_matrices requires phi_mode='gather' (the "
@@ -304,6 +321,7 @@ class ShardedSVGD:
         #: property; None until log_intermediate_matrices produces them).
         self._intermediate_log_chunks = None
         self._fused_pallas = self._resolve_fused_pallas()
+        self._fused_sym = self._resolve_fused_sym()
         self._build()
 
     def _validate_fused_kernel(self):
@@ -364,6 +382,39 @@ class ShardedSVGD:
                 "fused_pallas=True requires a TPU backend (the pallas "
                 "interpreter cannot run inside shard_map); leave it None "
                 "for auto-selection."
+            )
+        return True
+
+    def _resolve_fused_sym(self) -> bool:
+        """Whether the fused Mosaic sweep distributes the GLOBAL
+        upper-triangle pair list across devices (config.fused_sym).
+
+        Auto (None): on when the Mosaic sweep is active, the kernel is
+        the built-in single RBF (composed kernels keep the cross sweep —
+        their accumulator pair would double the psum payload), n is in
+        the triangle regime, and the (2m+1, n_pad_global) per-device
+        accumulator fits the VMEM budget. Explicit True raises when any
+        condition fails."""
+        from ..ops.pallas_phi import _SYM_MIN_N, _sym_eligible
+
+        cfg = self.config
+        if cfg.fused_sym is False or not cfg.fused_phi:
+            return False
+        ok = (
+            self._fused_pallas
+            and self.kernel is None
+            and self.num_particles >= _SYM_MIN_N
+            and _sym_eligible(self.num_particles, self.dimension, 2048)
+        )
+        if cfg.fused_sym is None:
+            return ok
+        if not ok:
+            raise ValueError(
+                "fused_sym=True requires the Mosaic fused sweep "
+                "(fused_pallas, TPU backend), the built-in single RBF "
+                "kernel (kernel=None), and a global particle count in "
+                "the triangle regime whose (2m+1, n_pad) accumulator "
+                "fits the VMEM budget (ops/pallas_phi._sym_eligible)."
             )
         return True
 
@@ -472,6 +523,18 @@ class ShardedSVGD:
         warm = cfg.warm_start and has_median
         n_global = self.num_particles
         total = n_global * n_global
+
+        if self._fused_sym:
+            # Static distribution of the global upper-triangle super-tile
+            # list (each unordered pair on exactly one device; sentinel
+            # pairs point at fully-padded blocks).
+            from ..ops.pallas_phi import sym_pairs_plan
+
+            sym_pi_np, sym_pj_np, sym_n_pad, sym_per = sym_pairs_plan(
+                n_global, int(self.mesh.devices.size)
+            )
+            sym_pi = jnp.asarray(sym_pi_np)
+            sym_pj = jnp.asarray(sym_pj_np)
 
         annealing = cfg.annealing
         if annealing is not None and not callable(annealing):
@@ -675,37 +738,82 @@ class ShardedSVGD:
                         * jnp.eye(self.dimension, dtype=coords_local.dtype),
                     )
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-                if self._fused_pallas:
-                    # Per-device VMEM-resident Mosaic sweep (the sharded
-                    # twin of phi_impl='fused_pallas'/'fused_terms_pallas').
+                if self._fused_sym and not fused_terms:
+                    # Symmetric distributed sweep: this device's chunk of
+                    # the GLOBAL triangle (each unordered pair once across
+                    # the mesh — per-pair VPU work halves vs the cross
+                    # sweep), then one (2m+1, n_pad) psum and a per-band
+                    # epilogue.
                     from ..ops.pallas_phi import (
-                        phi_rbf_fused_pallas_cross,
-                        phi_rbf_terms_fused_pallas_cross,
+                        phi_rbf_fused_pallas_sym_sharded,
+                        phi_rbf_fused_sym_finish,
                     )
 
-                    if fused_terms:
+                    d_idx = jax.lax.axis_index(axis)
+                    pi = jax.lax.dynamic_slice(
+                        sym_pi, (d_idx * sym_per,), (sym_per,)
+                    )
+                    pj = jax.lax.dynamic_slice(
+                        sym_pj, (d_idx * sym_per,), (sym_per,)
+                    )
+                    acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
+                        sources, scores, gamma, thresholds, pi, pj,
+                        n_pad=sym_n_pad,
+                        num_thresholds=int(thresholds.shape[0]),
+                        vma_axis=axis,
+                    )
+                    acc = jax.lax.psum(acc_raw, axis)
+                    counts = 2.0 * jnp.sum(
+                        jax.lax.psum(lanes, axis), axis=1
+                    ) - jnp.float32(n_global)
+                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+                    nl = coords_local.shape[0]
+                    band = jax.lax.dynamic_slice(
+                        acc, (0, d_idx * nl), (acc.shape[0], nl)
+                    )
+                    phi_local = phi_rbf_fused_sym_finish(
+                        band, scores_local, coords_local, center, gamma,
+                        n_global,
+                    )
+                else:
+                    if self._fused_pallas:
+                        # Per-device VMEM-resident Mosaic sweep (the
+                        # sharded twin of phi_impl='fused_pallas' /
+                        # 'fused_terms_pallas').
+                        from ..ops.pallas_phi import (
+                            phi_rbf_fused_pallas_cross,
+                            phi_rbf_terms_fused_pallas_cross,
+                        )
+
+                        if fused_terms:
+                            phi_local, counts_local = (
+                                phi_rbf_terms_fused_pallas_cross(
+                                    coords_local, sources, scores, gammas,
+                                    term_signs, thresholds, axis_name=axis,
+                                )
+                            )
+                        else:
+                            phi_local, counts_local = (
+                                phi_rbf_fused_pallas_cross(
+                                    coords_local, sources, scores, gamma,
+                                    thresholds, axis_name=axis,
+                                    dot_dtype=cfg.fused_dot_dtype,
+                                )
+                            )
+                    elif fused_terms:
                         phi_local, counts_local = (
-                            phi_rbf_terms_fused_pallas_cross(
+                            phi_rbf_terms_cross_fused_counts(
                                 coords_local, sources, scores, gammas,
-                                term_signs, thresholds, axis_name=axis,
+                                term_signs, thresholds, cfg.row_tile,
+                                axis_name=axis,
                             )
                         )
                     else:
-                        phi_local, counts_local = phi_rbf_fused_pallas_cross(
+                        phi_local, counts_local = phi_rbf_cross_fused_counts(
                             coords_local, sources, scores, gamma, thresholds,
-                            axis_name=axis, dot_dtype=cfg.fused_dot_dtype,
+                            cfg.row_tile, axis_name=axis,
                         )
-                elif fused_terms:
-                    phi_local, counts_local = phi_rbf_terms_cross_fused_counts(
-                        coords_local, sources, scores, gammas, term_signs,
-                        thresholds, cfg.row_tile, axis_name=axis,
-                    )
-                else:
-                    phi_local, counts_local = phi_rbf_cross_fused_counts(
-                        coords_local, sources, scores, gamma, thresholds,
-                        cfg.row_tile, axis_name=axis,
-                    )
-                counts = jax.lax.psum(counts_local, axis)
+                    counts = jax.lax.psum(counts_local, axis)
                 from ..ops.median import centered_count_env
 
                 count_fn, hi0 = centered_count_env(
@@ -862,6 +970,20 @@ class ShardedSVGD:
             out_specs=(shard_spec, opt_specs, P(), P(), stats_spec),
         )
 
+        # Pin output shardings to the state-contract specs: without this
+        # GSPMD may emit equivalent-but-different shardings for replicated
+        # leaves (a (m, m) kernel param drifting to P(axis, None) on small
+        # meshes), making a chained run_state(output_state) recompile once
+        # per signature drift (~2 s through the tunnel).
+        row_sh = NamedSharding(self.mesh, shard_spec)
+        rep_sh = NamedSharding(self.mesh, P())
+        opt_mask = optimizer.state_is_particle_sharded(opt_template)
+
+        def _pin_rep(tree):
+            return jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep_sh), tree
+            )
+
         def step_fn(state):
             coords, opt_state, kparams, scale_aux, stats = sharded(
                 state["coords"], state["opt_state"], state["model_params"],
@@ -869,12 +991,18 @@ class ShardedSVGD:
                 state["slot_model_params"], state["iteration"],
             )
             return {
-                "coords": coords,
-                "opt_state": opt_state,
-                "model_params": state["model_params"],
-                "kernel_params": kparams,
+                "coords": jax.lax.with_sharding_constraint(coords, row_sh),
+                "opt_state": jax.tree.map(
+                    lambda x, sharded_leaf: jax.lax.with_sharding_constraint(
+                        x, row_sh if sharded_leaf else rep_sh
+                    ),
+                    opt_state,
+                    opt_mask,
+                ),
+                "model_params": _pin_rep(state["model_params"]),
+                "kernel_params": _pin_rep(kparams),
                 "slot_model_params": state["slot_model_params"],
-                "scale_aux": scale_aux,
+                "scale_aux": _pin_rep(scale_aux),
                 "iteration": state["iteration"] + 1,
             }, stats
 
@@ -1057,6 +1185,42 @@ class ShardedSVGD:
         self._state = state
         return state
 
+    def _normalize_state(self, state):
+        """Re-place every state leaf under its EXACT contract sharding.
+
+        jit may emit equivalent-but-differently-spec'ed output shardings
+        for replicated leaves (a passthrough (m, m) model param drifting
+        to P(axis, None) on small meshes — with_sharding_constraint is
+        only advisory under Auto mesh axes), and a chained
+        run_state(output_state) would then recompile once per drift (~2 s
+        through the tunnel). Exact-spec normalization is a no-op for
+        already-conforming leaves."""
+
+        def renorm(x, sh):
+            if not isinstance(x, jax.Array):
+                return jax.device_put(jnp.asarray(x), sh)
+            if x.sharding == sh:
+                return x
+            if not x.is_fully_addressable:
+                return jax.jit(lambda a: a, out_shardings=sh)(x)
+            return jax.device_put(x, sh)
+
+        row = NamedSharding(self.mesh, P(self.axis, None))
+        rep = NamedSharding(self.mesh, P())
+        opt_mask = self.optimizer.state_is_particle_sharded(
+            state["opt_state"]
+        )
+        out = dict(state)
+        out["coords"] = renorm(state["coords"], row)
+        out["opt_state"] = jax.tree.map(
+            lambda x, m: renorm(x, row if m else rep),
+            state["opt_state"], opt_mask,
+        )
+        for key in ("model_params", "kernel_params", "slot_model_params",
+                    "scale_aux", "iteration"):
+            out[key] = jax.tree.map(lambda x: renorm(x, rep), state[key])
+        return out
+
     def run_state(self, state, num_steps: int):
         """State-in/state-out run: preserves optimizer moments, the warm
         median bracket and the iteration counter across calls — the sharded
@@ -1064,6 +1228,7 @@ class ShardedSVGD:
         SVGD.hpp:338-400 mutates the user matrix in place across Run()s).
         Custom model/kernel hooks force the eager per-iteration loop.
         """
+        state = self._normalize_state(state)
         if self._has_custom_hooks():
             return self._run_state_eager(state, int(num_steps))
         final, stats = self.run_fn(state, int(num_steps))

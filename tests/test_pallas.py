@@ -785,6 +785,97 @@ def test_sym_panel_single_eligibility():
     assert not _sym_panel_eligible(4096, 300, 2048)     # window > budget
 
 
+def test_sym_pairs_plan_covers_triangle():
+    """The distributed pair plan visits every upper-triangle super-tile
+    exactly once; sentinel pairs are strictly-lower tiles (contributing
+    nothing) and every chunk has identical length."""
+    from svgdcpp_tpu.ops.pallas_phi import sym_pairs_plan
+
+    for n, d in [(10240, 1), (10240, 8), (10000, 4), (2048, 8), (4096, 3)]:
+        pi, pj, n_pad, per = sym_pairs_plan(n, d)
+        assert len(pi) == d * per and n_pad >= n
+        ti, tj = 512, 2048
+        r = tj // ti
+        nbi, nbj = n_pad // ti, n_pad // tj
+        expected = {(i, j) for i in range(nbi) for j in range(i // r, nbj)}
+        seen = list(zip(pi.tolist(), pj.tolist()))
+        real = [p for p in seen if p in expected]
+        sentinels = [p for p in seen if p not in expected]
+        assert sorted(set(real)) == sorted(expected)
+        assert len(real) == len(expected)  # each pair exactly once
+        for bi, bj in sentinels:  # strictly lower: masked to nothing
+            assert bi * ti >= (bj + 1) * tj - 1 and bi * ti >= tj
+
+
+def test_sym_sharded_decomposition_matches_oracle(rng):
+    """Chunked global triangle sweep (the fused_sym multi-chip mode):
+    summing every chunk's raw accumulator + count lanes must reproduce
+    the XLA fused oracle exactly (each unordered pair on one chunk)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_fused_pallas_sym_sharded,
+        phi_rbf_fused_sym_finish,
+        sym_pairs_plan,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m, d = 1000, 2, 4
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([1.0, 5.0], jnp.float32)
+    g = jnp.float32(0.6)
+    ti, tj = 64, 128
+    pi, pj, n_pad, per = sym_pairs_plan(n, d, ti, tj)
+    acc = None
+    lanes = None
+    for c in range(d):
+        a, l = phi_rbf_fused_pallas_sym_sharded(
+            x, s, g, thr, jnp.asarray(pi[c * per:(c + 1) * per]),
+            jnp.asarray(pj[c * per:(c + 1) * per]), n_pad=n_pad,
+            num_thresholds=2, tile_i=ti, tile_j=tj, interpret=True,
+        )
+        acc = a if acc is None else acc + a
+        lanes = l if lanes is None else lanes + l
+    counts = 2.0 * jnp.sum(lanes, axis=1) - jnp.float32(n)
+    center = jnp.mean(x, axis=0)
+    nl = n // 2
+    phi = jnp.concatenate([
+        phi_rbf_fused_sym_finish(
+            acc[:, c * nl:(c + 1) * nl], s[c * nl:(c + 1) * nl],
+            x[c * nl:(c + 1) * nl], center, g, n,
+        )
+        for c in range(2)
+    ], axis=0)
+    ref_phi, ref_cnt = phi_rbf_fused_counts(x, s, g, thr)
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < 5e-6, rel
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
+
+
+def test_fused_sym_config_resolution():
+    """fused_sym resolves off on CPU (no Mosaic under shard_map) and an
+    explicit True raises with guidance; True without fused_phi is a
+    config error."""
+    import pytest
+
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.parallel.sharded import ShardedSVGD, ShardedSVGDConfig
+
+    n, dim = 4096, 2
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    sh = ShardedSVGD(model, sv.AdaGrad(dim, n, 0.1), n, dim,
+                     config=ShardedSVGDConfig(fused_phi=True))
+    assert sh._fused_sym is False  # CPU: fused_pallas resolves False
+    with pytest.raises(ValueError, match="fused_sym"):
+        ShardedSVGD(model, sv.AdaGrad(dim, n, 0.1), n, dim,
+                    config=ShardedSVGDConfig(fused_phi=True, fused_sym=True))
+    with pytest.raises(ValueError, match="fused_sym=True requires"):
+        ShardedSVGDConfig(fused_sym=True)
+
+
 def test_sym_panel_auto_route(rng, monkeypatch):
     """sym=None on a past-the-budget shape must take the panel impl (not
     silently fall back to square): route proven by instrumenting the
