@@ -64,7 +64,7 @@ def particle_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(mesh.axis_names[0], None))
 
 
-def place_sharded(x, sharding: NamedSharding):
+def place_sharded(x, sharding: NamedSharding, exact: bool = False):
     """Place a logically-global array under ``sharding``.
 
     On a fully-addressable (single-process) mesh this is a plain
@@ -73,11 +73,20 @@ def place_sharded(x, sharding: NamedSharding):
     make_array_from_callback — every process passes the same logical
     global array. Single home shared by ShardedSVGD.init_state and the
     driver's make_state (SVGDOptions.mesh).
+
+    ``exact=True`` keeps an array only when its sharding EQUALS the
+    target (jit caches on the sharding object's spec, so
+    equivalent-but-differently-spec'ed leaves — GSPMD output drift —
+    would recompile a chained call); the default keeps any equivalent
+    NamedSharding placement.
     """
-    if (
-        isinstance(x, jax.Array)
-        and isinstance(x.sharding, NamedSharding)
-        and x.sharding.is_equivalent_to(sharding, x.ndim)
+    if isinstance(x, jax.Array) and (
+        x.sharding == sharding
+        if exact
+        else (
+            isinstance(x.sharding, NamedSharding)
+            and x.sharding.is_equivalent_to(sharding, x.ndim)
+        )
     ):
         # Already placed (e.g. a previous run/step's output chained back in
         # on a multi-process mesh) — np.asarray on it would raise because

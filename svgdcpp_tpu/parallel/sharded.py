@@ -395,7 +395,11 @@ class ShardedSVGD:
         the triangle regime, and the (2m+1, n_pad_global) per-device
         accumulator fits the VMEM budget. Explicit True raises when any
         condition fails."""
-        from ..ops.pallas_phi import _SYM_MIN_N, _sym_eligible
+        from ..ops.pallas_phi import (
+            _SYM_ACC_VMEM_BYTES,
+            _sym_eligible,
+            sym_pairs_plan,
+        )
 
         cfg = self.config
         if cfg.fused_sym is False or not cfg.fused_phi:
@@ -403,18 +407,30 @@ class ShardedSVGD:
         ok = (
             self._fused_pallas
             and self.kernel is None
-            and self.num_particles >= _SYM_MIN_N
+            and cfg.fused_dot_dtype == "float32"
             and _sym_eligible(self.num_particles, self.dimension, 2048)
         )
+        if ok:
+            # Budget against the plan's ACTUAL n_pad: the sentinel
+            # extension can add a tile_j of padding in the tiny-n corner,
+            # which at high m would push the (2m+1, n_pad) scratch+output
+            # pair past the budget _sym_eligible checked at the raw n.
+            _, _, n_pad, _ = sym_pairs_plan(
+                self.num_particles, int(self.mesh.devices.size)
+            )
+            bw = 2 * self.dimension + 1
+            ok = 2 * bw * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
         if cfg.fused_sym is None:
             return ok
         if not ok:
             raise ValueError(
                 "fused_sym=True requires the Mosaic fused sweep "
                 "(fused_pallas, TPU backend), the built-in single RBF "
-                "kernel (kernel=None), and a global particle count in "
-                "the triangle regime whose (2m+1, n_pad) accumulator "
-                "fits the VMEM budget (ops/pallas_phi._sym_eligible)."
+                "kernel (kernel=None), fused_dot_dtype='float32' (the "
+                "sym kernel has no bf16 Gram variant), and a global "
+                "particle count in the triangle regime whose "
+                "(2m+1, n_pad) accumulator fits the VMEM budget "
+                "(ops/pallas_phi._sym_eligible)."
             )
         return True
 
@@ -769,7 +785,9 @@ class ShardedSVGD:
                     center = jnp.mean(sources.astype(jnp.float32), axis=0)
                     nl = coords_local.shape[0]
                     band = jax.lax.dynamic_slice(
-                        acc, (0, d_idx * nl), (acc.shape[0], nl)
+                        acc,
+                        (jnp.zeros((), d_idx.dtype), d_idx * nl),
+                        (acc.shape[0], nl),
                     )
                     phi_local = phi_rbf_fused_sym_finish(
                         band, scores_local, coords_local, center, gamma,
@@ -1195,15 +1213,10 @@ class ShardedSVGD:
         run_state(output_state) would then recompile once per drift (~2 s
         through the tunnel). Exact-spec normalization is a no-op for
         already-conforming leaves."""
+        from .mesh import place_sharded
 
         def renorm(x, sh):
-            if not isinstance(x, jax.Array):
-                return jax.device_put(jnp.asarray(x), sh)
-            if x.sharding == sh:
-                return x
-            if not x.is_fully_addressable:
-                return jax.jit(lambda a: a, out_shardings=sh)(x)
-            return jax.device_put(x, sh)
+            return place_sharded(jnp.asarray(x), sh, exact=True)
 
         row = NamedSharding(self.mesh, P(self.axis, None))
         rep = NamedSharding(self.mesh, P())

@@ -853,6 +853,122 @@ def test_sym_sharded_decomposition_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
 
 
+def _xla_sym_sharded_stub(coords, scores, gamma, thresholds_sq, pair_i,
+                          pair_j, *, n_pad, num_thresholds, tile_i=512,
+                          tile_j=2048, interpret=None, vma_axis=None):
+    """Pure-XLA mirror of phi_rbf_fused_pallas_sym_sharded's contract
+    (masking, diagonal double-count, lane counts) — lets the D>1
+    shard_map wiring (axis_index chunk slicing, accumulator psum, band
+    epilogue) run on the simulated CPU mesh, where Mosaic cannot."""
+    import jax
+
+    n, m = coords.shape
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    c32 = coords.astype(jnp.float32) - center
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), c32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+    c_pad = jnp.zeros((n_pad, m), jnp.float32).at[:n].set(c32)
+    b_pad = jnp.zeros((n_pad, 2 * m + 1), jnp.float32).at[:n].set(b)
+    thr = thresholds_sq.astype(jnp.float32)
+    g32 = jnp.asarray(gamma, jnp.float32)
+
+    def body(t, carry):
+        acc, lanes = carry
+        bi = pair_i[t].astype(jnp.int32)
+        bj = pair_j[t].astype(jnp.int32)
+        zero = jnp.int32(0)
+        xi = jax.lax.dynamic_slice(c_pad, (bi * tile_i, zero), (tile_i, m))
+        xj = jax.lax.dynamic_slice(c_pad, (bj * tile_j, zero), (tile_j, m))
+        bt_i = jax.lax.dynamic_slice(
+            b_pad, (bi * tile_i, zero), (tile_i, 2 * m + 1)
+        )
+        bt_j = jax.lax.dynamic_slice(
+            b_pad, (bj * tile_j, zero), (tile_j, 2 * m + 1)
+        )
+        d = xi[:, None, :] - xj[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        gi = bi * tile_i + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 0
+        )
+        gj = bj * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 1
+        )
+        valid = (gj >= gi) & (gi < n) & (gj < n)
+        k = jnp.where(valid, jnp.exp(-g32 * sq), 0.0)
+        r1 = bt_j.T @ k.T  # (bw, tile_i) -> rows bi
+        r2 = bt_i.T @ k    # (bw, tile_j) -> cols bj
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(
+                acc, (zero, bi * tile_i), (2 * m + 1, tile_i)
+            ) + r1,
+            (zero, bi * tile_i),
+        )
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(
+                acc, (zero, bj * tile_j), (2 * m + 1, tile_j)
+            ) + r2,
+            (zero, bj * tile_j),
+        )
+        hits = (sq[None] <= thr[:, None, None]) & valid[None]
+        lanes = lanes + jnp.sum(hits.astype(jnp.float32), axis=1)
+        return acc, lanes
+
+    acc0 = jnp.zeros((2 * m + 1, n_pad), jnp.float32)
+    lanes0 = jnp.zeros((num_thresholds, tile_j), jnp.float32)
+    if vma_axis is not None:
+        # shard_map VMA typing: the loop body makes the carries
+        # device-varying (the pair chunk differs per device), so the
+        # initial carries must be pcast to varying (CLAUDE.md rule).
+        acc0 = jax.lax.pcast(acc0, (vma_axis,), to="varying")
+        lanes0 = jax.lax.pcast(lanes0, (vma_axis,), to="varying")
+    return jax.lax.fori_loop(0, pair_i.shape[0], body, (acc0, lanes0))
+
+
+def test_fused_sym_multidevice_wiring(rng, monkeypatch):
+    """The D>1 fused_sym wiring — axis_index pair-chunk slicing, the
+    accumulator/lane psums, and the per-band epilogue inside shard_map —
+    runs on the 8-device CPU mesh with an XLA stand-in for the Mosaic
+    kernel and must match the cross-sweep engine."""
+    import svgdcpp_tpu as sv
+    import svgdcpp_tpu.ops.pallas_phi as pp
+    import svgdcpp_tpu.parallel.sharded as shmod
+
+    monkeypatch.setattr(
+        pp, "phi_rbf_fused_pallas_sym_sharded", _xla_sym_sharded_stub
+    )
+    n, dim = 2048, 2
+    x0 = (rng.normal(size=(n, dim)) * 2).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    outs = {}
+    for sym in (True, False):
+        if sym:
+            monkeypatch.setattr(
+                shmod.ShardedSVGD, "_resolve_fused_sym", lambda self: True
+            )
+        else:
+            monkeypatch.setattr(
+                shmod.ShardedSVGD, "_resolve_fused_sym", lambda self: False
+            )
+        sh = shmod.ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            config=shmod.ShardedSVGDConfig(fused_phi=True),
+        )
+        assert sh._fused_sym is sym
+        st = sh.init_state(x0.copy())
+        st = sh.run_state(st, 10)
+        outs[sym] = np.asarray(st["coords"])
+        assert np.isfinite(outs[sym]).all()
+    # identical semantics, different summation order: f32-slack only
+    d = np.abs(outs[True] - outs[False]).max()
+    assert d < 5e-3, d
+
+
 def test_fused_sym_config_resolution():
     """fused_sym resolves off on CPU (no Mosaic under shard_map) and an
     explicit True raises with guidance; True without fused_phi is a
