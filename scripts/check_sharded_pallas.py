@@ -98,10 +98,11 @@ def run_case(name, kernel_fn, n=4096, dim=2, steps=20):
     return ok
 
 
-def run_sym_case(n=4096, dim=2, steps=20):
+def run_sym_case(name, kernel_fn=None, n=4096, dim=2, steps=20):
     """The symmetric distributed sweep (fused_sym): global triangle pair
     list split across devices + accumulator psum vs the cross sweep —
-    both Mosaic, trajectory-compared, custom-call asserted."""
+    both Mosaic, trajectory-compared, custom-call asserted. ``kernel_fn``
+    exercises the composed (multi-term) variant."""
     rng = np.random.default_rng(0)
     x0 = (rng.normal(size=(n, dim)) * 2 + 1.5).astype(np.float32)
     model = sv.MultivariateNormal(
@@ -110,8 +111,9 @@ def run_sym_case(n=4096, dim=2, steps=20):
     outs = {}
     mosaic_in_hlo = None
     for sym in (True, False):
+        kernel = kernel_fn(x0, model) if kernel_fn is not None else None
         drv = ShardedSVGD(
-            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            model, sv.AdaGrad(dim, n, 0.1), n, dim, kernel=kernel,
             config=ShardedSVGDConfig(fused_phi=True, fused_sym=sym),
         )
         assert drv._fused_sym is sym, (sym, drv._fused_sym)
@@ -126,7 +128,7 @@ def run_sym_case(n=4096, dim=2, steps=20):
         and dmean < 5e-3 and dcov < 2e-2 and mosaic_in_hlo
     )
     _emit({
-        "case": "fused_sym_vs_cross", "n": n, "steps": steps,
+        "case": name, "n": n, "steps": steps,
         "moment_diff_vs_cross": {"mean": dmean, "cov": dcov},
         "mosaic_custom_call_in_hlo": bool(mosaic_in_hlo), "ok": ok,
     })
@@ -200,7 +202,16 @@ def main():
             constant_scale=0.1 * np.eye(x0.shape[1], dtype=np.float32),
         ),
     )
-    ok &= run_sym_case()
+    ok &= run_sym_case("fused_sym_vs_cross")
+    ok &= run_sym_case(
+        "fused_sym_vs_cross_composed",
+        lambda x0, model: sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(x0.shape[1], dtype=np.float32),
+        ),
+    )
     ok &= run_driver_mesh_case()
     if args.out:
         Path(args.out).write_text(

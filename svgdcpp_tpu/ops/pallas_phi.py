@@ -1123,6 +1123,145 @@ def phi_rbf_fused_pallas_sym_sharded(
     return acc_t, count_lanes
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "n_pad", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "vma_axis"),
+)
+def phi_rbf_terms_fused_pallas_sym_sharded(
+    coords, scores, gammas, signs, thresholds_sq, pair_i, pair_j, *, n_pad,
+    num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
+    vma_axis=None,
+):
+    """Multi-term twin of :func:`phi_rbf_fused_pallas_sym_sharded`: one
+    device's chunk of the GLOBAL composed-kernel triangle sweep
+    (_sym_terms_kernel with an externally supplied pair chunk). Returns
+    the RAW (m, n_pad) k_c and (m+1, n_pad) W accumulators plus count
+    lanes — psum all three, fold counts 2*sum - n once globally, finish
+    bands with :func:`phi_rbf_terms_fused_sym_finish`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    num_terms = len(signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.reshape(
+        jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas]),
+        (1, num_terms),
+    )
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_p = _pad_cols(coords32.T, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bst_p = _pad_cols(scores32.T, n_pad)
+    xs1t_p = _pad_cols(xs1.T, n_pad)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+    per = pair_i.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(per,),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((m, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m + 1, n_pad), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((m, n_pad), jnp.float32),
+            pltpu.VMEM((m + 1, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (pair_i, pair_j, gammas32, thr, x_p, qi_p, xjt_p, qjt_p,
+                  bst_p, xs1t_p, bst_p, xs1t_p)
+    ]
+    acck_t, accw_t, count_lanes = pl.pallas_call(
+        functools.partial(
+            _sym_terms_kernel, tuple(float(s) for s in signs), diff_m,
+            num_thresholds, tile_i, tile_j, big, n,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            _out_struct((m, n_pad), jnp.float32, vma_axis),
+            _out_struct((m + 1, n_pad), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * per * tile_i * tile_j
+            * (m + 2 * (2 * m + 1) + 2 * num_terms),
+            bytes_accessed=4 * n_pad * (4 * m + 4),
+            transcendentals=num_terms * per * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return acck_t, accw_t, count_lanes
+
+
+def phi_rbf_terms_fused_sym_finish(acck_band_t, accw_band_t, scores_band,
+                                   coords_band, center, gammas32, signs, n):
+    """Per-band epilogue of the sharded multi-term symmetric sweep:
+    psummed (m, n_local) k_c and (m+1, n_local) W column bands -> phi,
+    with the diagonal double-count corrections of the single-chip terms
+    sym form."""
+    m = coords_band.shape[1]
+    coords32 = coords_band.astype(jnp.float32) - center
+    scores32 = scores_band.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((coords_band.shape[0], 1), jnp.float32)],
+        axis=1,
+    )
+    s_sum = float(sum(float(s) for s in signs))
+    sg_sum = jnp.sum(
+        jnp.reshape(gammas32, (-1,))
+        * jnp.asarray([float(s) for s in signs], jnp.float32)
+    )
+    ks = acck_band_t.T - s_sum * scores32
+    aw = accw_band_t.T - sg_sum * xs1
+    wx = aw[:, :m]
+    w_rowsum = aw[:, m]
+    phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
+    return phi.astype(coords_band.dtype)
+
+
 def phi_rbf_fused_sym_finish(acc_band_t, scores_band, coords_band, center,
                              gamma, n):
     """Per-band epilogue of the sharded symmetric sweep: ``acc_band_t`` is

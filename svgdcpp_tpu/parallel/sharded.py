@@ -389,12 +389,12 @@ class ShardedSVGD:
         """Whether the fused Mosaic sweep distributes the GLOBAL
         upper-triangle pair list across devices (config.fused_sym).
 
-        Auto (None): on when the Mosaic sweep is active, the kernel is
-        the built-in single RBF (composed kernels keep the cross sweep —
-        their accumulator pair would double the psum payload), n is in
-        the triangle regime, and the (2m+1, n_pad_global) per-device
-        accumulator fits the VMEM budget. Explicit True raises when any
-        condition fails."""
+        Auto (None): on when the Mosaic sweep is active — for BOTH the
+        built-in single RBF and fused-terms composed kernels (the Mosaic
+        resolution already guarantees isotropic, statically-positive
+        terms) — n is in the triangle regime, and the (2m+1,
+        n_pad_global) per-device accumulators fit the VMEM budget.
+        Explicit True raises when any condition fails."""
         from ..ops.pallas_phi import (
             _SYM_ACC_VMEM_BYTES,
             _sym_eligible,
@@ -406,7 +406,6 @@ class ShardedSVGD:
             return False
         ok = (
             self._fused_pallas
-            and self.kernel is None
             and cfg.fused_dot_dtype == "float32"
             and _sym_eligible(self.num_particles, self.dimension, 2048)
         )
@@ -425,9 +424,8 @@ class ShardedSVGD:
         if not ok:
             raise ValueError(
                 "fused_sym=True requires the Mosaic fused sweep "
-                "(fused_pallas, TPU backend), the built-in single RBF "
-                "kernel (kernel=None), fused_dot_dtype='float32' (the "
-                "sym kernel has no bf16 Gram variant), and a global "
+                "(fused_pallas, TPU backend), fused_dot_dtype='float32' "
+                "(the sym kernel has no bf16 Gram variant), and a global "
                 "particle count in the triangle regime whose "
                 "(2m+1, n_pad) accumulator fits the VMEM budget "
                 "(ops/pallas_phi._sym_eligible)."
@@ -754,17 +752,12 @@ class ShardedSVGD:
                         * jnp.eye(self.dimension, dtype=coords_local.dtype),
                     )
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-                if self._fused_sym and not fused_terms:
+                if self._fused_sym:
                     # Symmetric distributed sweep: this device's chunk of
                     # the GLOBAL triangle (each unordered pair once across
                     # the mesh — per-pair VPU work halves vs the cross
                     # sweep), then one (2m+1, n_pad) psum and a per-band
                     # epilogue.
-                    from ..ops.pallas_phi import (
-                        phi_rbf_fused_pallas_sym_sharded,
-                        phi_rbf_fused_sym_finish,
-                    )
-
                     d_idx = jax.lax.axis_index(axis)
                     pi = jax.lax.dynamic_slice(
                         sym_pi, (d_idx * sym_per,), (sym_per,)
@@ -772,27 +765,55 @@ class ShardedSVGD:
                     pj = jax.lax.dynamic_slice(
                         sym_pj, (d_idx * sym_per,), (sym_per,)
                     )
-                    acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
-                        sources, scores, gamma, thresholds, pi, pj,
-                        n_pad=sym_n_pad,
-                        num_thresholds=int(thresholds.shape[0]),
-                        vma_axis=axis,
-                    )
-                    acc = jax.lax.psum(acc_raw, axis)
+                    zero = jnp.zeros((), d_idx.dtype)
+                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+                    nl = coords_local.shape[0]
+                    num_thr = int(thresholds.shape[0])
+
+                    def band_of(a):
+                        return jax.lax.dynamic_slice(
+                            a, (zero, d_idx * nl), (a.shape[0], nl)
+                        )
+
+                    if fused_terms:
+                        from ..ops.pallas_phi import (
+                            phi_rbf_terms_fused_pallas_sym_sharded,
+                            phi_rbf_terms_fused_sym_finish,
+                        )
+
+                        acck_r, accw_r, lanes = (
+                            phi_rbf_terms_fused_pallas_sym_sharded(
+                                sources, scores, gammas, term_signs,
+                                thresholds, pi, pj, n_pad=sym_n_pad,
+                                num_thresholds=num_thr, vma_axis=axis,
+                            )
+                        )
+                        acck = jax.lax.psum(acck_r, axis)
+                        accw = jax.lax.psum(accw_r, axis)
+                        phi_local = phi_rbf_terms_fused_sym_finish(
+                            band_of(acck), band_of(accw), scores_local,
+                            coords_local, center, jnp.stack(gammas),
+                            term_signs, n_global,
+                        )
+                    else:
+                        from ..ops.pallas_phi import (
+                            phi_rbf_fused_pallas_sym_sharded,
+                            phi_rbf_fused_sym_finish,
+                        )
+
+                        acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
+                            sources, scores, gamma, thresholds, pi, pj,
+                            n_pad=sym_n_pad, num_thresholds=num_thr,
+                            vma_axis=axis,
+                        )
+                        acc = jax.lax.psum(acc_raw, axis)
+                        phi_local = phi_rbf_fused_sym_finish(
+                            band_of(acc), scores_local, coords_local,
+                            center, gamma, n_global,
+                        )
                     counts = 2.0 * jnp.sum(
                         jax.lax.psum(lanes, axis), axis=1
                     ) - jnp.float32(n_global)
-                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
-                    nl = coords_local.shape[0]
-                    band = jax.lax.dynamic_slice(
-                        acc,
-                        (jnp.zeros((), d_idx.dtype), d_idx * nl),
-                        (acc.shape[0], nl),
-                    )
-                    phi_local = phi_rbf_fused_sym_finish(
-                        band, scores_local, coords_local, center, gamma,
-                        n_global,
-                    )
                 else:
                     if self._fused_pallas:
                         # Per-device VMEM-resident Mosaic sweep (the

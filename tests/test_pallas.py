@@ -853,6 +853,56 @@ def test_sym_sharded_decomposition_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
 
 
+def test_terms_sym_sharded_decomposition_matches_oracle(rng):
+    """Multi-term chunked global triangle sweep (the composed-kernel
+    fused_sym mode): summed chunk accumulators + band epilogue must
+    reproduce the XLA fused multi-term oracle."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_terms_fused_pallas_sym_sharded,
+        phi_rbf_terms_fused_sym_finish,
+        sym_pairs_plan,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n, m, d = 900, 2, 4
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([1.0, 5.0], jnp.float32)
+    gs = (jnp.float32(0.6), jnp.float32(0.15))
+    sg = (1.0, 1.0)
+    ti, tj = 64, 128
+    pi, pj, n_pad, per = sym_pairs_plan(n, d, ti, tj)
+    acck = accw = lanes = None
+    for c in range(d):
+        a, w, l = phi_rbf_terms_fused_pallas_sym_sharded(
+            x, s, list(gs), sg, thr, jnp.asarray(pi[c * per:(c + 1) * per]),
+            jnp.asarray(pj[c * per:(c + 1) * per]), n_pad=n_pad,
+            num_thresholds=2, tile_i=ti, tile_j=tj, interpret=True,
+        )
+        acck = a if acck is None else acck + a
+        accw = w if accw is None else accw + w
+        lanes = l if lanes is None else lanes + l
+    counts = 2.0 * jnp.sum(lanes, axis=1) - jnp.float32(n)
+    center = jnp.mean(x, axis=0)
+    nl = n // 3
+    phi = jnp.concatenate([
+        phi_rbf_terms_fused_sym_finish(
+            acck[:, c * nl:(c + 1) * nl], accw[:, c * nl:(c + 1) * nl],
+            s[c * nl:(c + 1) * nl], x[c * nl:(c + 1) * nl], center,
+            jnp.stack(gs), sg, n,
+        )
+        for c in range(3)
+    ], axis=0)
+    ref_phi, ref_cnt = phi_rbf_terms_fused_counts(
+        x, s, list(gs), list(sg), thr
+    )
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < 5e-6, rel
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
+
+
 def _xla_sym_sharded_stub(coords, scores, gamma, thresholds_sq, pair_i,
                           pair_j, *, n_pad, num_thresholds, tile_i=512,
                           tile_j=2048, interpret=None, vma_axis=None):
