@@ -1123,11 +1123,6 @@ def phi_rbf_fused_pallas_sym_sharded(
     return acc_t, count_lanes
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("signs", "n_pad", "num_thresholds", "tile_i", "tile_j",
-                     "interpret", "vma_axis"),
-)
 def phi_rbf_terms_fused_pallas_sym_sharded(
     coords, scores, gammas, signs, thresholds_sq, pair_i, pair_j, *, n_pad,
     num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
@@ -1139,6 +1134,26 @@ def phi_rbf_terms_fused_pallas_sym_sharded(
     the RAW (m, n_pad) k_c and (m+1, n_pad) W accumulators plus count
     lanes — psum all three, fold counts 2*sum - n once globally, finish
     bands with :func:`phi_rbf_terms_fused_sym_finish`."""
+    # Normalize like every sibling wrapper: a list-typed static arg only
+    # happens to work when this call is inlined under an outer trace.
+    return _phi_rbf_terms_fused_pallas_sym_sharded_impl(
+        coords, scores, list(gammas), tuple(float(s) for s in signs),
+        thresholds_sq, pair_i, pair_j, n_pad=n_pad,
+        num_thresholds=num_thresholds, tile_i=tile_i, tile_j=tile_j,
+        interpret=interpret, vma_axis=vma_axis,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "n_pad", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "vma_axis"),
+)
+def _phi_rbf_terms_fused_pallas_sym_sharded_impl(
+    coords, scores, gammas, signs, thresholds_sq, pair_i, pair_j, *, n_pad,
+    num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
+    vma_axis=None,
+):
     if interpret is None:
         interpret = _default_interpret()
     n, m = coords.shape
@@ -1260,6 +1275,74 @@ def phi_rbf_terms_fused_sym_finish(acck_band_t, accw_band_t, scores_band,
     w_rowsum = aw[:, m]
     phi = (ks - 2.0 * (wx - w_rowsum[:, None] * coords32)) / n
     return phi.astype(coords_band.dtype)
+
+
+def sym_sharded_plan(n: int, m: int, num_chunks: int, tile_i: int = 512,
+                     tile_j: int = 2048):
+    """Gated distribution plan for the symmetric sharded sweep: None when
+    the shape is outside the triangle regime or the (2m+1, n_pad)
+    accumulator pair — budgeted against the plan's ACTUAL
+    sentinel-extended n_pad — exceeds the VMEM budget; else
+    (pair_i, pair_j, n_pad, per_chunk) as numpy arrays."""
+    if not _sym_eligible(n, m, tile_j):
+        return None
+    plan = sym_pairs_plan(n, num_chunks, tile_i, tile_j)
+    if 2 * (2 * m + 1) * plan[2] * 4 > _SYM_ACC_VMEM_BYTES:
+        return None
+    return plan
+
+
+def sym_sharded_phi(coords_local, scores_local, sources, scores_global,
+                    axis, sym_pi, sym_pj, sym_per, sym_n_pad, thresholds,
+                    *, gamma=None, gammas=None, signs=None):
+    """The shard_map-side schedule of the symmetric distributed sweep,
+    shared by ShardedSVGD.fused_sym and the driver's SVGDOptions.mesh
+    wrapper (single definition — the chunk slicing, psums, count fold and
+    band epilogue must not drift between engines).
+
+    Pass ``gamma`` for the built-in single RBF or ``gammas``+``signs``
+    for the fused-terms composed family. ``sym_pi``/``sym_pj``/``sym_per``
+    come from :func:`sym_sharded_plan` chunked by the size of mesh axis
+    ``axis`` (axis 0 — the only axis that consumes chunks). Returns
+    (phi_local, counts_global)."""
+    d_idx = jax.lax.axis_index(axis)
+    pi = jax.lax.dynamic_slice(sym_pi, (d_idx * sym_per,), (sym_per,))
+    pj = jax.lax.dynamic_slice(sym_pj, (d_idx * sym_per,), (sym_per,))
+    n_glob = sources.shape[0]
+    num_thr = int(thresholds.shape[0])
+    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+    nl = coords_local.shape[0]
+    zero = jnp.zeros((), d_idx.dtype)
+
+    def band_of(a):
+        return jax.lax.dynamic_slice(
+            a, (zero, d_idx * nl), (a.shape[0], nl)
+        )
+
+    if gammas is None:
+        acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
+            sources, scores_global, gamma, thresholds, pi, pj,
+            n_pad=sym_n_pad, num_thresholds=num_thr, vma_axis=axis,
+        )
+        acc = jax.lax.psum(acc_raw, axis)
+        phi_local = phi_rbf_fused_sym_finish(
+            band_of(acc), scores_local, coords_local, center, gamma, n_glob
+        )
+    else:
+        acck_r, accw_r, lanes = phi_rbf_terms_fused_pallas_sym_sharded(
+            sources, scores_global, list(gammas), signs, thresholds, pi, pj,
+            n_pad=sym_n_pad, num_thresholds=num_thr, vma_axis=axis,
+        )
+        acck = jax.lax.psum(acck_r, axis)
+        accw = jax.lax.psum(accw_r, axis)
+        phi_local = phi_rbf_terms_fused_sym_finish(
+            band_of(acck), band_of(accw), scores_local, coords_local,
+            center, jnp.stack(list(gammas)), signs, n_glob,
+        )
+    counts = 2.0 * jnp.sum(
+        jax.lax.psum(lanes, axis), axis=1
+    ) - jnp.float32(n_glob)
+    return phi_local, counts
 
 
 def phi_rbf_fused_sym_finish(acc_band_t, scores_band, coords_band, center,

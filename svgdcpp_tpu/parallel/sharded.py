@@ -395,30 +395,21 @@ class ShardedSVGD:
         terms) — n is in the triangle regime, and the (2m+1,
         n_pad_global) per-device accumulators fit the VMEM budget.
         Explicit True raises when any condition fails."""
-        from ..ops.pallas_phi import (
-            _SYM_ACC_VMEM_BYTES,
-            _sym_eligible,
-            sym_pairs_plan,
-        )
+        from ..ops.pallas_phi import sym_sharded_plan
 
         cfg = self.config
         if cfg.fused_sym is False or not cfg.fused_phi:
             return False
+        # Chunk by the size of mesh AXIS 0 — the only axis that consumes
+        # pair chunks (a multi-axis mesh only row-shards on axis 0).
         ok = (
             self._fused_pallas
             and cfg.fused_dot_dtype == "float32"
-            and _sym_eligible(self.num_particles, self.dimension, 2048)
+            and sym_sharded_plan(
+                self.num_particles, self.dimension,
+                int(self.mesh.shape[self.axis]),
+            ) is not None
         )
-        if ok:
-            # Budget against the plan's ACTUAL n_pad: the sentinel
-            # extension can add a tile_j of padding in the tiny-n corner,
-            # which at high m would push the (2m+1, n_pad) scratch+output
-            # pair past the budget _sym_eligible checked at the raw n.
-            _, _, n_pad, _ = sym_pairs_plan(
-                self.num_particles, int(self.mesh.devices.size)
-            )
-            bw = 2 * self.dimension + 1
-            ok = 2 * bw * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
         if cfg.fused_sym is None:
             return ok
         if not ok:
@@ -479,10 +470,15 @@ class ShardedSVGD:
         the single home shared by parameter hot-swap, init_state's
         stale-mutation guard and the eager hook loop."""
         self._validate_fused_kernel()
-        before = (self._term_psd, self._fused_pallas)
+        before = (self._term_psd, self._fused_pallas, self._fused_sym)
         self._refresh_psd()
         self._fused_pallas = self._resolve_fused_pallas()
-        if (self._term_psd, self._fused_pallas) != before:
+        # _fused_sym depends on _fused_pallas (which hot-swapped composed
+        # parameters can flip): a stale True would keep routing through
+        # the Mosaic sym kernel after its static-positivity precondition
+        # broke.
+        self._fused_sym = self._resolve_fused_sym()
+        if (self._term_psd, self._fused_pallas, self._fused_sym) != before:
             self._build()
 
     # ------------------------------------------------------------------
@@ -540,12 +536,12 @@ class ShardedSVGD:
 
         if self._fused_sym:
             # Static distribution of the global upper-triangle super-tile
-            # list (each unordered pair on exactly one device; sentinel
-            # pairs point at fully-padded blocks).
-            from ..ops.pallas_phi import sym_pairs_plan
+            # list (each unordered pair on exactly one AXIS-0 slot;
+            # sentinel pairs point at strictly-lower tiles).
+            from ..ops.pallas_phi import sym_sharded_plan
 
-            sym_pi_np, sym_pj_np, sym_n_pad, sym_per = sym_pairs_plan(
-                n_global, int(self.mesh.devices.size)
+            sym_pi_np, sym_pj_np, sym_n_pad, sym_per = sym_sharded_plan(
+                n_global, self.dimension, int(self.mesh.shape[axis])
             )
             sym_pi = jnp.asarray(sym_pi_np)
             sym_pj = jnp.asarray(sym_pj_np)
@@ -757,63 +753,17 @@ class ShardedSVGD:
                     # the GLOBAL triangle (each unordered pair once across
                     # the mesh — per-pair VPU work halves vs the cross
                     # sweep), then one (2m+1, n_pad) psum and a per-band
-                    # epilogue.
-                    d_idx = jax.lax.axis_index(axis)
-                    pi = jax.lax.dynamic_slice(
-                        sym_pi, (d_idx * sym_per,), (sym_per,)
+                    # epilogue. Single schedule definition shared with the
+                    # driver's mesh wrapper (ops/pallas_phi).
+                    from ..ops.pallas_phi import sym_sharded_phi
+
+                    phi_local, counts = sym_sharded_phi(
+                        coords_local, scores_local, sources, scores, axis,
+                        sym_pi, sym_pj, sym_per, sym_n_pad, thresholds,
+                        gamma=None if fused_terms else gamma,
+                        gammas=gammas if fused_terms else None,
+                        signs=tuple(term_signs) if fused_terms else None,
                     )
-                    pj = jax.lax.dynamic_slice(
-                        sym_pj, (d_idx * sym_per,), (sym_per,)
-                    )
-                    zero = jnp.zeros((), d_idx.dtype)
-                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
-                    nl = coords_local.shape[0]
-                    num_thr = int(thresholds.shape[0])
-
-                    def band_of(a):
-                        return jax.lax.dynamic_slice(
-                            a, (zero, d_idx * nl), (a.shape[0], nl)
-                        )
-
-                    if fused_terms:
-                        from ..ops.pallas_phi import (
-                            phi_rbf_terms_fused_pallas_sym_sharded,
-                            phi_rbf_terms_fused_sym_finish,
-                        )
-
-                        acck_r, accw_r, lanes = (
-                            phi_rbf_terms_fused_pallas_sym_sharded(
-                                sources, scores, gammas, term_signs,
-                                thresholds, pi, pj, n_pad=sym_n_pad,
-                                num_thresholds=num_thr, vma_axis=axis,
-                            )
-                        )
-                        acck = jax.lax.psum(acck_r, axis)
-                        accw = jax.lax.psum(accw_r, axis)
-                        phi_local = phi_rbf_terms_fused_sym_finish(
-                            band_of(acck), band_of(accw), scores_local,
-                            coords_local, center, jnp.stack(gammas),
-                            term_signs, n_global,
-                        )
-                    else:
-                        from ..ops.pallas_phi import (
-                            phi_rbf_fused_pallas_sym_sharded,
-                            phi_rbf_fused_sym_finish,
-                        )
-
-                        acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
-                            sources, scores, gamma, thresholds, pi, pj,
-                            n_pad=sym_n_pad, num_thresholds=num_thr,
-                            vma_axis=axis,
-                        )
-                        acc = jax.lax.psum(acc_raw, axis)
-                        phi_local = phi_rbf_fused_sym_finish(
-                            band_of(acc), scores_local, coords_local,
-                            center, gamma, n_global,
-                        )
-                    counts = 2.0 * jnp.sum(
-                        jax.lax.psum(lanes, axis), axis=1
-                    ) - jnp.float32(n_global)
                 else:
                     if self._fused_pallas:
                         # Per-device VMEM-resident Mosaic sweep (the

@@ -599,162 +599,77 @@ class SVGD:
         axis = mesh.axis_names[0]
         dd = self.options.fused_dot_dtype
 
-        if gammas is None:
-            from .ops.pallas_phi import (
-                _SYM_ACC_VMEM_BYTES,
-                _sym_eligible,
-                sym_pairs_plan,
-            )
+        from .ops.pallas_phi import sym_sharded_plan
 
-            n_glob = int(coords.shape[0])
-            use_sym = dd == "float32" and _sym_eligible(n_glob, self.dimension,
-                                                        2048)
-            if use_sym:
-                pi_np, pj_np, sym_n_pad, sym_per = sym_pairs_plan(
-                    n_glob, int(mesh.devices.size)
-                )
-                # budget against the plan's actual (sentinel-extended) pad
-                use_sym = (
-                    2 * (2 * self.dimension + 1) * sym_n_pad * 4
-                    <= _SYM_ACC_VMEM_BYTES
-                )
-            if use_sym:
-                # Symmetric distributed sweep: the global triangle's
-                # super-tile list splits across devices (each unordered
-                # pair once) + one accumulator psum — the ShardedSVGD
-                # fused_sym schedule on the GSPMD convenience path.
-                from .ops.pallas_phi import (
-                    phi_rbf_fused_pallas_sym_sharded,
-                    phi_rbf_fused_sym_finish,
-                )
+        # Chunk by the size of mesh AXIS 0 — the only axis consuming pair
+        # chunks (multi-axis meshes only row-shard on axis 0).
+        n_glob = int(coords.shape[0])
+        sym_plan = (
+            sym_sharded_plan(n_glob, self.dimension, int(mesh.shape[axis]))
+            if dd == "float32"
+            else None
+        )
+        if sym_plan is not None:
+            # Symmetric distributed sweep: the global triangle's
+            # super-tile list splits across devices (each unordered pair
+            # once) + one accumulator psum — the ShardedSVGD fused_sym
+            # schedule on the GSPMD convenience path (shared definition:
+            # ops/pallas_phi.sym_sharded_phi).
+            from .ops.pallas_phi import sym_sharded_phi
 
-                sym_pi = jnp.asarray(pi_np)
-                sym_pj = jnp.asarray(pj_np)
-                num_thr = int(thresholds.shape[0])
+            pi_np, pj_np, sym_n_pad, sym_per = sym_plan
+            sym_pi = jnp.asarray(pi_np)
+            sym_pj = jnp.asarray(pj_np)
+
+            if gammas is None:
 
                 def local(c_l, s_l, g, thr):
                     sources = jax.lax.all_gather(c_l, axis, tiled=True)
                     scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
-                    d_idx = jax.lax.axis_index(axis)
-                    pi = jax.lax.dynamic_slice(
-                        sym_pi, (d_idx * sym_per,), (sym_per,)
+                    return sym_sharded_phi(
+                        c_l, s_l, sources, scores_g, axis, sym_pi, sym_pj,
+                        sym_per, sym_n_pad, thr, gamma=g,
                     )
-                    pj = jax.lax.dynamic_slice(
-                        sym_pj, (d_idx * sym_per,), (sym_per,)
-                    )
-                    acc_raw, lanes = phi_rbf_fused_pallas_sym_sharded(
-                        sources, scores_g, g, thr, pi, pj,
-                        n_pad=sym_n_pad, num_thresholds=num_thr,
-                        vma_axis=axis,
-                    )
-                    acc = jax.lax.psum(acc_raw, axis)
-                    counts = 2.0 * jnp.sum(
-                        jax.lax.psum(lanes, axis), axis=1
-                    ) - jnp.float32(n_glob)
-                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
-                    band = jax.lax.dynamic_slice(
-                        acc,
-                        (jnp.zeros((), d_idx.dtype),
-                         d_idx * c_l.shape[0]),
-                        (acc.shape[0], c_l.shape[0]),
-                    )
-                    phi_l = phi_rbf_fused_sym_finish(
-                        band, s_l, c_l, center, g, n_glob
-                    )
-                    return phi_l, counts
 
                 args = (coords, scores, gamma, thresholds)
             else:
-                from .ops.pallas_phi import phi_rbf_fused_pallas_cross
 
-                def local(c_l, s_l, g, thr):
+                def local(c_l, s_l, gs, thr):
                     sources = jax.lax.all_gather(c_l, axis, tiled=True)
                     scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
-                    phi_l, counts_l = phi_rbf_fused_pallas_cross(
-                        c_l, sources, scores_g, g, thr, dot_dtype=dd,
-                        axis_name=axis,
+                    return sym_sharded_phi(
+                        c_l, s_l, sources, scores_g, axis, sym_pi, sym_pj,
+                        sym_per, sym_n_pad, thr, gammas=list(gs),
+                        signs=signs,
                     )
-                    return phi_l, jax.lax.psum(counts_l, axis)
 
-                args = (coords, scores, gamma, thresholds)
+                args = (coords, scores, tuple(gammas), thresholds)
+        elif gammas is None:
+            from .ops.pallas_phi import phi_rbf_fused_pallas_cross
+
+            def local(c_l, s_l, g, thr):
+                sources = jax.lax.all_gather(c_l, axis, tiled=True)
+                scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
+                phi_l, counts_l = phi_rbf_fused_pallas_cross(
+                    c_l, sources, scores_g, g, thr, dot_dtype=dd,
+                    axis_name=axis,
+                )
+                return phi_l, jax.lax.psum(counts_l, axis)
+
+            args = (coords, scores, gamma, thresholds)
         else:
-            from .ops.pallas_phi import (
-                _SYM_ACC_VMEM_BYTES,
-                _sym_eligible,
-                sym_pairs_plan,
-            )
+            from .ops.pallas_phi import phi_rbf_terms_fused_pallas_cross
 
-            n_glob = int(coords.shape[0])
-            use_sym = _sym_eligible(n_glob, self.dimension, 2048)
-            if use_sym:
-                pi_np, pj_np, sym_n_pad, sym_per = sym_pairs_plan(
-                    n_glob, int(mesh.devices.size)
+            def local(c_l, s_l, gs, thr):
+                sources = jax.lax.all_gather(c_l, axis, tiled=True)
+                scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
+                phi_l, counts_l = phi_rbf_terms_fused_pallas_cross(
+                    c_l, sources, scores_g, gs, signs, thr,
+                    axis_name=axis,
                 )
-                use_sym = (
-                    2 * (2 * self.dimension + 1) * sym_n_pad * 4
-                    <= _SYM_ACC_VMEM_BYTES
-                )
-            if use_sym:
-                from .ops.pallas_phi import (
-                    phi_rbf_terms_fused_pallas_sym_sharded,
-                    phi_rbf_terms_fused_sym_finish,
-                )
+                return phi_l, jax.lax.psum(counts_l, axis)
 
-                sym_pi = jnp.asarray(pi_np)
-                sym_pj = jnp.asarray(pj_np)
-                num_thr = int(thresholds.shape[0])
-
-                def local(c_l, s_l, gs, thr):
-                    sources = jax.lax.all_gather(c_l, axis, tiled=True)
-                    scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
-                    d_idx = jax.lax.axis_index(axis)
-                    pi = jax.lax.dynamic_slice(
-                        sym_pi, (d_idx * sym_per,), (sym_per,)
-                    )
-                    pj = jax.lax.dynamic_slice(
-                        sym_pj, (d_idx * sym_per,), (sym_per,)
-                    )
-                    acck_r, accw_r, lanes = (
-                        phi_rbf_terms_fused_pallas_sym_sharded(
-                            sources, scores_g, list(gs), signs, thr, pi, pj,
-                            n_pad=sym_n_pad, num_thresholds=num_thr,
-                            vma_axis=axis,
-                        )
-                    )
-                    acck = jax.lax.psum(acck_r, axis)
-                    accw = jax.lax.psum(accw_r, axis)
-                    counts = 2.0 * jnp.sum(
-                        jax.lax.psum(lanes, axis), axis=1
-                    ) - jnp.float32(n_glob)
-                    center = jnp.mean(sources.astype(jnp.float32), axis=0)
-                    zero = jnp.zeros((), d_idx.dtype)
-                    nl = c_l.shape[0]
-
-                    def band_of(a):
-                        return jax.lax.dynamic_slice(
-                            a, (zero, d_idx * nl), (a.shape[0], nl)
-                        )
-
-                    phi_l = phi_rbf_terms_fused_sym_finish(
-                        band_of(acck), band_of(accw), s_l, c_l, center,
-                        jnp.stack(list(gs)), signs, n_glob,
-                    )
-                    return phi_l, counts
-
-                args = (coords, scores, tuple(gammas), thresholds)
-            else:
-                from .ops.pallas_phi import phi_rbf_terms_fused_pallas_cross
-
-                def local(c_l, s_l, gs, thr):
-                    sources = jax.lax.all_gather(c_l, axis, tiled=True)
-                    scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
-                    phi_l, counts_l = phi_rbf_terms_fused_pallas_cross(
-                        c_l, sources, scores_g, gs, signs, thr,
-                        axis_name=axis,
-                    )
-                    return phi_l, jax.lax.psum(counts_l, axis)
-
-                args = (coords, scores, tuple(gammas), thresholds)
+            args = (coords, scores, tuple(gammas), thresholds)
         return jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(axis, None), P(axis, None), P(), P()),
