@@ -34,7 +34,7 @@ from .optimizers.rmsprop import RMSProp
 from .parallel.mesh import initialize_distributed, make_particle_mesh
 from .svgd import SVGD, SVGDOptions
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"  # keep in sync with pyproject.toml
 
 __all__ = [
     "SVGD",
