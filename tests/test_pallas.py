@@ -853,6 +853,22 @@ def test_sym_sharded_decomposition_matches_oracle(rng):
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
 
 
+def test_sym_sharded_plan_gating():
+    """The shared distribution-plan gate: None outside the triangle
+    regime or past the (sentinel-extended) accumulator budget; a valid
+    plan covers n and chunks evenly."""
+    from svgdcpp_tpu.ops.pallas_phi import sym_sharded_plan
+
+    plan = sym_sharded_plan(10240, 2, 8)
+    assert plan is not None
+    pi, pj, n_pad, per = plan
+    assert n_pad >= 10240 and len(pi) == 8 * per
+    assert sym_sharded_plan(1024, 2, 8) is None       # below _SYM_MIN_N
+    assert sym_sharded_plan(500_000, 2, 8) is None    # past the budget
+    # high m: budget shrinks the admissible n accordingly
+    assert sym_sharded_plan(100_000, 40, 8) is None
+
+
 def test_terms_sym_sharded_decomposition_matches_oracle(rng):
     """Multi-term chunked global triangle sweep (the composed-kernel
     fused_sym mode): summed chunk accumulators + band epilogue must
