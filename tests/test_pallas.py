@@ -994,11 +994,101 @@ def _xla_sym_sharded_stub(coords, scores, gamma, thresholds_sq, pair_i,
     return jax.lax.fori_loop(0, pair_i.shape[0], body, (acc0, lanes0))
 
 
+def _xla_terms_sym_sharded_stub(coords, scores, gammas, signs,
+                                thresholds_sq, pair_i, pair_j, *, n_pad,
+                                num_thresholds, tile_i=512, tile_j=2048,
+                                interpret=None, vma_axis=None):
+    """Multi-term twin of _xla_sym_sharded_stub mirroring
+    phi_rbf_terms_fused_pallas_sym_sharded's contract (separate k_c and W
+    accumulators) for D>1 CPU-mesh wiring tests."""
+    import jax
+
+    n, m = coords.shape
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    c32 = coords.astype(jnp.float32) - center
+    s32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [c32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    c_pad = jnp.zeros((n_pad, m), jnp.float32).at[:n].set(c32)
+    s_pad = jnp.zeros((n_pad, m), jnp.float32).at[:n].set(s32)
+    xs1_pad = jnp.zeros((n_pad, m + 1), jnp.float32).at[:n].set(xs1)
+    thr = thresholds_sq.astype(jnp.float32)
+    g_arr = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+    s_arr = jnp.asarray([float(s) for s in signs], jnp.float32)
+
+    def body(t, carry):
+        acck, accw, lanes = carry
+        bi = pair_i[t].astype(jnp.int32)
+        bj = pair_j[t].astype(jnp.int32)
+        zero = jnp.int32(0)
+        xi = jax.lax.dynamic_slice(c_pad, (bi * tile_i, zero), (tile_i, m))
+        xj = jax.lax.dynamic_slice(c_pad, (bj * tile_j, zero), (tile_j, m))
+        si = jax.lax.dynamic_slice(s_pad, (bi * tile_i, zero), (tile_i, m))
+        sj = jax.lax.dynamic_slice(s_pad, (bj * tile_j, zero), (tile_j, m))
+        x1i = jax.lax.dynamic_slice(
+            xs1_pad, (bi * tile_i, zero), (tile_i, m + 1)
+        )
+        x1j = jax.lax.dynamic_slice(
+            xs1_pad, (bj * tile_j, zero), (tile_j, m + 1)
+        )
+        d = xi[:, None, :] - xj[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        gi = bi * tile_i + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 0
+        )
+        gj = bj * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 1
+        )
+        valid = (gj >= gi) & (gi < n) & (gj < n)
+        k_terms = jnp.exp(-g_arr[:, None, None] * sq[None])
+        k_c = jnp.where(valid, jnp.einsum("t,tij->ij", s_arr, k_terms), 0.0)
+        w_t = jnp.where(
+            valid, jnp.einsum("t,tij->ij", s_arr * g_arr, k_terms), 0.0
+        )
+
+        def upd(acc, tile, left_j, left_i):
+            r1 = left_j.T @ tile.T
+            r2 = left_i.T @ tile
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (zero, bi * tile_i), (acc.shape[0], tile_i)
+                ) + r1,
+                (zero, bi * tile_i),
+            )
+            return jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (zero, bj * tile_j), (acc.shape[0], tile_j)
+                ) + r2,
+                (zero, bj * tile_j),
+            )
+
+        acck = upd(acck, k_c, sj, si)
+        accw = upd(accw, w_t, x1j, x1i)
+        hits = (sq[None] <= thr[:, None, None]) & valid[None]
+        lanes = lanes + jnp.sum(hits.astype(jnp.float32), axis=1)
+        return acck, accw, lanes
+
+    acck0 = jnp.zeros((m, n_pad), jnp.float32)
+    accw0 = jnp.zeros((m + 1, n_pad), jnp.float32)
+    lanes0 = jnp.zeros((num_thresholds, tile_j), jnp.float32)
+    if vma_axis is not None:
+        acck0 = jax.lax.pcast(acck0, (vma_axis,), to="varying")
+        accw0 = jax.lax.pcast(accw0, (vma_axis,), to="varying")
+        lanes0 = jax.lax.pcast(lanes0, (vma_axis,), to="varying")
+    return jax.lax.fori_loop(
+        0, pair_i.shape[0], body, (acck0, accw0, lanes0)
+    )
+
+
 def test_fused_sym_multidevice_wiring(rng, monkeypatch):
     """The D>1 fused_sym wiring — axis_index pair-chunk slicing, the
     accumulator/lane psums, and the per-band epilogue inside shard_map —
-    runs on the 8-device CPU mesh with an XLA stand-in for the Mosaic
-    kernel and must match the cross-sweep engine."""
+    runs on the 8-device CPU mesh with XLA stand-ins for the Mosaic
+    kernels (single-term AND composed) and must match the cross-sweep
+    engine."""
     import svgdcpp_tpu as sv
     import svgdcpp_tpu.ops.pallas_phi as pp
     import svgdcpp_tpu.parallel.sharded as shmod
@@ -1006,33 +1096,44 @@ def test_fused_sym_multidevice_wiring(rng, monkeypatch):
     monkeypatch.setattr(
         pp, "phi_rbf_fused_pallas_sym_sharded", _xla_sym_sharded_stub
     )
+    monkeypatch.setattr(
+        pp, "phi_rbf_terms_fused_pallas_sym_sharded",
+        _xla_terms_sym_sharded_stub,
+    )
     n, dim = 2048, 2
     x0 = (rng.normal(size=(n, dim)) * 2).astype(np.float32)
     model = sv.MultivariateNormal(
         np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
     )
-    outs = {}
-    for sym in (True, False):
-        if sym:
-            monkeypatch.setattr(
-                shmod.ShardedSVGD, "_resolve_fused_sym", lambda self: True
-            )
-        else:
-            monkeypatch.setattr(
-                shmod.ShardedSVGD, "_resolve_fused_sym", lambda self: False
-            )
-        sh = shmod.ShardedSVGD(
-            model, sv.AdaGrad(dim, n, 0.1), n, dim,
-            config=shmod.ShardedSVGDConfig(fused_phi=True),
+
+    def mk_kernel():
+        return sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN, model
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=0.1 * np.eye(dim, dtype=np.float32),
         )
-        assert sh._fused_sym is sym
-        st = sh.init_state(x0.copy())
-        st = sh.run_state(st, 10)
-        outs[sym] = np.asarray(st["coords"])
-        assert np.isfinite(outs[sym]).all()
-    # identical semantics, different summation order: f32-slack only
-    d = np.abs(outs[True] - outs[False]).max()
-    assert d < 5e-3, d
+
+    for composed in (False, True):
+        outs = {}
+        for sym in (True, False):
+            monkeypatch.setattr(
+                shmod.ShardedSVGD, "_resolve_fused_sym",
+                (lambda self: True) if sym else (lambda self: False),
+            )
+            sh = shmod.ShardedSVGD(
+                model, sv.AdaGrad(dim, n, 0.1), n, dim,
+                kernel=mk_kernel() if composed else None,
+                config=shmod.ShardedSVGDConfig(fused_phi=True),
+            )
+            assert sh._fused_sym is sym
+            st = sh.init_state(x0.copy())
+            st = sh.run_state(st, 10)
+            outs[sym] = np.asarray(st["coords"])
+            assert np.isfinite(outs[sym]).all()
+        # identical semantics, different summation order: f32-slack only
+        d = np.abs(outs[True] - outs[False]).max()
+        assert d < 5e-3, (composed, d)
 
 
 def test_fused_sym_config_resolution():
