@@ -1,11 +1,14 @@
 """Large-scale SVGD: the fused single-sweep production path.
 
 The reference's examples stop at tens of particles (mvn_example.cpp:19 uses
-10); this example runs the same MVN workload at 10k-100k+ particles, where
+10); this example runs the same MVN workload at 10k-1M+ particles, where
 each step is ONE fused O(n^2) sweep computing phi and the median-selection
 counts together (phi_impl='auto' picks the Mosaic kernel on TPU, the XLA
-sweep elsewhere — see docs/perf.md). Prints per-step timing, throughput,
-and the kernel Stein discrepancy before/after as the convergence check.
+sweep elsewhere; from n >= 2048 the sweep visits each unordered pair ONCE
+— the symmetric triangle form, extended past ~200k particles by the
+panel-rotated variant with O(1)-in-n VMEM — see docs/perf.md). Prints
+per-step timing, throughput, and the kernel Stein discrepancy
+before/after as the convergence check.
 
     python examples/large_scale_example.py [num_particles] [num_iterations]
 
