@@ -207,8 +207,13 @@ def fused_aniso_terms_supported(terms, adaptive_slots, parameters) -> bool:
         if c_const is None:
             continue  # purely adaptive term: gamma * I, always PD
         sym = 0.5 * (c_const + c_const.T)
-        min_eig = float(np.linalg.eigvalsh(sym).min())
-        ok = min_eig >= -1e-12 if has_adaptive else min_eig > 1e-12
+        eigs = np.linalg.eigvalsh(sym)
+        min_eig = float(eigs.min())
+        # Scale-relative tolerance (round-5 ADVICE fix): an absolute
+        # +/-1e-12 rejected tiny-scale PD matrices (eigs ~1e-13) and
+        # passed huge-norm matrices with relative min-eig ~0.
+        tol = 1e-12 * float(np.abs(eigs).max())
+        ok = min_eig >= -tol if has_adaptive else min_eig > tol
         if not ok:
             return False
     return True

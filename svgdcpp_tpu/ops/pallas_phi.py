@@ -317,6 +317,17 @@ def _lane_counts(scratch_ref, sq, thr_ref, num_t):
     Column identity is irrelevant (only the lane SUM is consumed), so every
     (i, j) tile adds its per-column partials at the same scratch offsets;
     the wrapper's XLA epilogue does the one lane reduction at the end.
+
+    Count-noise bound: the accumulators are f32, exact up to 2^24 per
+    lane. A lane receives ~n^2 / (2 * tile_j) pair contributions (sym
+    sweeps halve the pairs), so per-lane totals stay exactly-integer up to
+    n ~ 2.6e5 at tile_j = 2048 and carry ~2^-24 RELATIVE rounding beyond
+    (n = 1M: per-lane ~2.4e8, absolute noise ~tens of counts out of
+    10^12 — ~1e-7 relative). The warm-median machinery tolerates this by
+    construction: counts feed a BRACKET check against rank bounds whose
+    slack is O(n) counts, and the bisection fallback re-counts with the
+    same kernel, so both sides carry identical noise (panel sweeps at
+    n = 1M are posterior-verified on chip, docs/perf.md).
     """
     for t in range(num_t):
         scratch_ref[t, :] += jnp.sum(
@@ -486,6 +497,37 @@ _SYM_ACC_VMEM_BYTES = 8 * 2**20
 def _sym_eligible(n: int, m: int, tile_j: int) -> bool:
     n_pad = ((n + tile_j - 1) // tile_j) * tile_j
     return n >= _SYM_MIN_N and 2 * (2 * m + 1) * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+
+
+def _resolve_sym(sym, n, m, tile_i, tile_j, panel_eligible):
+    """Resolve a ``sym`` request to False | True | 'panel'.
+
+    ``None`` (auto): triangle whenever eligible — full-width within the
+    accumulator budget, panel-rotated past it, else the cross sweep. The
+    triangle enumeration requires tile_j % tile_i == 0; explicit tiles
+    that break it keep the cross sweep instead of raising (round-5 ADVICE
+    fix — the cross sweep accepts any tile pair). ``True`` (force):
+    advisory — picks the widest eligible triangle form ignoring the
+    _SYM_MIN_N crossover, falling back to the cross sweep only when no
+    triangle form can run the shape. Explicit False/'panel' pass through.
+    """
+    if sym is not None and sym is not True:
+        return sym
+    if tile_j % tile_i:
+        return False
+    if sym is True:
+        fits = (
+            2 * (2 * m + 1) * _ceil_mult(n, tile_j) * 4
+            <= _SYM_ACC_VMEM_BYTES
+        )
+        return True if fits else (
+            "panel" if panel_eligible(n, m, tile_j) else False
+        )
+    if n < _SYM_MIN_N:
+        return False
+    if _sym_eligible(n, m, tile_j):
+        return True
+    return "panel" if panel_eligible(n, m, tile_j) else False
 
 
 def _sym_kernel(diff_m, num_t, ri, cj, big, n_real, bi_ref, bj_ref, gamma_ref,
@@ -673,14 +715,10 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
     if interpret is None:
         interpret = _default_interpret()
     n, m = coords.shape
-    if sym is None:
-        # Full-width sym within the accumulator budget; past it the
-        # panel-rotated form keeps the triangle (O(1)-in-n VMEM) up to
-        # its own HBM/window ceilings; 'panel' forces it for testing.
-        sym = "panel" if (
-            n >= _SYM_MIN_N and not _sym_eligible(n, m, tile_j)
-            and _sym_panel_eligible(n, m, tile_j)
-        ) else _sym_eligible(n, m, tile_j)
+    # Full-width sym within the accumulator budget; past it the
+    # panel-rotated form keeps the triangle (O(1)-in-n VMEM) up to
+    # its own HBM/window ceilings; 'panel' forces it for testing.
+    sym = _resolve_sym(sym, n, m, tile_i, tile_j, _sym_panel_eligible)
     if sym == "panel":
         return _phi_rbf_fused_pallas_sympanel_impl(
             coords, scores, gamma, thresholds_sq,
@@ -2435,11 +2473,7 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
     if interpret is None:
         interpret = _default_interpret()
     n, m = coords.shape
-    if sym is None:
-        sym = "panel" if (
-            n >= _SYM_MIN_N and not _sym_eligible(n, m, tile_j)
-            and _sym_panel_terms_eligible(n, m, tile_j)
-        ) else _sym_eligible(n, m, tile_j)
+    sym = _resolve_sym(sym, n, m, tile_i, tile_j, _sym_panel_terms_eligible)
     if sym == "panel":
         return _phi_rbf_terms_fused_pallas_sympanel_impl(
             coords, scores, tuple(gammas),

@@ -101,6 +101,14 @@ class SVGDOptions:
     #: (experimental — halves MXU operand width at ~2^-8 per-pair relative
     #: rounding; accumulation and the exp stay f32. See docs/perf.md).
     fused_dot_dtype: str = "float32"
+    #: Symmetric (upper-triangle) sweep selection for the Mosaic fused
+    #: paths, INCLUDING the SVGDOptions.mesh schedule: None (default)
+    #: auto-selects the triangle form whenever eligible; False forces the
+    #: ordered cross/square sweep without touching numerics (the escape
+    #: hatch fused_dot_dtype is not); True forces the full-width triangle
+    #: form where the shape supports it (advisory — ineligible shapes
+    #: still fall back).
+    fused_sym: Any = None
 
 
 def _prepare_bound(bound, dimension, name) -> Optional[jnp.ndarray]:
@@ -606,7 +614,7 @@ class SVGD:
         n_glob = int(coords.shape[0])
         sym_plan = (
             sym_sharded_plan(n_glob, self.dimension, int(mesh.shape[axis]))
-            if dd == "float32"
+            if dd == "float32" and self.options.fused_sym is not False
             else None
         )
         if sym_plan is not None:
@@ -781,7 +789,8 @@ class SVGD:
                         from .ops.pallas_phi import phi_rbf_terms_fused_pallas
 
                         phi, counts = phi_rbf_terms_fused_pallas(
-                            coords, scores, gammas, term_signs, thresholds
+                            coords, scores, gammas, term_signs, thresholds,
+                            sym=self.options.fused_sym,
                         )
                 elif fused_terms:
                     from .ops.phi import phi_rbf_terms_fused_counts
@@ -801,6 +810,7 @@ class SVGD:
                         phi, counts = phi_rbf_fused_pallas(
                             coords, scores, gamma, thresholds,
                             dot_dtype=self.options.fused_dot_dtype,
+                            sym=self.options.fused_sym,
                         )
                 else:
                     phi, counts = phi_rbf_fused_counts(

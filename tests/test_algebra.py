@@ -445,3 +445,42 @@ def test_random_tree_three_way_consistency(seed):
             phi_rbf_terms(coords, scores, kernel.parameters, terms, row_tile=8)
         )
         np.testing.assert_allclose(got, expect, rtol=1e-8, atol=1e-12)
+
+
+def test_aniso_gate_tolerance_is_scale_relative(rng):
+    """Round-5 ADVICE fix: PD-ness classification must not depend on the
+    overall scale of the constant precision sum — a tiny-scale PD matrix
+    is PD, and scaling a PSD-gated composition cannot flip the verdict."""
+    import svgdcpp_tpu as sv
+    from svgdcpp_tpu.kernels.algebra import (
+        flatten_rbf_terms,
+        fused_aniso_terms_supported,
+    )
+
+    dim = 2
+    x0 = rng.normal(size=(16, dim)).astype(np.float32)
+
+    def const_kernel(scale_mat):
+        return sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.MEDIAN,
+            sv.MultivariateNormal(
+                np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+            ),
+        ) + sv.GaussianRBFKernel(
+            x0, sv.ScaleMethod.CONSTANT,
+            constant_scale=np.asarray(scale_mat, np.float32),
+        )
+
+    # tiny-scale PD constant term (eigs ~1e-13): rejected by the old
+    # absolute +/-1e-12 tolerance, PD at any scale
+    k_tiny = const_kernel(1e-13 * np.diag([1.0, 0.5]))
+    assert fused_aniso_terms_supported(
+        flatten_rbf_terms(k_tiny), k_tiny.adaptive_slots(), k_tiny.parameters
+    )
+
+    # an indefinite constant term stays rejected at any scale
+    for s in (1e-13, 1.0, 1e10):
+        k_bad = const_kernel(s * np.diag([1.0, -0.4]))
+        assert not fused_aniso_terms_supported(
+            flatten_rbf_terms(k_bad), k_bad.adaptive_slots(), k_bad.parameters
+        )

@@ -1483,3 +1483,57 @@ def test_fused_aniso_gate_is_static_in_adaptive_gamma(rng):
     assert not fused_aniso_terms_supported(
         flatten_rbf_terms(k_mix), k_mix.adaptive_slots(), k_mix.parameters
     )
+
+
+def test_resolve_sym_tile_fallback():
+    """Round-5 ADVICE fix: sym auto-selection must fall back to the cross
+    sweep (not raise) for explicit tiles with tile_j % tile_i != 0, and
+    fused_sym=True is advisory (widest eligible triangle form)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _resolve_sym,
+        _sym_panel_eligible,
+    )
+
+    # auto at an eligible n but triangle-incompatible tiles: cross sweep
+    assert _resolve_sym(None, 4096, 2, 512, 1280, _sym_panel_eligible) is False
+    # compatible tiles keep the triangle
+    assert _resolve_sym(None, 4096, 2, 512, 2048, _sym_panel_eligible) is True
+    # explicit False / 'panel' pass through untouched
+    assert _resolve_sym(False, 4096, 2, 512, 2048, _sym_panel_eligible) is False
+    assert (
+        _resolve_sym("panel", 4096, 2, 512, 2048, _sym_panel_eligible)
+        == "panel"
+    )
+    # forced True below the crossover: full-width still fits
+    assert _resolve_sym(True, 1024, 2, 512, 2048, _sym_panel_eligible) is True
+    # forced True past the full-width budget: panel form
+    assert (
+        _resolve_sym(True, 1_000_000, 2, 512, 2048, _sym_panel_eligible)
+        == "panel"
+    )
+    # forced True with incompatible tiles: still the cross sweep
+    assert _resolve_sym(True, 4096, 2, 512, 1280, _sym_panel_eligible) is False
+
+
+def test_fused_pallas_auto_sym_bad_tiles_runs_cross(rng):
+    """Integration for the same fix: n past the sym crossover with
+    incompatible explicit tiles runs (cross sweep) and matches the
+    default-tile result."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_fused_pallas
+
+    n, m = 2048, 2
+    coords = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    scores = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thresholds = jnp.asarray(np.linspace(0.0, 20.0, 3), jnp.float32)
+    phi_bad, counts_bad = phi_rbf_fused_pallas(
+        coords, scores, 0.6, thresholds, tile_i=512, tile_j=1280
+    )
+    phi_ref, counts_ref = phi_rbf_fused_pallas(
+        coords, scores, 0.6, thresholds, tile_i=512, tile_j=2048, sym=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(phi_bad), np.asarray(phi_ref), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts_bad), np.asarray(counts_ref)
+    )
