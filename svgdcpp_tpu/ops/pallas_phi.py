@@ -251,6 +251,30 @@ def phi_rbf_pallas(coords, scores, p_matrix, tile_i: int = 512,
 # ----------------------------------------------------------------------
 
 
+def _bf16x3_split(v):
+    """bf16 hi/lo split via mantissa-mask bitcast (see _sq_tile notes on
+    why NOT x - convert(convert(x), f32))."""
+    bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
+    hi_f = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    hi = hi_f.astype(jnp.bfloat16)  # exact: mantissa already fits
+    lo = (v - hi_f).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _bf16x3_cross(x, yt):
+    """Packed bf16x3 cross product x @ yt (f32 operands, ~2^-16 relative
+    error): the hi.hi + hi.lo + lo.hi partial products as one MXU dot of
+    contraction depth 3m — see the _sq_tile docstring for why this packing
+    is safe while the round-4 hi|lo packing was not."""
+    x_hi, x_lo = _bf16x3_split(x)
+    y_hi, y_lo = _bf16x3_split(yt)
+    cat_x = jnp.concatenate([x_hi, x_hi, x_lo], axis=1)  # (TI, 3m)
+    cat_y = jnp.concatenate([y_hi, y_lo, y_hi], axis=0)  # (3m, TJ)
+    return jnp.dot(cat_x, cat_y, preferred_element_type=jnp.float32)
+
+
 def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
     """Squared-distance tile (TI, TJ), shared by the fused kernels.
 
@@ -273,35 +297,24 @@ def _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref):
     if x_ref.dtype == jnp.float32:
         # Manual bf16x3 cross dot ("Precision.HIGH", which Mosaic does not
         # expose): hi/lo bf16 split, drop the lo*lo term — ~2^-16 relative
-        # sq error (invisible through exp) at 3 one-pass MXU dots instead
-        # of HIGHEST's 6 (measured 7.2M -> 7.9M hier updates/s at m=11).
-        # Round 4 attempted to pack the four partial products into ONE
-        # depth-2m bf16 dot (concatenate hi|lo along the contraction dim):
-        # 1.2x faster but the compiled kernel lost the lo contributions
-        # (phi err 0.106 ~ one-pass class; with a bitcast-mask split it
-        # degraded differently, 0.29) — a Mosaic lowering minefield around
-        # concatenated-operand dots; measured+discarded, see docs/perf.md.
+        # sq error (invisible through exp). Round 5: the THREE partial
+        # products are packed into ONE dot by concatenating the pre-split
+        # bf16 halves along the contraction axis ([x_hi|x_hi|x_lo] .
+        # [y_hi;y_lo;y_hi], depth 3m — one MXU pass up to m = 42), which
+        # measured at ~one-pass cost with unchanged bf16x3 accuracy
+        # (scripts/probe_terms_batched.py: hier-shape sweep 0.79 -> 0.58
+        # ms; accuracy re-verified on chip vs the f64 oracle,
+        # KERNELS_r05.json). This is NOT the round-4 minefield packing
+        # (docs/perf.md): that one concatenated hi|lo of the SAME operand
+        # pair, relying on the compiler to reconstruct the f32 product
+        # across the boundary; here each wanted product appears as its own
+        # explicit depth segment and nothing must combine across segments.
         # The hi part is mantissa-masked via bitcast (not
         # x - convert(convert(x), f32), which the compiler may fold to
         # zero under excess-precision rules — optimization_barrier does
         # not lower in Mosaic); the masked hi is exactly representable in
         # bf16 and the f32 subtraction is exact.
-        def _split(v):
-            bits = jax.lax.bitcast_convert_type(v, jnp.uint32)
-            hi_f = jax.lax.bitcast_convert_type(
-                bits & jnp.uint32(0xFFFF0000), jnp.float32
-            )
-            hi = hi_f.astype(jnp.bfloat16)  # exact: mantissa already fits
-            lo = (v - hi_f).astype(jnp.bfloat16)
-            return hi, lo
-
-        x_hi, x_lo = _split(x_ref[:])
-        y_hi, y_lo = _split(xjt_ref[:])
-        cross = (
-            jnp.dot(x_hi, y_hi, preferred_element_type=jnp.float32)
-            + jnp.dot(x_hi, y_lo, preferred_element_type=jnp.float32)
-            + jnp.dot(x_lo, y_hi, preferred_element_type=jnp.float32)
-        )
+        cross = _bf16x3_cross(x_ref[:], xjt_ref[:])
     else:
         # bf16 operands are the caller's documented opt-in rounding.
         cross = jnp.dot(x_ref[:], xjt_ref[:],
@@ -1725,6 +1738,202 @@ def _sym_terms_kernel(signs, diff_m, num_t, ri, cj, big, n_real, bi_ref,
         cnt_ref[:] = cnt_sc[:]
 
 
+def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
+                             band, bi_ref, bj_ref, gl_ref, thr_ref, x_ref,
+                             qi_ref, xjt_ref, qjt_ref, btj_ref, bti_ref,
+                             acc_ref, cnt_ref, acc_sc, cnt_sc):
+    """DIRECT per-term triangle sweep (round 5): each term's k_t tile
+    contracts straight against the full B = [S | X | 1] into its own
+    8-aligned (2m+1)-row band of ONE packed accumulator; the XLA epilogue
+    combines bands with the signs/gammas. vs _sym_terms_kernel this drops
+    the per-pair k_c/w assembly (~4 VPU ops/pair/term) and the separate
+    scores/[X|1] operand windows, and the Gram branch additionally rides
+    PRE-SCALED sources (xjt carries -2x, exact: power-of-two scale in both
+    bf16 halves) with a single-select mask tree and no redundant clamp.
+    Measured (scripts/probe_terms_batched.py, n=10240, m=11, T=2, v5e):
+    0.44 vs the round-4 kernel's 0.74 ms/sweep at unchanged accuracy
+    class. Round-4's small-operand-MXU-bound diagnosis was wrong in an
+    instructive way: dot-count batching and software pipelining both
+    measured ~0 (MXU streaming and VPU work share issue bandwidth, so
+    attribution is additive) — the wins are eliminating VPU ops and MXU
+    passes outright, not reorganizing them."""
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    if diff_m is not None:
+        sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)
+        sq = jnp.where(gj >= gi, sq, big)
+    else:
+        # xjt carries -2x: sq = q_i + q_j + x.(-2y); diagonal pinned to
+        # exact zero in the same select tree (bf16x3 residue would leak
+        # through the epilogue's K(i,i) = 1 correction otherwise); padded
+        # rows carry q = +big so they land in the gj > gi branch with
+        # sq ~ big and decay to zero under every (positive) gamma.
+        cross2 = _bf16x3_cross(x_ref[:], xjt_ref[:])
+        sq = qi_ref[:] + qjt_ref[:] + cross2
+        sq = jnp.where(
+            gj > gi, sq,
+            jnp.where((gj == gi) & (gi < n_real), 0.0, big),
+        )
+
+    bw = btj_ref.shape[0]
+    for t_i in range(num_terms):
+        # gl = -(gamma_t * log2 e) folded outside the kernel
+        k_t = jnp.exp2(gl_ref[0, t_i] * sq)
+        acc_sc[t_i * band : t_i * band + bw, pl.ds(bi * ri, ri)] += (
+            jax.lax.dot_general(
+                btj_ref[:], k_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        acc_sc[t_i * band : t_i * band + bw, pl.ds(bj * cj, cj)] += jnp.dot(
+            bti_ref[:], k_t, preferred_element_type=jnp.float32
+        )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acc_ref[:] = acc_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+def _terms_direct_fits(n: int, m: int, num_terms: int, tile_j: int) -> bool:
+    """VMEM gate for the direct kernel's packed accumulator pair
+    (num_terms 8-aligned (2m+1)-row bands, scratch + output): heavier
+    than the legacy k_c/w pair (T*24 vs 23 rows at m=11, T=2), so shapes
+    past it keep the legacy kernel up to ITS budget before the panel
+    form takes over."""
+    band = _ceil_mult(2 * m + 1, 8)
+    n_pad = _ceil_mult(n, tile_j)
+    return 2 * num_terms * band * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "num_thresholds", "tile_i", "tile_j",
+                     "interpret"),
+)
+def _phi_rbf_terms_fused_pallas_sym_direct_impl(
+    coords, scores, gammas, signs, thresholds_sq, num_thresholds, tile_i,
+    tile_j, interpret,
+):
+    """Wrapper for _sym_terms_direct_kernel — same (phi, counts) contract
+    as _phi_rbf_terms_fused_pallas_sym_impl."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    num_terms = len(signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+    gl = jnp.reshape(-(gammas32 * _LOG2E), (1, num_terms))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate(
+        [coords32, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    b = jnp.concatenate([scores32, xs1], axis=1)  # (n, 2m+1)
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, tile_j, value=pad_t)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_src = coords32.T if diff_m is not None else (-2.0 * coords32.T)
+    xjt_p = _pad_cols(xjt_src, tile_j, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bt_p = _pad_cols(b.T, tile_j)  # (bw, n_pad)
+    n_pad = x_p.shape[0]
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pairs = [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
+    bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+    bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(len(pairs),),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_terms * band, n_pad),
+                         lambda t, bi, bj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j),
+                         lambda t, bi, bj: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_terms * band, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    acc_t, count_lanes = pl.pallas_call(
+        functools.partial(
+            _sym_terms_direct_kernel, num_terms, diff_m, num_thresholds,
+            tile_i, tile_j, big, n, band,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((num_terms * band, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(pairs) * tile_i * tile_j
+            * (3 * m + 2 * num_terms * bw),
+            bytes_accessed=4 * n_pad * (3 * m + 3 + num_terms * band),
+            transcendentals=num_terms * len(pairs) * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(bi_arr, bj_arr, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    # Per-term epilogue: k_t(i, i) = 1 entered both accumulation
+    # directions, so subtract each term's B once before combining.
+    phi = None
+    for t_i, s in enumerate(signs):
+        a = acc_t[t_i * band : t_i * band + bw, :n].T - b
+        ks = a[:, :m]
+        kx = a[:, m : 2 * m]
+        rowsum = a[:, 2 * m]
+        phi_t = ks - 2.0 * gammas32[t_i] * (
+            kx - rowsum[:, None] * coords32
+        )
+        phi_t = float(s) * phi_t
+        phi = phi_t if phi is None else phi + phi_t
+    phi = phi / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("signs", "num_thresholds", "tile_i", "tile_j",
@@ -1738,7 +1947,11 @@ def _phi_rbf_terms_fused_pallas_sym_impl(
     Per visited tile the MXU work doubles (four dots instead of two) but
     tiles halve, so MXU flops are unchanged while the VPU-bound per-pair
     work — the shared sq tile plus num_terms exps, which dominate the
-    multi-term sweep — halves."""
+    multi-term sweep — halves. Round 5: shapes whose packed per-term
+    accumulator fits VMEM route to the ~1.7x-faster direct kernel
+    (_sym_terms_direct_kernel); this legacy k_c/w form covers the band
+    between the direct budget and the full-width budget (e.g. m=11, T=2:
+    n ~ 21k-45k) and the sharded schedule."""
     n, m = coords.shape
     if tile_j % tile_i:
         raise ValueError("sym sweep needs tile_j % tile_i == 0")
@@ -2481,7 +2694,12 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
             int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
         )
     if sym:
-        return _phi_rbf_terms_fused_pallas_sym_impl(
+        impl = (
+            _phi_rbf_terms_fused_pallas_sym_direct_impl
+            if _terms_direct_fits(n, m, len(signs), tile_j)
+            else _phi_rbf_terms_fused_pallas_sym_impl
+        )
+        return impl(
             coords, scores, tuple(gammas),
             tuple(float(s) for s in signs), thresholds_sq,
             int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
