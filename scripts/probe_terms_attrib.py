@@ -41,6 +41,11 @@ from svgdcpp_tpu.ops.pallas_phi import (
 N, M, NUM_T = 10240, 11, 3
 GAMMAS = (0.3, 0.08)
 SIGNS = (1.0, 1.0)
+# --blr switches to the single-term d=50 family (bound rows for perf.md)
+if "--blr" in sys.argv:
+    N, M = 4096, 50
+    GAMMAS = (0.05,)
+    SIGNS = (1.0,)
 
 
 def _split(v):
