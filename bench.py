@@ -264,12 +264,21 @@ def posterior_metrics(coords, mean, cov, model):
     cov_rel_err = float(
         np.linalg.norm(emp_cov - cov) / np.linalg.norm(cov)
     )
+    # Second moments in MC units (round-5 verdict item): for n iid
+    # Gaussian samples Var(emp_cov_ij) = (cov_ii cov_jj + cov_ij^2)/n,
+    # so each entry's error is normalized by its own MC scale and the
+    # max ratio is the headline (same convention as mean_err_over_mc).
+    cov_mc = np.sqrt(
+        (np.outer(np.diag(cov), np.diag(cov)) + cov**2) / n
+    )
+    cov_err_ratio = float((np.abs(emp_cov - cov) / cov_mc).max())
     # V-statistic: strictly positive, so the diagnostic stays informative
     # at convergence (the U-statistic clips to 0 there).
     ksd = float(ksd_rbf(model, coords.astype(np.float32), ustat=False))
     return {
         "mean_err_over_mc": round(mean_err_ratio, 3),
         "cov_rel_err": round(cov_rel_err, 4),
+        "cov_err_over_mc": round(cov_err_ratio, 3),
         "ksd": float(f"{ksd:.4g}"),
     }
 

@@ -116,7 +116,7 @@ def run_sym_case(name, kernel_fn=None, n=4096, dim=2, steps=20):
             model, sv.AdaGrad(dim, n, 0.1), n, dim, kernel=kernel,
             config=ShardedSVGDConfig(fused_phi=True, fused_sym=sym),
         )
-        assert drv._fused_sym is sym, (sym, drv._fused_sym)
+        assert bool(drv._fused_sym) == sym, (sym, drv._fused_sym)
         state = drv.init_state(x0.copy())
         if sym:
             mosaic_in_hlo = _has_mosaic_call(drv._step_full, state)
@@ -131,6 +131,101 @@ def run_sym_case(name, kernel_fn=None, n=4096, dim=2, steps=20):
         "case": name, "n": n, "steps": steps,
         "moment_diff_vs_cross": {"mean": dmean, "cov": dcov},
         "mosaic_custom_call_in_hlo": bool(mosaic_in_hlo), "ok": ok,
+    })
+    return ok
+
+
+def run_panel_sym_case(n=262144, dim=2, steps=5):
+    """Round 5: past the full-width accumulator budget the engine
+    auto-resolves fused_sym='panel' (the chunked panel-rotated triangle)
+    instead of falling back to the cross sweep; trajectory-compared
+    against the cross engine on the 1-device mesh, custom-call asserted."""
+    rng = np.random.default_rng(0)
+    x0 = (rng.normal(size=(n, dim)) * 2 + 1.5).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+    outs = {}
+    mosaic_in_hlo = None
+    mode = None
+    for sym in (None, False):
+        drv = ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            config=ShardedSVGDConfig(fused_phi=True, fused_sym=sym),
+        )
+        if sym is None:
+            mode = drv._fused_sym
+        state = drv.init_state(x0.copy())
+        if sym is None:
+            mosaic_in_hlo = _has_mosaic_call(drv._step_full, state)
+        state = drv.run_state(state, steps)
+        outs[sym] = np.asarray(jax.device_get(state["coords"]))
+    dmean, dcov = _moment_diff(outs[None], outs[False])
+    ok = bool(
+        np.isfinite(outs[None]).all()
+        and mode == "panel"
+        and dmean < 5e-3 and dcov < 2e-2 and mosaic_in_hlo
+    )
+    _emit({
+        "case": "fused_sym_panel_vs_cross", "n": n, "steps": steps,
+        "resolved_mode": str(mode),
+        "moment_diff_vs_cross": {"mean": dmean, "cov": dcov},
+        "mosaic_custom_call_in_hlo": bool(mosaic_in_hlo), "ok": ok,
+    })
+    return ok
+
+
+def run_panel_chunk_case(n=262144, dim=2, chunks=8):
+    """Round 5 decomposition proof ON CHIP: the D=8 chunked panel plan's
+    per-device grids (the exact rotating-window regions a real 8-chip
+    mesh would compile) each run on the single chip; summed accumulators
+    + band epilogue must match the single-chip auto (panel) sweep."""
+    import jax.numpy as jnp
+
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_fused_pallas,
+        phi_rbf_fused_pallas_sympanel_sharded,
+        phi_rbf_fused_sym_finish,
+        sym_panel_sharded_plan,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(n, dim)) * 2 + 1.5, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, dim)), jnp.float32)
+    thr = jnp.asarray([0.5, 4.0, 30.0], jnp.float32)
+    g = jnp.float32(np.log(n) / 4.0)
+
+    plan = sym_panel_sharded_plan(n, dim, chunks)
+    assert plan is not None
+    pi, pj, nb, w, n_pad, per = plan
+    acc = lanes = None
+    for c in range(chunks):
+        a, l = phi_rbf_fused_pallas_sympanel_sharded(
+            x, s, g, thr, jnp.asarray(pi[c * per:(c + 1) * per]),
+            jnp.asarray(pj[c * per:(c + 1) * per]), nb=nb, w=w,
+            num_thresholds=3,
+        )
+        acc = a if acc is None else acc + a
+        lanes = l if lanes is None else lanes + l
+    counts = 2.0 * jnp.sum(lanes, axis=1) - jnp.float32(n)
+    center = jnp.mean(x, axis=0)
+    phi = phi_rbf_fused_sym_finish(acc[:, :n], s, x, center, g, n)
+
+    ref_phi, ref_cnt = phi_rbf_fused_pallas(x, s, g, thr)
+    rel = float(
+        np.abs(np.asarray(phi) - np.asarray(ref_phi)).max()
+        / (np.abs(np.asarray(ref_phi)).max() + 1e-30)
+    )
+    # chunked lane sums reorder f32 additions; per-lane totals at this n
+    # sit just above the 2^24 exact-integer range (documented bound)
+    cdiff = float(np.abs(np.asarray(counts) - np.asarray(ref_cnt)).max())
+    ok = bool(rel < 1e-3 and cdiff <= 32)
+    _emit({
+        "case": "panel_chunked_decomposition_chip", "n": n,
+        "chunks": chunks, "per_chunk_panels": int(per),
+        "nb": int(nb), "w": int(w),
+        "max_rel_phi_vs_singlechip_panel": rel,
+        "max_count_diff": cdiff, "ok": ok,
     })
     return ok
 
@@ -213,6 +308,8 @@ def main():
         ),
     )
     ok &= run_driver_mesh_case()
+    ok &= run_panel_sym_case()
+    ok &= run_panel_chunk_case()
     if args.out:
         Path(args.out).write_text(
             "\n".join(json.dumps(r) for r in RESULTS) + "\n"

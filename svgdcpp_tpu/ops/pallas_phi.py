@@ -870,6 +870,10 @@ def _sym_panel_kernel(diff_m, num_t, ri, cj, w, big, n_real, i_arr_ref,
     lj = j * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
     is_diag = bi == bj
     sq = jnp.where(is_diag & (lj < li), big, sq)
+    # SENTINEL panels (bi > bj — only emitted by the sharded chunked
+    # plan's padding) contribute nothing: every element masks to +big,
+    # so K, the counts and the zeroed output window all stay zero.
+    sq = jnp.where(bi > bj, big, sq)
     if diff_m is None:
         # Exact-zero diagonal pin, real rows only (see _sym_kernel).
         gi = bi * w + li
@@ -1341,6 +1345,205 @@ def sym_sharded_plan(n: int, m: int, num_chunks: int, tile_i: int = 512,
     if 2 * (2 * m + 1) * plan[2] * 4 > _SYM_ACC_VMEM_BYTES:
         return None
     return plan
+
+
+def sym_panel_sharded_plan(n: int, m: int, num_chunks: int,
+                           tile_i: int = 512, tile_j: int = 2048):
+    """Chunked distribution plan for the PANEL-ROTATED symmetric sweep —
+    the round-5 extension that carries the triangle past the full-width
+    accumulator budget on a mesh (round-4 gap: both multi-chip engines
+    fell back to the ordered cross sweep at n ~ 200k+, m=2, exactly
+    where multi-chip matters most).
+
+    The single-chip super-block decomposition (_sym_panel_plan) yields
+    nb*(nb+1)/2 upper-triangle PANELS; this splits that panel list across
+    ``num_chunks`` devices (each unordered pair visited by exactly one
+    device), padded to equal chunks with SENTINEL panels (bi > bj) that
+    the kernel masks to zero contribution. Per-device memory: the
+    rotating (2m+1, 2W) VMEM window (independent of n) plus a
+    (2m+1, per*2W) HBM panel buffer that SHRINKS with the device count.
+
+    Returns (pair_i, pair_j, nb, w, n_pad, per_chunk) or None when the
+    shape is outside the panel regime (use sym_sharded_plan's full-width
+    form below the budget — it is cheaper than panels when it fits)."""
+    if tile_j % tile_i:
+        return None
+    if n < _SYM_MIN_N or not _sym_panel_eligible(n, m, tile_j):
+        return None
+    import numpy as _np
+
+    nb, w, n_pad = _sym_panel_plan(n, m, tile_j)
+    pairs = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    per = -(-len(pairs) // num_chunks)
+    short = num_chunks * per - len(pairs)
+    pairs = pairs + [(nb - 1, 0)] * short  # sentinels: bi > bj
+    return (
+        _np.asarray([p[0] for p in pairs], _np.int32),
+        _np.asarray([p[1] for p in pairs], _np.int32),
+        nb,
+        w,
+        n_pad,
+        per,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nb", "w", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "vma_axis"),
+)
+def phi_rbf_fused_pallas_sympanel_sharded(
+    coords, scores, gamma, thresholds_sq, pair_i, pair_j, *, nb, w,
+    num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
+    vma_axis=None,
+):
+    """One device's panel chunk of the GLOBAL symmetric panel sweep.
+
+    ``coords``/``scores`` are the gathered GLOBAL set; ``pair_i``/
+    ``pair_j`` this device's super-block pairs from
+    :func:`sym_panel_sharded_plan` (slice by ``lax.axis_index`` inside
+    shard_map). Runs the same rotating-window kernel as the single-chip
+    panel sweep (_sym_panel_kernel — sentinel pairs mask to zero) over
+    the chunk, then block-scatter-adds the panel halves onto this
+    device's (2m+1, n_pad) accumulator. Returns (acc_t, count_lanes) —
+    psum BOTH over the mesh axis, fold counts 2*sum - n once globally,
+    and finish each row band with :func:`phi_rbf_fused_sym_finish`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    n_pad = nb * w
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_p = _pad_cols(coords32.T, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bt_p = _pad_cols(b.T, n_pad)
+    bw = 2 * m + 1
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    per = pair_i.shape[0]
+    ni, nj = w // tile_i, w // tile_j
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(per, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, m),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, 1),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_i),
+                lambda p, i, j, bi, bj, _ni=ni: (0, bi[p] * _ni + i),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((bw, 2 * w), lambda p, i, j, bi, bj: (0, p)),
+            pl.BlockSpec((num_thresholds, tile_j),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (pair_i, pair_j, gamma32, thr, x_p, qi_p, xjt_p, qjt_p,
+                  bt_p, bt_p)
+    ]
+    panels, count_lanes = pl.pallas_call(
+        functools.partial(_sym_panel_kernel, diff_m, num_thresholds, tile_i,
+                          tile_j, w, big, n),
+        grid_spec=grid_spec,
+        out_shape=(
+            _out_struct((bw, per * 2 * w), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * per * ni * nj * tile_i * tile_j * (m + 2 * bw),
+            bytes_accessed=4 * n_pad * (2 * m + 2 + 2 * bw)
+            + 4 * per * bw * 2 * w,
+            transcendentals=per * ni * nj * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    # Block-granular scatter of this chunk's panel halves onto the local
+    # (bw, n_pad) accumulator (sentinel halves are exact zeros).
+    halves = panels.reshape(bw, per, 2, w)
+    acc_blocks = _pvary(jnp.zeros((bw, nb, w), jnp.float32), vma_axis)
+    acc_blocks = acc_blocks.at[:, pair_i, :].add(halves[:, :, 0, :])
+    acc_blocks = acc_blocks.at[:, pair_j, :].add(halves[:, :, 1, :])
+    return acc_blocks.reshape(bw, n_pad), count_lanes
+
+
+def sym_panel_sharded_phi(coords_local, scores_local, sources,
+                          scores_global, axis, sym_pi, sym_pj, sym_per,
+                          sym_nb, sym_w, thresholds, *, gamma):
+    """shard_map-side schedule of the PANEL symmetric distributed sweep
+    (single-term RBF; the past-the-budget sibling of sym_sharded_phi,
+    shared by ShardedSVGD and the driver's SVGDOptions.mesh wrapper).
+    Returns (phi_local, counts_global)."""
+    d_idx = jax.lax.axis_index(axis)
+    pi = jax.lax.dynamic_slice(sym_pi, (d_idx * sym_per,), (sym_per,))
+    pj = jax.lax.dynamic_slice(sym_pj, (d_idx * sym_per,), (sym_per,))
+    n_glob = sources.shape[0]
+    num_thr = int(thresholds.shape[0])
+    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+    nl = coords_local.shape[0]
+    zero = jnp.zeros((), d_idx.dtype)
+
+    acc_raw, lanes = phi_rbf_fused_pallas_sympanel_sharded(
+        sources, scores_global, gamma, thresholds, pi, pj, nb=sym_nb,
+        w=sym_w, num_thresholds=num_thr, vma_axis=axis,
+    )
+    acc = jax.lax.psum(acc_raw, axis)
+    band = jax.lax.dynamic_slice(
+        acc, (zero, d_idx * nl), (acc.shape[0], nl)
+    )
+    phi_local = phi_rbf_fused_sym_finish(
+        band, scores_local, coords_local, center, gamma, n_glob
+    )
+    counts = 2.0 * jnp.sum(
+        jax.lax.psum(lanes, axis), axis=1
+    ) - jnp.float32(n_glob)
+    return phi_local, counts
 
 
 def sym_sharded_phi(coords_local, scores_local, sources, scores_global,

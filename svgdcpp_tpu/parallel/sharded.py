@@ -385,43 +385,54 @@ class ShardedSVGD:
             )
         return True
 
-    def _resolve_fused_sym(self) -> bool:
-        """Whether the fused Mosaic sweep distributes the GLOBAL
-        upper-triangle pair list across devices (config.fused_sym).
+    def _resolve_fused_sym(self):
+        """How the fused Mosaic sweep distributes the GLOBAL
+        upper-triangle pair list across devices (config.fused_sym):
+        ``"full"`` (full-width accumulator psum), ``"panel"`` (round 5:
+        the panel-rotated chunked sweep for shapes PAST the full-width
+        accumulator budget — previously these fell back to the ordered
+        cross sweep, forfeiting the triangle exactly where multi-chip
+        matters most), or ``False``.
 
-        Auto (None): on when the Mosaic sweep is active — for BOTH the
-        built-in single RBF and fused-terms composed kernels (the Mosaic
-        resolution already guarantees isotropic, statically-positive
-        terms) — n is in the triangle regime, and the (2m+1,
-        n_pad_global) per-device accumulators fit the VMEM budget.
-        Explicit True raises when any condition fails."""
-        from ..ops.pallas_phi import sym_sharded_plan
+        Auto (None): full-width when the (2m+1, n_pad_global) accumulators
+        fit the VMEM budget — for BOTH the built-in single RBF and
+        fused-terms composed kernels — else the panel form when eligible
+        (built-in single RBF only; the dual-window terms panel's compile
+        envelope is too narrow to chunk blindly, CLAUDE.md). Explicit
+        True raises when neither form can run."""
+        from ..ops.pallas_phi import sym_panel_sharded_plan, sym_sharded_plan
 
         cfg = self.config
         if cfg.fused_sym is False or not cfg.fused_phi:
             return False
         # Chunk by the size of mesh AXIS 0 — the only axis that consumes
         # pair chunks (a multi-axis mesh only row-shards on axis 0).
-        ok = (
-            self._fused_pallas
-            and cfg.fused_dot_dtype == "float32"
-            and sym_sharded_plan(
+        base_ok = self._fused_pallas and cfg.fused_dot_dtype == "float32"
+        mode = False
+        if base_ok:
+            if sym_sharded_plan(
                 self.num_particles, self.dimension,
                 int(self.mesh.shape[self.axis]),
-            ) is not None
-        )
+            ) is not None:
+                mode = "full"
+            elif self.kernel is None and sym_panel_sharded_plan(
+                self.num_particles, self.dimension,
+                int(self.mesh.shape[self.axis]),
+            ) is not None:
+                mode = "panel"
         if cfg.fused_sym is None:
-            return ok
-        if not ok:
+            return mode
+        if not mode:
             raise ValueError(
                 "fused_sym=True requires the Mosaic fused sweep "
                 "(fused_pallas, TPU backend), fused_dot_dtype='float32' "
                 "(the sym kernel has no bf16 Gram variant), and a global "
-                "particle count in the triangle regime whose "
-                "(2m+1, n_pad) accumulator fits the VMEM budget "
-                "(ops/pallas_phi._sym_eligible)."
+                "particle count in the triangle regime — full-width "
+                "((2m+1, n_pad) accumulator within the VMEM budget, "
+                "ops/pallas_phi._sym_eligible) or the single-RBF panel "
+                "regime (ops/pallas_phi.sym_panel_sharded_plan)."
             )
-        return True
+        return mode
 
     def _refresh_psd(self):
         """PSD-ness of the clamped quadratic forms: MEDIAN scales are PSD by
@@ -534,10 +545,20 @@ class ShardedSVGD:
         n_global = self.num_particles
         total = n_global * n_global
 
-        if self._fused_sym:
-            # Static distribution of the global upper-triangle super-tile
-            # list (each unordered pair on exactly one AXIS-0 slot;
-            # sentinel pairs point at strictly-lower tiles).
+        if self._fused_sym == "panel":
+            # Past the full-width budget: chunked PANEL plan (round 5).
+            from ..ops.pallas_phi import sym_panel_sharded_plan
+
+            (sym_pi_np, sym_pj_np, sym_nb, sym_w, sym_n_pad,
+             sym_per) = sym_panel_sharded_plan(
+                n_global, self.dimension, int(self.mesh.shape[axis])
+            )
+            sym_pi = jnp.asarray(sym_pi_np)
+            sym_pj = jnp.asarray(sym_pj_np)
+        elif self._fused_sym:
+            # Full-width: static distribution of the global upper-triangle
+            # super-tile list (each unordered pair on exactly one AXIS-0
+            # slot; sentinel pairs point at strictly-lower tiles).
             from ..ops.pallas_phi import sym_sharded_plan
 
             sym_pi_np, sym_pj_np, sym_n_pad, sym_per = sym_sharded_plan(
@@ -748,7 +769,19 @@ class ShardedSVGD:
                         * jnp.eye(self.dimension, dtype=coords_local.dtype),
                     )
                 scores = jax.lax.all_gather(scores_local, axis, tiled=True)
-                if self._fused_sym:
+                if self._fused_sym == "panel":
+                    # Chunked panel-rotated triangle (round 5): each
+                    # device sweeps its share of the super-block panels
+                    # with an O(1)-in-n VMEM rotating window, then one
+                    # (2m+1, n_pad) psum and the per-band epilogue.
+                    from ..ops.pallas_phi import sym_panel_sharded_phi
+
+                    phi_local, counts = sym_panel_sharded_phi(
+                        coords_local, scores_local, sources, scores, axis,
+                        sym_pi, sym_pj, sym_per, sym_nb, sym_w, thresholds,
+                        gamma=gamma,
+                    )
+                elif self._fused_sym:
                     # Symmetric distributed sweep: this device's chunk of
                     # the GLOBAL triangle (each unordered pair once across
                     # the mesh — per-pair VPU work halves vs the cross

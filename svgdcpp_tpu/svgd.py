@@ -607,17 +607,44 @@ class SVGD:
         axis = mesh.axis_names[0]
         dd = self.options.fused_dot_dtype
 
-        from .ops.pallas_phi import sym_sharded_plan
+        from .ops.pallas_phi import sym_panel_sharded_plan, sym_sharded_plan
 
         # Chunk by the size of mesh AXIS 0 — the only axis consuming pair
         # chunks (multi-axis meshes only row-shard on axis 0).
         n_glob = int(coords.shape[0])
+        sym_ok = dd == "float32" and self.options.fused_sym is not False
         sym_plan = (
             sym_sharded_plan(n_glob, self.dimension, int(mesh.shape[axis]))
-            if dd == "float32" and self.options.fused_sym is not False
+            if sym_ok
             else None
         )
-        if sym_plan is not None:
+        panel_plan = (
+            sym_panel_sharded_plan(
+                n_glob, self.dimension, int(mesh.shape[axis])
+            )
+            if sym_ok and sym_plan is None and gammas is None
+            else None
+        )
+        if panel_plan is not None:
+            # Past the full-width accumulator budget: the chunked
+            # panel-rotated triangle (round 5) keeps the halved per-pair
+            # work on the mesh instead of falling back to the cross sweep.
+            from .ops.pallas_phi import sym_panel_sharded_phi
+
+            pi_np, pj_np, sym_nb, sym_w, _n_pad, sym_per = panel_plan
+            sym_pi = jnp.asarray(pi_np)
+            sym_pj = jnp.asarray(pj_np)
+
+            def local(c_l, s_l, g, thr):
+                sources = jax.lax.all_gather(c_l, axis, tiled=True)
+                scores_g = jax.lax.all_gather(s_l, axis, tiled=True)
+                return sym_panel_sharded_phi(
+                    c_l, s_l, sources, scores_g, axis, sym_pi, sym_pj,
+                    sym_per, sym_nb, sym_w, thr, gamma=g,
+                )
+
+            args = (coords, scores, gamma, thresholds)
+        elif sym_plan is not None:
             # Symmetric distributed sweep: the global triangle's
             # super-tile list splits across devices (each unordered pair
             # once) + one accumulator psum — the ShardedSVGD fused_sym

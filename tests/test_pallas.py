@@ -1537,3 +1537,172 @@ def test_fused_pallas_auto_sym_bad_tiles_runs_cross(rng):
     np.testing.assert_array_equal(
         np.asarray(counts_bad), np.asarray(counts_ref)
     )
+
+
+def test_sym_panel_sharded_plan_gating():
+    """Round-5 chunked panel plan: None below the triangle regime or on
+    incompatible tiles; a valid plan covers the panel list with sentinel
+    (bi > bj) padding to equal chunks."""
+    from svgdcpp_tpu.ops.pallas_phi import sym_panel_sharded_plan
+
+    plan = sym_panel_sharded_plan(262_144, 2, 8)
+    assert plan is not None
+    pi, pj, nb, w, n_pad, per = plan
+    assert nb * w == n_pad and n_pad >= 262_144
+    assert len(pi) == 8 * per
+    n_real_pairs = nb * (nb + 1) // 2
+    assert (pi[:n_real_pairs] <= pj[:n_real_pairs]).all()
+    assert (pi[n_real_pairs:] > pj[n_real_pairs:]).all()  # sentinels
+    assert sym_panel_sharded_plan(1024, 2, 8) is None  # below _SYM_MIN_N
+    assert sym_panel_sharded_plan(262_144, 2, 8, 512, 1280) is None
+
+
+def test_panel_sharded_decomposition_matches_oracle(rng):
+    """Chunked panel sweeps (the round-5 distributed panel schedule)
+    hand-run per chunk and host-summed must reproduce the XLA fused
+    oracle — including sentinel panels contributing exactly zero."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_fused_pallas_sympanel_sharded,
+        phi_rbf_fused_sym_finish,
+        sym_panel_sharded_plan,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    n, m, d = 2100, 2, 8  # >= _SYM_MIN_N, ragged vs the block width
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([1.0, 5.0], jnp.float32)
+    g = jnp.float32(0.7)
+    ti, tj = 64, 128
+    plan = sym_panel_sharded_plan(n, m, d, ti, tj)
+    assert plan is not None
+    pi, pj, nb, w, n_pad, per = plan
+    assert per * d > nb * (nb + 1) // 2  # sentinels present
+
+    acc = lanes = None
+    for c in range(d):
+        a, l = phi_rbf_fused_pallas_sympanel_sharded(
+            x, s, g, thr, jnp.asarray(pi[c * per:(c + 1) * per]),
+            jnp.asarray(pj[c * per:(c + 1) * per]), nb=nb, w=w,
+            num_thresholds=2, tile_i=ti, tile_j=tj, interpret=True,
+        )
+        acc = a if acc is None else acc + a
+        lanes = l if lanes is None else lanes + l
+    counts = 2.0 * jnp.sum(lanes, axis=1) - jnp.float32(n)
+    center = jnp.mean(x, axis=0)
+    nl = n // 4
+    phi = jnp.concatenate([
+        phi_rbf_fused_sym_finish(
+            acc[:, c * nl:(c + 1) * nl], s[c * nl:(c + 1) * nl],
+            x[c * nl:(c + 1) * nl], center, g, n,
+        )
+        for c in range(4)
+    ], axis=0)
+    ref_phi, ref_cnt = phi_rbf_fused_counts(x, s, g, thr)
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < 5e-6, rel
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
+
+
+def _xla_panel_sharded_stub(coords, scores, gamma, thresholds_sq, pair_i,
+                            pair_j, *, nb, w, num_thresholds, tile_i=512,
+                            tile_j=2048, interpret=None, vma_axis=None):
+    """Pure-XLA mirror of phi_rbf_fused_pallas_sympanel_sharded's
+    contract (per-panel block masking, sentinel zeroing, block scatter)
+    for D>1 CPU-mesh wiring tests."""
+    import jax
+
+    n, m = coords.shape
+    n_pad = nb * w
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    c32 = coords.astype(jnp.float32) - center
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), c32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+    c_pad = jnp.zeros((n_pad, m), jnp.float32).at[:n].set(c32)
+    b_pad = jnp.zeros((n_pad, 2 * m + 1), jnp.float32).at[:n].set(b)
+    thr = thresholds_sq.astype(jnp.float32)
+    g32 = jnp.asarray(gamma, jnp.float32)
+
+    def body(t, carry):
+        acc, lanes = carry
+        bi = pair_i[t].astype(jnp.int32)
+        bj = pair_j[t].astype(jnp.int32)
+        zero = jnp.int32(0)
+        xi = jax.lax.dynamic_slice(c_pad, (bi * w, zero), (w, m))
+        xj = jax.lax.dynamic_slice(c_pad, (bj * w, zero), (w, m))
+        bt_i = jax.lax.dynamic_slice(b_pad, (bi * w, zero), (w, 2 * m + 1))
+        bt_j = jax.lax.dynamic_slice(b_pad, (bj * w, zero), (w, 2 * m + 1))
+        dd = xi[:, None, :] - xj[None, :, :]
+        sq = jnp.sum(dd * dd, axis=-1)
+        gi = bi * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 0)
+        gj = bj * w + jax.lax.broadcasted_iota(jnp.int32, (w, w), 1)
+        valid = (
+            (gi < n) & (gj < n) & (bi <= bj)
+            & ((bi != bj) | (gj >= gi))
+        )
+        k = jnp.where(valid, jnp.exp(-g32 * sq), 0.0)
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (zero, bi * w), (2 * m + 1, w))
+            + bt_j.T @ k.T,
+            (zero, bi * w),
+        )
+        acc = jax.lax.dynamic_update_slice(
+            acc,
+            jax.lax.dynamic_slice(acc, (zero, bj * w), (2 * m + 1, w))
+            + bt_i.T @ k,
+            (zero, bj * w),
+        )
+        hits = (sq[None] <= thr[:, None, None]) & valid[None]
+        lanes = lanes.at[:, 0].add(
+            jnp.sum(hits.astype(jnp.float32), axis=(1, 2))
+        )
+        return acc, lanes
+
+    acc0 = jnp.zeros((2 * m + 1, n_pad), jnp.float32)
+    lanes0 = jnp.zeros((num_thresholds, tile_j), jnp.float32)
+    if vma_axis is not None:
+        acc0 = jax.lax.pcast(acc0, (vma_axis,), to="varying")
+        lanes0 = jax.lax.pcast(lanes0, (vma_axis,), to="varying")
+    return jax.lax.fori_loop(0, pair_i.shape[0], body, (acc0, lanes0))
+
+
+def test_panel_sharded_multidevice_wiring(rng, monkeypatch):
+    """The D>1 panel-sharded wiring — axis_index panel-chunk slicing,
+    the accumulator/lane psums, and the per-band epilogue inside
+    shard_map — runs on the 8-device CPU mesh with an XLA stand-in for
+    the Mosaic panel kernel and must match the cross-sweep engine."""
+    import svgdcpp_tpu as sv
+    import svgdcpp_tpu.ops.pallas_phi as pp
+    import svgdcpp_tpu.parallel.sharded as shmod
+
+    monkeypatch.setattr(
+        pp, "phi_rbf_fused_pallas_sympanel_sharded", _xla_panel_sharded_stub
+    )
+    n, dim = 2048, 2
+    x0 = (rng.normal(size=(n, dim)) * 2).astype(np.float32)
+    model = sv.MultivariateNormal(
+        np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+    )
+
+    outs = {}
+    for mode in ("panel", False):
+        monkeypatch.setattr(
+            shmod.ShardedSVGD, "_resolve_fused_sym",
+            (lambda self, _m=mode: _m),
+        )
+        sh = shmod.ShardedSVGD(
+            model, sv.AdaGrad(dim, n, 0.1), n, dim,
+            config=shmod.ShardedSVGDConfig(fused_phi=True),
+        )
+        assert sh._fused_sym == mode
+        st = sh.init_state(x0.copy())
+        st = sh.run_state(st, 10)
+        outs[mode] = np.asarray(st["coords"])
+        assert np.isfinite(outs[mode]).all()
+    d = np.abs(outs["panel"] - outs[False]).max()
+    assert d < 5e-3, d
