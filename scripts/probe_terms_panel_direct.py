@@ -298,6 +298,14 @@ def main():
         case(262144, 4, (0.6, 0.2), 512, 2048, 16, iters=20)   # W=16384
         case(262144, 4, (0.6, 0.2), 512, 2048, 32, iters=20)   # W=8192
         case(262144, 3, (0.6, 0.2), 512, 2048, 16, iters=20)   # W=16384
+    if which == "envelope3":
+        # small-nb / large-nb corners of each region to be gated eligible
+        case(131072, 2, (0.8, 0.2), 512, 2048, 8)              # (16,T2) W=16384 nb=8
+        case(131072, 2, (0.8, 0.3, 0.1), 512, 2048, 8)         # (24,T3) W=16384 nb=8
+        case(499712, 2, (0.8, 0.3, 0.1), 512, 2048, 31, iters=10)  # (24,T3) nb=31
+        case(65536, 4, (0.6, 0.2), 512, 2048, 8, iters=20)     # (32,T2) W=8192 nb=8
+        case(131072, 11, (0.3, 0.08), 512, 2048, 32, iters=10) # (48,T2) W=4096 nb=32
+        case(32768, 11, (0.3, 0.08), 512, 2048, 8, iters=20)   # (48,T2) W=4096 nb=8
 
 
 if __name__ == "__main__":

@@ -820,16 +820,22 @@ def _sym_panel_eligible(n: int, m: int, tile_j: int) -> bool:
     return num_p * bw * 2 * w * 4 <= _SYM_PANEL_MAX_HBM_BYTES
 
 
-def _sym_panel_terms_eligible(n: int, m: int, tile_j: int) -> bool:
+def _sym_panel_terms_eligible(n: int, m: int, tile_j: int,
+                              num_terms: int | None = None) -> bool:
     """Past-the-budget triangle eligibility for the MULTI-TERM sweep.
 
-    Gram branch (m > 4) only: the dual-window kernel's compile envelope
-    was chip-validated there (W = 4096, up to 32 super-blocks ~ n <=
-    131k); the m <= 4 diff branch CRASHES the TPU compiler at the wide
-    windows its plan selects (W = 63488/32768 at n >= 500k all die,
-    bisected round 4), and its only viable range (~209-327k at W <=
-    20480) is a sliver not worth the fragility — those compositions keep
-    the square sweep."""
+    Round 5: the DIRECT single-window panel kernel's chip-validated
+    regions (see _sym_panel_terms_direct_plan) now cover the m <= 4 diff
+    branch — the round-4 gap where the legacy dual-window kernel crashed
+    at every wide-window plan — plus T=2 Gram shapes at band 24. Shapes
+    outside the direct envelope fall back to the LEGACY region: Gram
+    branch (m > 4) only, W = 4096, <= 32 super-blocks (~n <= 131k at
+    m > 4); everything else keeps the square sweep. ``num_terms=None``
+    (callers that do not know T yet) probes the common T=2 direct plan
+    before the legacy rule."""
+    for t in ((num_terms,) if num_terms is not None else (2,)):
+        if _sym_panel_terms_direct_plan(n, m, t, 512, tile_j) is not None:
+            return True
     if m <= _DIFF_FORM_MAX_M:
         return False
     nb, _, _ = _sym_panel_plan(n, m, tile_j, dual=True)
@@ -2263,6 +2269,273 @@ def _phi_rbf_terms_fused_pallas_sym_impl(
     return phi.astype(coords.dtype), counts
 
 
+#: HBM ceiling for the DIRECT panel terms kernel's (rows, P*2W) panel
+#: buffer — the n=1M m=2 T=2 plan (3.81 GiB) is chip-validated.
+_SYM_PANEL_DIRECT_MAX_HBM = 4 * 2**30
+
+
+def _sym_panel_terms_direct_plan(n: int, m: int, num_terms: int,
+                                 tile_i: int = 512, tile_j: int = 2048):
+    """(nb, w) plan for the DIRECT panel-rotated multi-term sweep, or None
+    outside its chip-validated envelope.
+
+    The round-5 direct form needs ONE rotating (T * band, 2W) window
+    (band = ceil8(2m+1)) instead of the legacy kernel's two, which moves
+    the compile envelope far past the legacy W = 4096 ceiling and — the
+    round-4 gap — admits the m <= 4 diff branch at all. Regions below
+    were chip-bisected at 512x2048 tiles
+    (scripts/probe_terms_panel_direct.py; small- and large-nb corners
+    compiled and measured): every (window rows, dot count, W, nb,
+    sq-branch) combination OUTSIDE them stays on the legacy panel /
+    square forms — rotating-window envelopes are erratic (CLAUDE.md) and
+    nothing ships without a chip compile of its exact region.
+
+    | branch | terms | band | W cap | nb cap | measured vs square |
+    |---|---|---|---|---|---|
+    | diff (m<=3) | 2 | 8 | 16384 | 64 | 2.0-2.2x (131k..1M) |
+    | diff (m<=3) | 3 | 8 | 16384 | 32 | 2.0-2.1x (131k..500k) |
+    | diff (m=4)  | 2 | 16 | 8192 | 32 | 1.6-1.9x (65k..262k) |
+    | gram (m 8..11) | 2 | 24 | 4096 | 32 | 1.2-1.3x (33k..131k) |
+    """
+    if (tile_i, tile_j) != (512, 2048):
+        return None  # envelope validated at the default tiles only
+    band = _ceil_mult(2 * m + 1, 8)
+    if m <= _DIFF_FORM_MAX_M:
+        if num_terms == 2 and band == 8:
+            w_cap, nb_cap = 16384, 64
+        elif num_terms == 3 and band == 8:
+            w_cap, nb_cap = 16384, 32
+        elif num_terms == 2 and band == 16:
+            w_cap, nb_cap = 8192, 32
+        else:
+            return None
+    else:
+        if num_terms == 2 and band == 24:
+            w_cap, nb_cap = 4096, 32
+        else:
+            return None
+    rows = num_terms * band
+    w_cap = min(w_cap, _SYM_ACC_VMEM_BYTES // (rows * 4 * 2))
+    w_cap = (w_cap // tile_j) * tile_j
+    if w_cap < tile_j:
+        return None
+    nb = max(_SYM_PANEL_MIN_BLOCKS, -(-n // w_cap))
+    if nb > nb_cap:
+        return None
+    w = _ceil_mult(-(-n // nb), tile_j)
+    num_p = nb * (nb + 1) // 2
+    if num_p * rows * 2 * w * 4 > _SYM_PANEL_DIRECT_MAX_HBM:
+        return None
+    return nb, w
+
+
+def _sym_panel_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, w, big,
+                                   n_real, band, i_arr_ref, j_arr_ref,
+                                   gl_ref, thr_ref, x_ref, qi_ref, xjt_ref,
+                                   qjt_ref, btj_ref, bti_ref, acc_ref,
+                                   cnt_ref, cnt_sc):
+    """Panel-rotated DIRECT per-term sweep: _sym_terms_direct_kernel's
+    structure (per-term k_t straight against B = [S|X|1], packed 8-aligned
+    bands, lean Gram branch) with _sym_panel_kernel's rotating window and
+    sentinel handling. See _sym_panel_terms_direct_plan for the validated
+    envelope."""
+    p = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    bi = i_arr_ref[p]
+    bj = j_arr_ref[p]
+
+    @pl.when((p == 0) & (i == 0) & (j == 0))
+    def _():
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    li = i * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+    lj = j * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    is_diag = bi == bj
+    if diff_m is not None:
+        sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)
+        sq = jnp.where(is_diag & (lj < li), big, sq)
+        sq = jnp.where(bi > bj, big, sq)  # sentinel panels (sharded plans)
+    else:
+        # xjt carries -2x (see _sym_terms_direct_kernel); diagonal pinned
+        # exactly; sentinels land in the masked branch.
+        cross2 = _bf16x3_cross(x_ref[:], xjt_ref[:])
+        sq = qi_ref[:] + qjt_ref[:] + cross2
+        gi = bi * w + li
+        keep = (~is_diag | (lj > li)) & (bi <= bj)
+        sq = jnp.where(
+            keep, sq,
+            jnp.where(is_diag & (lj == li) & (gi < n_real), 0.0, big),
+        )
+
+    bw = btj_ref.shape[0]
+    for t_i in range(num_terms):
+        k_t = jnp.exp2(gl_ref[0, t_i] * sq)
+        acc_ref[t_i * band : t_i * band + bw, pl.ds(i * ri, ri)] += (
+            jax.lax.dot_general(
+                btj_ref[:], k_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        acc_ref[t_i * band : t_i * band + bw,
+                pl.ds(w + j * cj, cj)] += jnp.dot(
+            bti_ref[:], k_t, preferred_element_type=jnp.float32
+        )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when((p == pl.num_programs(0) - 1) & (i == pl.num_programs(1) - 1)
+             & (j == pl.num_programs(2) - 1))
+    def _():
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "panel_blocks"),
+)
+def _phi_rbf_terms_fused_pallas_sympanel_direct_impl(
+    coords, scores, gammas, signs, thresholds_sq, num_thresholds, tile_i,
+    tile_j, interpret, panel_blocks: int | None = None,
+):
+    """Wrapper for the direct panel terms kernel — same (phi, counts)
+    contract as _phi_rbf_terms_fused_pallas_sympanel_impl."""
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    num_terms = len(signs)
+    if panel_blocks is None:
+        plan = _sym_panel_terms_direct_plan(n, m, num_terms, tile_i, tile_j)
+        if plan is None:
+            raise ValueError(
+                "shape outside the direct panel terms envelope "
+                "(_sym_panel_terms_direct_plan)"
+            )
+        nb, w = plan
+    else:
+        nb = panel_blocks
+        w = _ceil_mult(-(-n // nb), tile_j)
+    n_pad = nb * w
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+    gl = jnp.reshape(-(gammas32 * _LOG2E), (1, num_terms))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate([coords32, jnp.ones((n, 1), jnp.float32)], axis=1)
+    b = jnp.concatenate([scores32, xs1], axis=1)
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_src = coords32.T if diff_m is not None else (-2.0 * coords32.T)
+    xjt_p = _pad_cols(xjt_src, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bt_p = _pad_cols(b.T, n_pad)
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+
+    pairs = [(bi, bj) for bi in range(nb) for bj in range(bi, nb)]
+    i_arr = jnp.asarray([pp_[0] for pp_ in pairs], jnp.int32)
+    j_arr = jnp.asarray([pp_[1] for pp_ in pairs], jnp.int32)
+    num_p = len(pairs)
+    ni, nj = w // tile_i, w // tile_j
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(num_p, ni, nj),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, m),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (tile_i, 1),
+                lambda p, i, j, bi, bj, _ni=ni: (bi[p] * _ni + i, 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_j),
+                lambda p, i, j, bi, bj, _nj=nj: (0, bj[p] * _nj + j),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bw, tile_i),
+                lambda p, i, j, bi, bj, _ni=ni: (0, bi[p] * _ni + i),
+                memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_terms * band, 2 * w),
+                         lambda p, i, j, bi, bj: (0, p)),
+            pl.BlockSpec((num_thresholds, tile_j),
+                         lambda p, i, j, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    panels, count_lanes = pl.pallas_call(
+        functools.partial(_sym_panel_terms_direct_kernel, num_terms, diff_m,
+                          num_thresholds, tile_i, tile_j, w, big, n, band),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(
+                (num_terms * band, num_p * 2 * w), jnp.float32
+            ),
+            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * num_p * ni * nj * tile_i * tile_j
+            * (3 * m + 2 * num_terms * bw),
+            bytes_accessed=4 * n_pad * (3 * m + 3)
+            + 4 * num_p * num_terms * band * 2 * w,
+            transcendentals=num_terms * num_p * ni * nj * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(i_arr, j_arr, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    rows = num_terms * band
+    halves = panels.reshape(rows, num_p, 2, w)
+    blocks = jnp.zeros((rows, nb, w), jnp.float32)
+    blocks = blocks.at[:, i_arr, :].add(halves[:, :, 0, :])
+    blocks = blocks.at[:, j_arr, :].add(halves[:, :, 1, :])
+    acc_t = blocks.reshape(rows, n_pad)
+
+    phi = None
+    for t_i, s in enumerate(signs):
+        a = acc_t[t_i * band : t_i * band + bw, :n].T - b
+        ks = a[:, :m]
+        kx = a[:, m : 2 * m]
+        rowsum = a[:, 2 * m]
+        phi_t = ks - 2.0 * gammas32[t_i] * (kx - rowsum[:, None] * coords32)
+        phi_t = float(s) * phi_t
+        phi = phi_t if phi is None else phi + phi_t
+    phi = phi / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi.astype(coords.dtype), counts
+
+
 def _sym_panel_terms_kernel(signs, diff_m, num_t, ri, cj, w, big, n_real,
                             i_arr_ref, j_arr_ref, gammas_ref, thr_ref, x_ref,
                             qi_ref, xjt_ref, qjt_ref, bst_ref, xs1t_ref,
@@ -2889,8 +3162,21 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
     if interpret is None:
         interpret = _default_interpret()
     n, m = coords.shape
-    sym = _resolve_sym(sym, n, m, tile_i, tile_j, _sym_panel_terms_eligible)
+    num_terms = len(signs)
+    sym = _resolve_sym(
+        sym, n, m, tile_i, tile_j,
+        lambda nn, mm, tj: _sym_panel_terms_eligible(nn, mm, tj, num_terms),
+    )
     if sym == "panel":
+        if _sym_panel_terms_direct_plan(
+            n, m, num_terms, tile_i, tile_j
+        ) is not None:
+            return _phi_rbf_terms_fused_pallas_sympanel_direct_impl(
+                coords, scores, tuple(gammas),
+                tuple(float(s) for s in signs), thresholds_sq,
+                int(thresholds_sq.shape[0]), tile_i, tile_j,
+                bool(interpret),
+            )
         return _phi_rbf_terms_fused_pallas_sympanel_impl(
             coords, scores, tuple(gammas),
             tuple(float(s) for s in signs), thresholds_sq,

@@ -768,7 +768,13 @@ def test_sym_panel_terms_eligibility():
 
     assert _sym_panel_terms_eligible(100_000, 11, 2048)
     assert not _sym_panel_terms_eligible(500_000, 11, 2048)
-    assert not _sym_panel_terms_eligible(300_000, 2, 2048)  # diff branch
+    # round 5: the DIRECT single-window kernel admits the m<=4 diff
+    # branch (chip-validated regions, _sym_panel_terms_direct_plan) —
+    # previously these crashed the dual-window kernel and stayed square
+    assert _sym_panel_terms_eligible(300_000, 2, 2048)
+    assert _sym_panel_terms_eligible(300_000, 2, 2048, num_terms=2)
+    # outside every validated region: stays square
+    assert not _sym_panel_terms_eligible(2_500_000, 2, 2048, num_terms=2)
     nb, w, n_pad = _sym_panel_plan(100_000, 11, 2048, dual=True)
     assert w <= _SYM_PANEL_MAX_W_DUAL_GRAM and nb <= _SYM_PANEL_MAX_BLOCKS
 
@@ -1706,3 +1712,57 @@ def test_panel_sharded_multidevice_wiring(rng, monkeypatch):
         assert np.isfinite(outs[mode]).all()
     d = np.abs(outs["panel"] - outs[False]).max()
     assert d < 5e-3, d
+
+
+def test_terms_panel_direct_plan_gating():
+    """Round-5 direct panel terms plan: chip-validated regions only."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _sym_panel_terms_direct_plan,
+        _sym_panel_terms_eligible,
+    )
+
+    # m=2 T=2 diff branch: W=16384, up to nb=64 (n ~ 1M)
+    plan = _sym_panel_terms_direct_plan(262144, 2, 2)
+    assert plan is not None and plan[1] <= 16384
+    assert _sym_panel_terms_direct_plan(1_000_000, 2, 2) is not None
+    assert _sym_panel_terms_direct_plan(2_000_000, 2, 2) is None  # nb cap
+    # m=4: W cap halves
+    plan4 = _sym_panel_terms_direct_plan(262144, 4, 2)
+    assert plan4 is not None and plan4[1] <= 8192
+    # m=11 T=2 gram: W=4096
+    plan11 = _sym_panel_terms_direct_plan(131072, 11, 2)
+    assert plan11 is not None and plan11[1] <= 4096
+    # outside the validated regions: T=3 at m=4 (48-row diff window),
+    # T=3 at m=11, non-default tiles
+    assert _sym_panel_terms_direct_plan(262144, 4, 3) is None
+    assert _sym_panel_terms_direct_plan(131072, 11, 3) is None
+    assert _sym_panel_terms_direct_plan(262144, 2, 2, 256, 1024) is None
+    # the eligibility predicate now admits the m<=4 composed family
+    # (the round-4 gap) through the direct plan
+    assert _sym_panel_terms_eligible(262144, 2, 2048, 2)
+
+
+@pytest.mark.parametrize("m,gammas", [(2, (0.7, 0.2)), (11, (0.3, 0.08))])
+def test_terms_panel_direct_matches_oracle(rng, m, gammas):
+    """Direct panel terms kernel (interpret mode, forced panel_blocks)
+    matches the XLA fused multi-term oracle on both sq branches."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _phi_rbf_terms_fused_pallas_sympanel_direct_impl,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n = 900
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([1.0, 5.0], jnp.float32)
+    gs = tuple(jnp.float32(g) for g in gammas)
+    sg = (1.0, 1.0)
+    phi, counts = _phi_rbf_terms_fused_pallas_sympanel_direct_impl(
+        x, s, gs, sg, thr, 2, 64, 128, True, panel_blocks=4
+    )
+    ref_phi, ref_cnt = phi_rbf_terms_fused_counts(x, s, list(gs), sg, thr)
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < (5e-6 if m <= 4 else 5e-4), rel
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
