@@ -1774,6 +1774,183 @@ def _fused_terms_kernel(signs, diff_m, num_t, gammas_ref, thr_ref, x_ref,
     _count_epilogue(i, j, cnt_ref, cnt_scratch)
 
 
+def _terms_cross_impl_for(m: int):
+    """Cross-form impl selection (round-5 A/B on chip): the DIRECT kernel
+    wins on the diff branch (m=2: 0.92 -> 0.77 ms at n=10240, 1.19x; n=131k
+    1.07x — the dropped k_c/w assembly dominates) but LOSES at m=11
+    (1.44 -> 1.50 ms: T*bw output lanes double the accumulate traffic
+    while the Gram sq is already shared), so the Gram branch keeps the
+    legacy k_c/w form."""
+    return (
+        _phi_rbf_terms_fused_pallas_cross_direct_impl
+        if m <= _DIFF_FORM_MAX_M
+        else _phi_rbf_terms_fused_pallas_cross_impl
+    )
+
+
+def _fused_terms_direct_kernel(num_terms, diff_m, num_t, bw, gl_ref,
+                               thr_ref, x_ref, qi_ref, xjt_ref, qjt_ref,
+                               bt_ref, acc_ref, cnt_ref, cnt_scratch):
+    """DIRECT cross form (round 5): each term's k_t contracts straight
+    against B = [S | X | 1]; per-term results concatenate along the lane
+    axis into ONE (TI, T*bw) row-blocked accumulator and the signs/gammas
+    combine in the XLA epilogue — no per-pair k_c/w assembly (see
+    _sym_terms_direct_kernel for the measurement story). Gram branch
+    rides pre-scaled sources (xjt = -2x)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        cnt_scratch[:] = jnp.zeros_like(cnt_scratch)
+
+    if diff_m is not None:
+        sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)
+    else:
+        cross2 = _bf16x3_cross(x_ref[:], xjt_ref[:])
+        sq = jnp.maximum(qi_ref[:] + qjt_ref[:] + cross2, 0.0)
+    a_tile = jnp.concatenate(
+        [
+            jnp.dot(
+                jnp.exp2(gl_ref[0, t] * sq), bt_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            for t in range(num_terms)
+        ],
+        axis=1,
+    )
+    acc_ref[:] += a_tile
+    _lane_counts(cnt_scratch, sq, thr_ref, num_t)
+    _count_epilogue(i, j, cnt_ref, cnt_scratch)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "signs", "num_thresholds", "tile_i", "tile_j", "interpret",
+        "vma_axis",
+    ),
+)
+def _phi_rbf_terms_fused_pallas_cross_direct_impl(
+    targets, sources, source_scores, gammas, signs, thresholds_sq,
+    num_thresholds, tile_i, tile_j, interpret, vma_axis=None,
+):
+    """Direct-kernel cross form — same contract as
+    _phi_rbf_terms_fused_pallas_cross_impl."""
+    n_t, m = targets.shape
+    n_s = sources.shape[0]
+    num_terms = len(signs)
+    center = jnp.mean(sources.astype(jnp.float32), axis=0)
+    targets32 = targets.astype(jnp.float32) - center
+    sources32 = sources.astype(jnp.float32) - center
+    gammas32 = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+    gl = jnp.reshape(-(gammas32 * _LOG2E), (1, num_terms))
+    q_t = jnp.sum(targets32 * targets32, axis=1)
+    q_s = jnp.sum(sources32 * sources32, axis=1)
+    b = jnp.concatenate(
+        [
+            source_scores.astype(jnp.float32), sources32,
+            jnp.ones((n_s, 1), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    # Same conservative scoped-VMEM clamp as the legacy cross impl (the
+    # direct kernel holds fewer live temporaries, but the envelope was
+    # bisected on the legacy shape — keep the proven gate).
+    if diff_m is not None and n_s > 65536:
+        tile_j = min(tile_j, 1024)
+    elif n_s > 524288:
+        tile_j = min(tile_j, 1024)
+    big = jnp.float32(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(targets32, tile_i, value=pad_t)
+    qi_p = _pad_rows(q_t[:, None], tile_i, value=big)
+    xjt_src = sources32.T if diff_m is not None else (-2.0 * sources32.T)
+    xjt_p = _pad_cols(xjt_src, tile_j, value=pad_s)
+    qjt_p = _pad_cols(q_s[None, :], tile_j, value=big)
+    bt_p = _pad_rows(b, tile_j)
+    n_i = x_p.shape[0]
+    n_j = xjt_p.shape[1]
+    bw = 2 * m + 1
+    thr = jnp.reshape(
+        thresholds_sq.astype(jnp.float32), (1, num_thresholds)
+    )
+
+    grid = (n_i // tile_i, n_j // tile_j)
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p)
+    ]
+    acc, count_lanes = pl.pallas_call(
+        functools.partial(
+            _fused_terms_direct_kernel, num_terms, diff_m, num_thresholds,
+            bw,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, num_terms), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (1, num_thresholds), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((tile_i, m), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_j, bw), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile_i, num_terms * bw), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (num_thresholds, tile_j), lambda i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            _out_struct((n_i, num_terms * bw), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
+        ),
+        scratch_shapes=[pltpu.VMEM((num_thresholds, tile_j), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_i * n_j
+            * (3 * m + num_terms * bw + num_thresholds),
+            bytes_accessed=4 * (n_i + n_j) * (2 * m + 2 + num_terms * bw),
+            transcendentals=num_terms * n_i * n_j,
+        ),
+        interpret=interpret,
+    )(*operands)
+
+    a = acc[:n_t]
+    phi = None
+    for t_i, s in enumerate(signs):
+        at = a[:, t_i * bw : (t_i + 1) * bw]
+        ks = at[:, :m]
+        kx = at[:, m : 2 * m]
+        rowsum = at[:, 2 * m]
+        phi_t = ks - 2.0 * gammas32[t_i] * (
+            kx - rowsum[:, None] * targets32
+        )
+        phi_t = float(s) * phi_t
+        phi = phi_t if phi is None else phi + phi_t
+    phi = phi / n_s
+    return phi.astype(targets.dtype), jnp.sum(count_lanes, axis=1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -3193,7 +3370,7 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
             tuple(float(s) for s in signs), thresholds_sq,
             int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
         )
-    return _phi_rbf_terms_fused_pallas_cross_impl(
+    return _terms_cross_impl_for(m)(
         coords, coords, scores, tuple(gammas),
         tuple(float(s) for s in signs), thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
@@ -3209,7 +3386,7 @@ def phi_rbf_terms_fused_pallas_cross(targets, sources, source_scores, gammas,
     axis_name/counts contract)."""
     if interpret is None:
         interpret = _default_interpret()
-    return _phi_rbf_terms_fused_pallas_cross_impl(
+    return _terms_cross_impl_for(targets.shape[1])(
         targets, sources, source_scores, tuple(gammas),
         tuple(float(s) for s in signs), thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
