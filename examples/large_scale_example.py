@@ -6,7 +6,9 @@ each step is ONE fused O(n^2) sweep computing phi and the median-selection
 counts together (phi_impl='auto' picks the Mosaic kernel on TPU, the XLA
 sweep elsewhere; from n >= 2048 the sweep visits each unordered pair ONCE
 — the symmetric triangle form, extended past ~200k particles by the
-panel-rotated variant with O(1)-in-n VMEM — see docs/perf.md). Prints
+panel-rotated variant with O(1)-in-n VMEM; round 5 extends both to
+composed kernels (direct panel sweep, m <= 4 to n ~ 1M) and to device
+meshes (chunked panel schedule) — see docs/perf.md). Prints
 per-step timing, throughput, and the kernel Stein discrepancy
 before/after as the convergence check.
 
