@@ -1312,6 +1312,143 @@ def _phi_rbf_terms_fused_pallas_sym_sharded_impl(
     return acck_t, accw_t, count_lanes
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("signs", "n_pad", "num_thresholds", "tile_i", "tile_j",
+                     "interpret", "vma_axis"),
+)
+def phi_rbf_terms_fused_pallas_sym_sharded_direct(
+    coords, scores, gammas, signs, thresholds_sq, pair_i, pair_j, *, n_pad,
+    num_thresholds, tile_i: int = 512, tile_j: int = 2048, interpret=None,
+    vma_axis=None,
+):
+    """DIRECT-kernel sharded variant of
+    :func:`phi_rbf_terms_fused_pallas_sym_sharded` (round 5): one device's
+    chunk of the global triangle through _sym_terms_direct_kernel. Returns
+    the RAW packed (num_terms * band, n_pad) accumulator (band =
+    ceil8(2m+1); per-term bands) plus count lanes — psum both, fold counts
+    2*sum - n once globally, finish bands with
+    :func:`phi_rbf_terms_fused_sym_direct_finish`."""
+    if interpret is None:
+        interpret = _default_interpret()
+    n, m = coords.shape
+    if tile_j % tile_i:
+        raise ValueError("sym sweep needs tile_j % tile_i == 0")
+    signs = tuple(float(s) for s in signs)
+    num_terms = len(signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+    gl = jnp.reshape(-(gammas32 * _LOG2E), (1, num_terms))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+
+    diff_m = m if m <= _DIFF_FORM_MAX_M else None
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    pad_t = _PAD_C if diff_m is not None else 0.0
+    pad_s = -_PAD_C if diff_m is not None else 0.0
+    x_p = _pad_rows(coords32, n_pad, value=pad_t)
+    qi_p = _pad_rows(q[:, None], n_pad, value=big)
+    xjt_src = coords32.T if diff_m is not None else (-2.0 * coords32.T)
+    xjt_p = _pad_cols(xjt_src, n_pad, value=pad_s)
+    qjt_p = _pad_cols(q[None, :], n_pad, value=big)
+    bt_p = _pad_cols(b.T, n_pad)
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, num_thresholds))
+    per = pair_i.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(per,),
+        in_specs=[
+            pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((num_terms * band, n_pad),
+                         lambda t, bi, bj: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_thresholds, tile_j), lambda t, bi, bj: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((num_terms * band, n_pad), jnp.float32),
+            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+        ],
+    )
+    operands = [
+        _pvary(v, vma_axis)
+        for v in (pair_i, pair_j, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p,
+                  bt_p)
+    ]
+    acc_t, count_lanes = pl.pallas_call(
+        functools.partial(
+            _sym_terms_direct_kernel, num_terms, diff_m, num_thresholds,
+            tile_i, tile_j, big, n, band,
+        ),
+        grid_spec=grid_spec,
+        out_shape=(
+            _out_struct((num_terms * band, n_pad), jnp.float32, vma_axis),
+            _out_struct((num_thresholds, tile_j), jnp.float32, vma_axis),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * per * tile_i * tile_j * (3 * m + 2 * num_terms * bw),
+            bytes_accessed=4 * n_pad * (3 * m + 3 + num_terms * band),
+            transcendentals=num_terms * per * tile_i * tile_j,
+        ),
+        interpret=interpret,
+    )(*operands)
+    return acc_t, count_lanes
+
+
+def phi_rbf_terms_fused_sym_direct_finish(acc_band_t, scores_band,
+                                          coords_band, center, gammas32,
+                                          signs, n):
+    """Per-band epilogue of the DIRECT sharded multi-term symmetric sweep:
+    ``acc_band_t`` is this device's (num_terms * band, n_local) column
+    band of the PSUMMED packed accumulator; each term's k_t(i, i) = 1
+    entered both accumulation directions, so subtract B once per term
+    before combining with the signs/gammas."""
+    m = coords_band.shape[1]
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    coords32 = coords_band.astype(jnp.float32) - center
+    b = jnp.concatenate(
+        [scores_band.astype(jnp.float32), coords32,
+         jnp.ones((coords_band.shape[0], 1), jnp.float32)],
+        axis=1,
+    )
+    g_arr = jnp.reshape(jnp.asarray(gammas32, jnp.float32), (-1,))
+    phi = None
+    for t_i, s in enumerate(signs):
+        a = acc_band_t[t_i * band : t_i * band + bw].T - b
+        ks = a[:, :m]
+        kx = a[:, m : 2 * m]
+        rowsum = a[:, 2 * m]
+        phi_t = ks - 2.0 * g_arr[t_i] * (kx - rowsum[:, None] * coords32)
+        phi_t = float(s) * phi_t
+        phi = phi_t if phi is None else phi + phi_t
+    phi = phi / n
+    return phi.astype(coords_band.dtype)
+
+
 def phi_rbf_terms_fused_sym_finish(acck_band_t, accw_band_t, scores_band,
                                    coords_band, center, gammas32, signs, n):
     """Per-band epilogue of the sharded multi-term symmetric sweep:
@@ -1587,6 +1724,19 @@ def sym_sharded_phi(coords_local, scores_local, sources, scores_global,
         acc = jax.lax.psum(acc_raw, axis)
         phi_local = phi_rbf_fused_sym_finish(
             band_of(acc), scores_local, coords_local, center, gamma, n_glob
+        )
+    elif _terms_direct_fits_npad(len(signs), coords_local.shape[1],
+                                 sym_n_pad):
+        # Round 5: the DIRECT per-term kernel where its packed
+        # accumulator fits (same crossover as the single-chip wrapper).
+        acc_r, lanes = phi_rbf_terms_fused_pallas_sym_sharded_direct(
+            sources, scores_global, list(gammas), signs, thresholds, pi,
+            pj, n_pad=sym_n_pad, num_thresholds=num_thr, vma_axis=axis,
+        )
+        acc = jax.lax.psum(acc_r, axis)
+        phi_local = phi_rbf_terms_fused_sym_direct_finish(
+            band_of(acc), scores_local, coords_local, center,
+            jnp.stack(list(gammas)), signs, n_glob,
         )
     else:
         acck_r, accw_r, lanes = phi_rbf_terms_fused_pallas_sym_sharded(
@@ -2193,15 +2343,18 @@ def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
         cnt_ref[:] = cnt_sc[:]
 
 
+def _terms_direct_fits_npad(num_terms: int, m: int, n_pad: int) -> bool:
+    band = _ceil_mult(2 * m + 1, 8)
+    return 2 * num_terms * band * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+
+
 def _terms_direct_fits(n: int, m: int, num_terms: int, tile_j: int) -> bool:
     """VMEM gate for the direct kernel's packed accumulator pair
     (num_terms 8-aligned (2m+1)-row bands, scratch + output): heavier
     than the legacy k_c/w pair (T*24 vs 23 rows at m=11, T=2), so shapes
     past it keep the legacy kernel up to ITS budget before the panel
     form takes over."""
-    band = _ceil_mult(2 * m + 1, 8)
-    n_pad = _ceil_mult(n, tile_j)
-    return 2 * num_terms * band * n_pad * 4 <= _SYM_ACC_VMEM_BYTES
+    return _terms_direct_fits_npad(num_terms, m, _ceil_mult(n, tile_j))
 
 
 @functools.partial(

@@ -1106,6 +1106,10 @@ def test_fused_sym_multidevice_wiring(rng, monkeypatch):
         pp, "phi_rbf_terms_fused_pallas_sym_sharded",
         _xla_terms_sym_sharded_stub,
     )
+    monkeypatch.setattr(
+        pp, "phi_rbf_terms_fused_pallas_sym_sharded_direct",
+        _xla_terms_direct_sym_sharded_stub,
+    )
     n, dim = 2048, 2
     x0 = (rng.normal(size=(n, dim)) * 2).astype(np.float32)
     model = sv.MultivariateNormal(
@@ -1765,4 +1769,131 @@ def test_terms_panel_direct_matches_oracle(rng, m, gammas):
         np.abs(np.asarray(ref_phi)).max()
     )
     assert rel < (5e-6 if m <= 4 else 5e-4), rel
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
+
+
+def _xla_terms_direct_sym_sharded_stub(coords, scores, gammas, signs,
+                                       thresholds_sq, pair_i, pair_j, *,
+                                       n_pad, num_thresholds, tile_i=512,
+                                       tile_j=2048, interpret=None,
+                                       vma_axis=None):
+    """Pure-XLA mirror of phi_rbf_terms_fused_pallas_sym_sharded_direct's
+    contract (packed per-term bands) for D>1 CPU-mesh wiring tests."""
+    import jax
+
+    from svgdcpp_tpu.ops.pallas_phi import _ceil_mult
+
+    n, m = coords.shape
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    num_terms = len(signs)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    c32 = coords.astype(jnp.float32) - center
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), c32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+    c_pad = jnp.zeros((n_pad, m), jnp.float32).at[:n].set(c32)
+    b_pad = jnp.zeros((n_pad, bw), jnp.float32).at[:n].set(b)
+    thr = thresholds_sq.astype(jnp.float32)
+    g_arr = jnp.stack([jnp.asarray(g, jnp.float32) for g in gammas])
+
+    def body(t, carry):
+        acc, lanes = carry
+        bi = pair_i[t].astype(jnp.int32)
+        bj = pair_j[t].astype(jnp.int32)
+        zero = jnp.int32(0)
+        xi = jax.lax.dynamic_slice(c_pad, (bi * tile_i, zero), (tile_i, m))
+        xj = jax.lax.dynamic_slice(c_pad, (bj * tile_j, zero), (tile_j, m))
+        bt_i = jax.lax.dynamic_slice(
+            b_pad, (bi * tile_i, zero), (tile_i, bw)
+        )
+        bt_j = jax.lax.dynamic_slice(
+            b_pad, (bj * tile_j, zero), (tile_j, bw)
+        )
+        d = xi[:, None, :] - xj[None, :, :]
+        sq = jnp.sum(d * d, axis=-1)
+        gi = bi * tile_i + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 0
+        )
+        gj = bj * tile_j + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_i, tile_j), 1
+        )
+        valid = (gj >= gi) & (gi < n) & (gj < n)
+        for t_i in range(num_terms):
+            k_t = jnp.where(valid, jnp.exp(-g_arr[t_i] * sq), 0.0)
+            r1 = bt_j.T @ k_t.T  # (bw, tile_i) -> rows bi
+            r2 = bt_i.T @ k_t    # (bw, tile_j) -> cols bj
+            row0 = jnp.int32(t_i * band)
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (row0, bi * tile_i), (bw, tile_i)
+                ) + r1,
+                (row0, bi * tile_i),
+            )
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jax.lax.dynamic_slice(
+                    acc, (row0, bj * tile_j), (bw, tile_j)
+                ) + r2,
+                (row0, bj * tile_j),
+            )
+        hits = (sq[None] <= thr[:, None, None]) & valid[None]
+        lanes = lanes + jnp.sum(hits.astype(jnp.float32), axis=1)
+        return acc, lanes
+
+    acc0 = jnp.zeros((num_terms * band, n_pad), jnp.float32)
+    lanes0 = jnp.zeros((num_thresholds, tile_j), jnp.float32)
+    if vma_axis is not None:
+        acc0 = jax.lax.pcast(acc0, (vma_axis,), to="varying")
+        lanes0 = jax.lax.pcast(lanes0, (vma_axis,), to="varying")
+    return jax.lax.fori_loop(0, pair_i.shape[0], body, (acc0, lanes0))
+
+
+def test_terms_direct_sym_sharded_decomposition_matches_oracle(rng):
+    """Round-5 DIRECT sharded multi-term sweep: summed chunk accumulators
+    + the packed-band epilogue must reproduce the XLA fused multi-term
+    oracle."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        phi_rbf_terms_fused_pallas_sym_sharded_direct,
+        phi_rbf_terms_fused_sym_direct_finish,
+        sym_pairs_plan,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    n, m, d = 900, 2, 4
+    x = jnp.asarray(rng.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray([1.0, 5.0], jnp.float32)
+    gs = (jnp.float32(0.6), jnp.float32(0.15))
+    sg = (1.0, 1.0)
+    ti, tj = 64, 128
+    pi, pj, n_pad, per = sym_pairs_plan(n, d, ti, tj)
+    acc = lanes = None
+    for c in range(d):
+        a, l = phi_rbf_terms_fused_pallas_sym_sharded_direct(
+            x, s, list(gs), sg, thr, jnp.asarray(pi[c * per:(c + 1) * per]),
+            jnp.asarray(pj[c * per:(c + 1) * per]), n_pad=n_pad,
+            num_thresholds=2, tile_i=ti, tile_j=tj, interpret=True,
+        )
+        acc = a if acc is None else acc + a
+        lanes = l if lanes is None else lanes + l
+    counts = 2.0 * jnp.sum(lanes, axis=1) - jnp.float32(n)
+    center = jnp.mean(x, axis=0)
+    nl = n // 3
+    phi = jnp.concatenate([
+        phi_rbf_terms_fused_sym_direct_finish(
+            acc[:, c * nl:(c + 1) * nl], s[c * nl:(c + 1) * nl],
+            x[c * nl:(c + 1) * nl], center, jnp.stack(gs), sg, n,
+        )
+        for c in range(3)
+    ], axis=0)
+    ref_phi, ref_cnt = phi_rbf_terms_fused_counts(
+        x, s, list(gs), list(sg), thr
+    )
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max()
+    )
+    assert rel < 5e-6, rel
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
