@@ -436,3 +436,47 @@ def test_tpu_fused_auto_threshold(rng, monkeypatch):
     assert impl_for_composed(260, "tpu", positive=False) == "rbf_terms"
     assert impl_for_composed(1030, "tpu", positive=False) == "fused_terms"
     assert impl_for_composed(260, "cpu", positive=True) == "rbf_terms"
+
+
+def test_driver_fused_sym_option(rng, monkeypatch):
+    """SVGDOptions.fused_sym=False (round-5 ADVICE fix) forces the cross
+    sweep on the no-mesh Mosaic path without touching numerics: the sym
+    impls must not be reached, and the trajectory matches auto."""
+    import numpy as np
+
+    import svgdcpp_tpu as sv
+    import svgdcpp_tpu.ops.pallas_phi as pp
+
+    n, dim, iters = 2048, 2, 3
+    x0 = rng.normal(size=(n, dim)).astype(np.float32) * 2
+
+    def run(fused_sym, forbid_sym):
+        if forbid_sym:
+            def boom(*a, **k):
+                raise AssertionError("sym impl reached with fused_sym=False")
+
+            monkeypatch.setattr(pp, "_phi_rbf_fused_pallas_sym_impl", boom)
+            monkeypatch.setattr(
+                pp, "_phi_rbf_fused_pallas_sympanel_impl", boom
+            )
+        model = sv.MultivariateNormal(
+            np.zeros(dim, np.float32), np.eye(dim, dtype=np.float32)
+        )
+        kernel = sv.GaussianRBFKernel(x0, sv.ScaleMethod.MEDIAN, model)
+        svgd = sv.SVGD(
+            sv.SVGDOptions(
+                dimension=dim, num_iterations=iters,
+                coordinate_matrix=x0.copy(), kernel=kernel, model=model,
+                optimizer=sv.AdaGrad(dim, n, 0.1),
+                phi_impl="fused_pallas", fused_sym=fused_sym,
+            )
+        )
+        svgd.initialize()
+        out = np.asarray(svgd.run())
+        monkeypatch.undo()
+        return out
+
+    out_cross = run(False, forbid_sym=True)
+    out_auto = run(None, forbid_sym=False)
+    assert np.isfinite(out_cross).all()
+    np.testing.assert_allclose(out_cross, out_auto, rtol=5e-3, atol=5e-4)
