@@ -1508,7 +1508,9 @@ def sym_panel_sharded_plan(n: int, m: int, num_chunks: int,
 
     Returns (pair_i, pair_j, nb, w, n_pad, per_chunk) or None when the
     shape is outside the panel regime (use sym_sharded_plan's full-width
-    form below the budget — it is cheaper than panels when it fits)."""
+    form below the budget — it is cheaper than panels when it fits).
+    Reference mechanism being halved and distributed: the n^2 ordered
+    phi loop, SVGD.hpp:445-449 (SURVEY §5's ring-attention analog)."""
     if tile_j % tile_i:
         return None
     if n < _SYM_MIN_N or not _sym_panel_eligible(n, m, tile_j):
@@ -2281,7 +2283,9 @@ def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
     """DIRECT per-term triangle sweep (round 5): each term's k_t tile
     contracts straight against the full B = [S | X | 1] into its own
     8-aligned (2m+1)-row band of ONE packed accumulator; the XLA epilogue
-    combines bands with the signs/gammas. vs _sym_terms_kernel this drops
+    combines bands with the signs/gammas (reference: the composed-kernel
+    per-pair forward+gradient evaluations, Kernel.hpp:55-223, and the
+    n^2 phi loop, SVGD.hpp:445-449). vs _sym_terms_kernel this drops
     the per-pair k_c/w assembly (~4 VPU ops/pair/term) and the separate
     scores/[X|1] operand windows, and the Gram branch additionally rides
     PRE-SCALED sources (xjt carries -2x, exact: power-of-two scale in both
