@@ -15,7 +15,11 @@ before/after as the convergence check.
     python examples/large_scale_example.py [num_particles] [num_iterations]
 
 Defaults are sized for a single TPU chip (100k particles); on CPU pass a
-smaller count (e.g. 4096).
+smaller count (e.g. 4096). On a TUNNELED dev chip keep one run() dispatch
+under ~2 minutes of device time (e.g. N=1M: <= 50 iterations per call —
+run() continues in place, the reference's SVGD.hpp:393 contract), or the
+transport kills the worker mid-execution; locally attached TPUs have no
+such limit.
 """
 
 import sys
