@@ -1897,3 +1897,84 @@ def test_terms_direct_sym_sharded_decomposition_matches_oracle(rng):
     )
     assert rel < 5e-6, rel
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ref_cnt))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_terms_routes_fuzz_vs_oracle(seed):
+    """Property test over random composed configs: whatever impl the
+    round-5 routing picks (direct/legacy cross, direct/legacy sym) must
+    match the XLA fused oracle within the bf16x3 class and keep counts
+    exact (interpret mode is f32-exact)."""
+    from svgdcpp_tpu.ops.pallas_phi import phi_rbf_terms_fused_pallas
+    from svgdcpp_tpu.ops.phi import phi_rbf_terms_fused_counts
+
+    r = np.random.default_rng(1234 + seed)
+    n = int(r.integers(60, 700))
+    m = int(r.choice([1, 2, 3, 4, 7, 11]))
+    num_terms = int(r.integers(1, 4))
+    gammas = tuple(jnp.float32(g) for g in r.uniform(0.05, 1.2, num_terms))
+    signs = tuple(float(s) for s in np.ones(num_terms))
+    x = jnp.asarray(r.normal(size=(n, m)) * r.uniform(0.5, 3.0)
+                    + r.normal(size=m), jnp.float32)
+    s = jnp.asarray(r.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray(np.sort(r.uniform(0.1, 30.0, 3)), jnp.float32)
+    ti = int(r.choice([32, 64]))
+    tj = ti * int(r.choice([1, 2, 4]))
+    sym = r.choice([None, False, True])
+    sym = None if sym is None else bool(sym)
+
+    phi, counts = phi_rbf_terms_fused_pallas(
+        x, s, gammas, signs, thr, tile_i=ti, tile_j=tj, interpret=True,
+        sym=sym,
+    )
+    ref_phi, ref_cnt = phi_rbf_terms_fused_counts(
+        x, s, list(gammas), list(signs), thr
+    )
+    rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / (
+        np.abs(np.asarray(ref_phi)).max() + 1e-30
+    )
+    # m <= 4 rides the f32-exact diff form; m > 4 the bf16x3 Gram split
+    # (~1e-3 class even in interpret mode — the split itself rounds), and
+    # its sq residue can flip count boundary ties
+    tol = 1e-4 if m <= 4 else 5e-3
+    assert rel < tol, (n, m, num_terms, ti, tj, sym, rel)
+    cerr = np.abs(np.asarray(counts) - np.asarray(ref_cnt)).max()
+    assert cerr <= (0 if m <= 4 else n), (n, m, num_terms, ti, tj, sym)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_single_term_routes_fuzz_vs_oracle(seed):
+    """Same property for the single-term family across sym routings
+    (incl. forced panel via panel_blocks on the panel impl)."""
+    from svgdcpp_tpu.ops.pallas_phi import (
+        _phi_rbf_fused_pallas_sympanel_impl,
+        phi_rbf_fused_pallas,
+    )
+    from svgdcpp_tpu.ops.phi import phi_rbf_fused_counts
+
+    r = np.random.default_rng(77 + seed)
+    n = int(r.integers(80, 900))
+    m = int(r.choice([1, 2, 4, 9]))
+    g = jnp.float32(r.uniform(0.1, 1.5))
+    x = jnp.asarray(r.normal(size=(n, m)) * 2 + 1.0, jnp.float32)
+    s = jnp.asarray(r.normal(size=(n, m)), jnp.float32)
+    thr = jnp.asarray(np.sort(r.uniform(0.1, 30.0, 3)), jnp.float32)
+    ref_phi, ref_cnt = phi_rbf_fused_counts(x, s, g, thr)
+    scale = np.abs(np.asarray(ref_phi)).max() + 1e-30
+
+    for mode in ("cross", "sym", "panel"):
+        ti, tj = 32, 64
+        if mode == "panel":
+            phi, counts = _phi_rbf_fused_pallas_sympanel_impl(
+                x, s, g, thr, 3, ti, tj, True, panel_blocks=4
+            )
+        else:
+            phi, counts = phi_rbf_fused_pallas(
+                x, s, g, thr, tile_i=ti, tile_j=tj, interpret=True,
+                sym=(mode == "sym"),
+            )
+        rel = np.abs(np.asarray(phi) - np.asarray(ref_phi)).max() / scale
+        tol = 1e-4 if m <= 4 else 5e-3
+        assert rel < tol, (n, m, mode, rel)
+        cerr = np.abs(np.asarray(counts) - np.asarray(ref_cnt)).max()
+        assert cerr <= (0 if m <= 4 else n), (n, m, mode)
