@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from svgdcpp_tpu.ops.pallas_phi import (
     _LOG2E,
+    _bf16x3_cross,
     _ceil_mult,
     _lane_counts,
     _pad_cols,
@@ -660,9 +661,195 @@ def main_direct():
                   flush=True)
 
 
+# ---------------------------------------------------------------------------
+# Two-call mask-split probe: pure-upper super-tiles (no mask work at all) in
+# one pallas call, diagonal-straddling tiles (masked) in a second; host-side
+# accumulator add. Candidate to recover the ~0.09 ms mask attribution on the
+# ~2/3 of tiles that never straddle the diagonal.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_direct_nomask(signs, num_t, ri, cj, big, n_real, band, masked,
+                          bi_ref, bj_ref, gl_ref, thr_ref, x_ref, qi_ref,
+                          xjt_ref, qjt_ref, btj_ref, bti_ref, acc_ref,
+                          cnt_ref, acc_sc, cnt_sc):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+    num_terms = len(signs)
+
+    @pl.when(t == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    cross2 = _bf16x3_cross(x_ref[:], xjt_ref[:])
+    sq = qi_ref[:] + qjt_ref[:] + cross2
+    if masked:
+        gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+        gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+        sq = jnp.where(
+            gj > gi, sq,
+            jnp.where((gj == gi) & (gi < n_real), 0.0, big),
+        )
+
+    bw = btj_ref.shape[0]
+    for t_i in range(num_terms):
+        k_t = jnp.exp2(gl_ref[0, t_i] * sq)
+        acc_sc[t_i * band : t_i * band + bw, pl.ds(bi * ri, ri)] += (
+            jax.lax.dot_general(
+                btj_ref[:], k_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        acc_sc[t_i * band : t_i * band + bw, pl.ds(bj * cj, cj)] += jnp.dot(
+            bti_ref[:], k_t, preferred_element_type=jnp.float32
+        )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acc_ref[:] = acc_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
+def run_split(coords, scores, thresholds_sq, tile_i, tile_j):
+    """Two-call split (timing + accuracy)."""
+    n, m = coords.shape
+    num_terms = len(SIGNS)
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gammas32 = jnp.stack([jnp.float32(g) for g in GAMMAS])
+    gl = jnp.reshape(-(gammas32 * _LOG2E), (1, num_terms))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    scores32 = scores.astype(jnp.float32)
+    xs1 = jnp.concatenate([coords32, jnp.ones((n, 1), jnp.float32)], axis=1)
+    b = jnp.concatenate([scores32, xs1], axis=1)
+
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_j)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_p = _pad_cols(-2.0 * coords32.T, tile_j)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bt_p = _pad_cols(b.T, tile_j)
+    n_pad = x_p.shape[0]
+    bw = 2 * m + 1
+    band = _ceil_mult(bw, 8)
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, NUM_T))
+
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pure = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+            if j * r > i]  # column super-block strictly right of row block
+    mixed = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+             if j * r <= i]
+
+    def call(pairs, masked):
+        bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(len(pairs),),
+            in_specs=[
+                pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, NUM_T), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((num_terms * band, n_pad),
+                             lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NUM_T, tile_j), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((num_terms * band, n_pad), jnp.float32),
+                pltpu.VMEM((NUM_T, tile_j), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_direct_nomask, SIGNS, NUM_T, tile_i,
+                              tile_j, big, n, band, masked),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((num_terms * band, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((NUM_T, tile_j), jnp.float32),
+            ),
+        )(bi_arr, bj_arr, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    a1, l1 = call(pure, False)
+    a2, l2 = call(mixed, True)
+    acc_t = a1 + a2
+    count_lanes = l1 + l2
+
+    phi = None
+    for t_i, s in enumerate(SIGNS):
+        a = acc_t[t_i * band : t_i * band + bw, :n].T - b
+        ks = a[:, :m]
+        kx = a[:, m : 2 * m]
+        rowsum = a[:, 2 * m]
+        phi_t = s * (ks - 2.0 * gammas32[t_i]
+                     * (kx - rowsum[:, None] * coords32))
+        phi = phi_t if phi is None else phi + phi_t
+    phi = phi / n
+    counts = 2.0 * jnp.sum(count_lanes, axis=1) - jnp.float32(n)
+    return phi, counts
+
+
+def main_split():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(N, M)) * 2, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(N, M)), jnp.float32)
+    thr = jnp.asarray([0.5, 4.0, 30.0], jnp.float32)
+
+    phi_ref, counts_ref = phi_rbf_terms_fused_counts(
+        x, s, tuple(jnp.float32(g) for g in GAMMAS), SIGNS, thr
+    )
+    phi_ref = np.asarray(phi_ref)
+    scale = np.abs(phi_ref).max()
+
+    for name, ti, tj in (("split 512x1024", 512, 1024),
+                         ("split 512x2048", 512, 2048)):
+        try:
+            run = lambda xx, a=ti, b_=tj: run_split(xx, s, thr, a, b_)
+            phi, counts = run(x)
+            rel = np.abs(np.asarray(phi) - phi_ref).max() / scale
+            cerr = np.abs(np.asarray(counts) - np.asarray(counts_ref)).max()
+            ms = scan_time(run, x)
+            print(f"{name}: {ms:7.4f} ms/sweep rel={rel:.2e} "
+                  f"cnt_err={cerr:.0f}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAIL {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+    # reference point: the shipped one-call direct-lean kernel
+    for name, ti, tj in (("lean  512x1024", 512, 1024),):
+        run = lambda xx, a=ti, b_=tj: run_direct(xx, s, thr, a, b_, False,
+                                                 "lean")
+        ms = scan_time(run, x)
+        print(f"{name}: {ms:7.4f} ms/sweep", flush=True)
+
+
 if __name__ == "__main__":
     assert jax.default_backend() == "tpu"
     if "--direct" in sys.argv:
         main_direct()
+    elif "--split" in sys.argv:
+        main_split()
     else:
         main()

@@ -2279,7 +2279,8 @@ def _sym_terms_kernel(signs, diff_m, num_t, ri, cj, big, n_real, bi_ref,
 def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
                              band, bi_ref, bj_ref, gl_ref, thr_ref, x_ref,
                              qi_ref, xjt_ref, qjt_ref, btj_ref, bti_ref,
-                             acc_ref, cnt_ref, acc_sc, cnt_sc):
+                             acc_ref, cnt_ref, acc_sc, cnt_sc,
+                             masked: bool = True):
     """DIRECT per-term triangle sweep (round 5): each term's k_t tile
     contracts straight against the full B = [S | X | 1] into its own
     8-aligned (2m+1)-row band of ONE packed accumulator; the XLA epilogue
@@ -2307,11 +2308,18 @@ def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
         acc_sc[:] = jnp.zeros_like(acc_sc)
         cnt_sc[:] = jnp.zeros_like(cnt_sc)
 
-    gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
-    gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+    # ``masked=False`` is the round-5 two-call split: tiles whose column
+    # super-block lies strictly right of their row block never straddle
+    # the diagonal, so the wrapper sweeps them with NO mask work at all
+    # (mask attribution ~0.09 ms at the hier shape on ~2/3 of tiles;
+    # split measured 0.39 vs 0.42 ms one-call, counts exact —
+    # scripts/probe_terms_batched.py --split).
     if diff_m is not None:
         sq = _sq_tile(diff_m, x_ref, qi_ref, xjt_ref, qjt_ref)
-        sq = jnp.where(gj >= gi, sq, big)
+        if masked:
+            gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+            gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+            sq = jnp.where(gj >= gi, sq, big)
     else:
         # xjt carries -2x: sq = q_i + q_j + x.(-2y); diagonal pinned to
         # exact zero in the same select tree (bf16x3 residue would leak
@@ -2320,10 +2328,13 @@ def _sym_terms_direct_kernel(num_terms, diff_m, num_t, ri, cj, big, n_real,
         # sq ~ big and decay to zero under every (positive) gamma.
         cross2 = _bf16x3_cross(x_ref[:], xjt_ref[:])
         sq = qi_ref[:] + qjt_ref[:] + cross2
-        sq = jnp.where(
-            gj > gi, sq,
-            jnp.where((gj == gi) & (gi < n_real), 0.0, big),
-        )
+        if masked:
+            gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+            gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+            sq = jnp.where(
+                gj > gi, sq,
+                jnp.where((gj == gi) & (gi < n_real), 0.0, big),
+            )
 
     bw = btj_ref.shape[0]
     for t_i in range(num_terms):
@@ -2404,60 +2415,81 @@ def _phi_rbf_terms_fused_pallas_sym_direct_impl(
 
     r = tile_j // tile_i
     nbi, nbj = n_pad // tile_i, n_pad // tile_j
-    pairs = [(i, j) for i in range(nbi) for j in range(i // r, nbj)]
-    bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
-    bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+    # Two-call mask split (round 5): tiles whose column super-block lies
+    # strictly right of their row block contain only gj > gi pairs —
+    # sweep them with a mask-free kernel; only diagonal-straddling tiles
+    # pay the select tree (~7% at the hier shape, counts exact).
+    pure = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+            if j * r > i]
+    mixed = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+             if j * r <= i]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(len(pairs),),
-        in_specs=[
-            pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((num_terms * band, n_pad),
-                         lambda t, bi, bj: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_thresholds, tile_j),
-                         lambda t, bi, bj: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((num_terms * band, n_pad), jnp.float32),
-            pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
-        ],
-    )
-    acc_t, count_lanes = pl.pallas_call(
-        functools.partial(
-            _sym_terms_direct_kernel, num_terms, diff_m, num_thresholds,
-            tile_i, tile_j, big, n, band,
-        ),
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((num_terms * band, n_pad), jnp.float32),
-            jax.ShapeDtypeStruct((num_thresholds, tile_j), jnp.float32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * len(pairs) * tile_i * tile_j
-            * (3 * m + 2 * num_terms * bw),
-            bytes_accessed=4 * n_pad * (3 * m + 3 + num_terms * band),
-            transcendentals=num_terms * len(pairs) * tile_i * tile_j,
-        ),
-        interpret=interpret,
-    )(bi_arr, bj_arr, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+    def sweep(pairs, masked):
+        bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(len(pairs),),
+            in_specs=[
+                pl.BlockSpec((1, num_terms), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, num_thresholds), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((num_terms * band, n_pad),
+                             lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((num_thresholds, tile_j),
+                             lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((num_terms * band, n_pad), jnp.float32),
+                pltpu.VMEM((num_thresholds, tile_j), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(
+                _sym_terms_direct_kernel, num_terms, diff_m,
+                num_thresholds, tile_i, tile_j, big, n, band,
+                masked=masked,
+            ),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct(
+                    (num_terms * band, n_pad), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (num_thresholds, tile_j), jnp.float32
+                ),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * len(pairs) * tile_i * tile_j
+                * (3 * m + 2 * num_terms * bw),
+                bytes_accessed=4 * n_pad * (3 * m + 3 + num_terms * band),
+                transcendentals=num_terms * len(pairs) * tile_i * tile_j,
+            ),
+            interpret=interpret,
+        )(bi_arr, bj_arr, gl, thr, x_p, qi_p, xjt_p, qjt_p, bt_p, bt_p)
+
+    acc_t, count_lanes = sweep(mixed, True)
+    if pure:
+        acc_p, lanes_p = sweep(pure, False)
+        acc_t = acc_t + acc_p
+        count_lanes = count_lanes + lanes_p
 
     # Per-term epilogue: k_t(i, i) = 1 entered both accumulation
     # directions, so subtract each term's B once before combining.
