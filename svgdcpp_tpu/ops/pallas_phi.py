@@ -3529,6 +3529,13 @@ def phi_rbf_terms_fused_pallas(coords, scores, gammas, signs, thresholds_sq,
         interpret = _default_interpret()
     n, m = coords.shape
     num_terms = len(signs)
+    if tile_i == 512 and tile_j == 2048 and n <= 12288:
+        # Chip A/B on the round-5 split kernel (/tmp-probe recorded in
+        # docs/perf.md): the terms family prefers 512x1024 tiles up to
+        # n ~ 10k (3-16% across 2048..10240; 2048-wide wins again by
+        # 20480) — narrower source windows ease the multi-tile VMEM
+        # pressure the per-term exp tiles create.
+        tile_j = 1024
     sym = _resolve_sym(
         sym, n, m, tile_i, tile_j,
         lambda nn, mm, tj: _sym_panel_terms_eligible(nn, mm, tj, num_terms),
