@@ -728,6 +728,14 @@ def phi_rbf_fused_pallas(coords, scores, gamma, thresholds_sq,
     if interpret is None:
         interpret = _default_interpret()
     n, m = coords.shape
+    if (tile_i == 512 and tile_j == 2048 and m > _DIFF_FORM_MAX_M
+            and n <= 12288):
+        # Chip A/B (round 5, docs/perf.md): the Gram branch prefers
+        # 512x1024 tiles up to n ~ 12k (m=50: 7%/3%/48% at n=2048/4096/
+        # 8192 — the 2048-wide tile hits a VMEM-pressure cliff at 8192;
+        # m=11: 14%/4% at 4096/10240; 2048-wide wins again by 16384).
+        # The m <= 4 diff branch measured fastest at 2048 throughout.
+        tile_j = 1024
     # Full-width sym within the accumulator budget; past it the
     # panel-rotated form keeps the triangle (O(1)-in-n VMEM) up to
     # its own HBM/window ceilings; 'panel' forces it for testing.
