@@ -3158,6 +3158,10 @@ def _aniso_default_tiles(n_w: int):
     512x512 wins (iso+aniso 1.53 ms, 2-aniso 1.80 ms vs 512x1024's
     1.54/2.24; 512x2048 OOMs). Beyond n_w=4 the shapes shrink along the
     same _ANISO_CAT_VMEM_BYTES envelope."""
+    if n_w == 2:
+        # Separate-dot accumulation (no concat temporaries) at n_w = 2:
+        # 1024x1024 measured fastest (round 5, probe_aniso_tiles.py).
+        return 1024, 1024
     for ti, tj in ((1024, 1024), (512, 512), (256, 512), (256, 256),
                    (128, 256), (128, 128)):
         if max(n_w, 1) * ti * tj * 4 <= _ANISO_CAT_VMEM_BYTES:
@@ -3280,6 +3284,16 @@ def _sym_aniso_terms_kernel(n_iso, n_aniso, iso_signs, aniso_signs, diff_m,
     accum_rows(acck_sc, 0, x_ref.shape[1], k_c, bst_ref, bsti_ref)
     if len(w_tiles) == 1:
         accum_rows(accw_sc, 0, mw, w_tiles[0], xs1t_ref, xs1ti_ref)
+    elif len(w_tiles) == 2:
+        # Round 5: per-band SEPARATE dot pairs — the round-4 "third
+        # accumulation-dot pair crashes" no longer binds (bisected via
+        # scripts/probe_aniso_tiles.py), and dropping the concat
+        # temporaries lets the wrapper run 1024x1024 tiles (0.77 vs
+        # 0.81 ms/sweep at the n=10240 benchmark shape). Validated at
+        # n_w = 2 only; larger accumulator counts keep the proven
+        # concat batching.
+        accum_rows(accw_sc, 0, mw, w_tiles[0], xs1t_ref, xs1ti_ref)
+        accum_rows(accw_sc, band, mw, w_tiles[1], xs1t_ref, xs1ti_ref)
     else:
         # A third accumulation-dot pair per grid step crashes the TPU
         # compiler subprocess (bisected round 4); batching every W tile
