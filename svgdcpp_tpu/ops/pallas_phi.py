@@ -1798,6 +1798,11 @@ def phi_rbf_fused_pallas_cross(targets, sources, source_scores, gamma,
     check_vma); counts are this shard's row-band — psum them."""
     if interpret is None:
         interpret = _default_interpret()
+    if (tile_i == 512 and tile_j == 2048
+            and targets.shape[1] > _DIFF_FORM_MAX_M
+            and sources.shape[0] <= 12288):
+        tile_j = 1024  # Gram-branch small-n tile rule (see the self-pair
+        # wrapper); applied on the gathered-source count
     return _phi_rbf_fused_pallas_cross_impl(
         targets, sources, source_scores, gamma, thresholds_sq,
         int(thresholds_sq.shape[0]), tile_i, tile_j, bool(interpret),
@@ -3604,6 +3609,10 @@ def phi_rbf_terms_fused_pallas_cross(targets, sources, source_scores, gammas,
     axis_name/counts contract)."""
     if interpret is None:
         interpret = _default_interpret()
+    if (tile_i == 512 and tile_j == 2048
+            and sources.shape[0] <= 12288):
+        tile_j = 1024  # terms-family small-n tile rule (see the
+        # self-pair wrapper); applied on the gathered-source count
     return _terms_cross_impl_for(targets.shape[1])(
         targets, sources, source_scores, tuple(gammas),
         tuple(float(s) for s in signs), thresholds_sq,
