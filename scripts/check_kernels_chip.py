@@ -108,6 +108,22 @@ def main(out_path=None):
            np.abs(np.asarray(cnt_pn) - np.asarray(cnt_sq)).max())
     results[-1]["square_ms_per_sweep"] = round(dt_sq * 1e3 * 1e3, 3) / 1e3
 
+    # large-m panel route (round-5 audit): past the full-width budget a
+    # single-term m>4 shape auto-routes to the panel kernel with a
+    # (2m+1)-row rotating window — oracle-checked here directly (O(n^2 m)
+    # XLA at n=16k is still tractable on chip)
+    n_lm, m_lm = 16384, 50
+    xl, sl = data(n_lm, m_lm, spread=1.0)
+    gl = jnp.float32(np.log(n_lm) / (2 * m_lm))
+    thr_lm = jnp.asarray([5.0, 40.0], jnp.float32)
+    ref_phi_lm, ref_cnt_lm = xphi.phi_rbf_fused_counts(xl, sl, gl, thr_lm)
+    fn = lambda: pp.phi_rbf_fused_pallas(xl, sl, gl, thr_lm)
+    dt = _time_sweep(fn, 5)
+    phi, cnt = fn()
+    record("fused_pallas panel large-m (vs XLA)", f"n={n_lm} m={m_lm}", dt,
+           _rel_stats(phi, np.asarray(ref_phi_lm)),
+           np.abs(np.asarray(cnt) - np.asarray(ref_cnt_lm)).max())
+
     # ---- multi-term family ----
     n, m = 10240, 11
     x, s = data(n, m)
