@@ -846,6 +846,13 @@ def _sym_panel_terms_eligible(n: int, m: int, tile_j: int,
             return True
     if m <= _DIFF_FORM_MAX_M:
         return False
+    # Legacy dual-window m ceiling (round-5 chip bisection at n=16384:
+    # m = 11..24 compile, m >= 32 crashes the TPU compiler subprocess;
+    # 25..31 share the crashed 32-row window class and are gated out).
+    # Before this gate a composed m=50 kernel at n ~ 16k CRASHED at
+    # runtime instead of falling back to the square sweep.
+    if m > 24:
+        return False
     nb, _, _ = _sym_panel_plan(n, m, tile_j, dual=True)
     return nb <= _SYM_PANEL_MAX_BLOCKS
 

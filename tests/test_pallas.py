@@ -772,6 +772,12 @@ def test_sym_panel_terms_eligibility():
     # branch (chip-validated regions, _sym_panel_terms_direct_plan) —
     # previously these crashed the dual-window kernel and stayed square
     assert _sym_panel_terms_eligible(300_000, 2, 2048)
+    # round-5 audit: the legacy dual-window kernel crashes the TPU
+    # compiler past m = 24 (chip-bisected) — such shapes must fall back
+    # to the square sweep instead of crashing at runtime
+    assert not _sym_panel_terms_eligible(16384, 50, 2048, num_terms=2)
+    assert not _sym_panel_terms_eligible(16384, 32, 2048, num_terms=2)
+    assert _sym_panel_terms_eligible(16384, 24, 2048, num_terms=2)
     assert _sym_panel_terms_eligible(300_000, 2, 2048, num_terms=2)
     # outside every validated region: stays square
     assert not _sym_panel_terms_eligible(2_500_000, 2, 2048, num_terms=2)
