@@ -3161,7 +3161,7 @@ _ANISO_CAT_VMEM_BYTES = 4 * 2**20
 _ANISO_MAX_W = 8
 
 
-def _aniso_default_tiles(n_w: int):
+def _aniso_default_tiles(n_w: int, m: int | None = None):
     """Largest measured-safe tile shape for the accumulator count.
 
     Measured on v5e (n=10240, m=11, round 4): a single gradient
@@ -3170,9 +3170,12 @@ def _aniso_default_tiles(n_w: int):
     512x512 wins (iso+aniso 1.53 ms, 2-aniso 1.80 ms vs 512x1024's
     1.54/2.24; 512x2048 OOMs). Beyond n_w=4 the shapes shrink along the
     same _ANISO_CAT_VMEM_BYTES envelope."""
-    if n_w == 2:
+    if n_w == 2 and (m is None or m <= 32):
         # Separate-dot accumulation (no concat temporaries) at n_w = 2:
         # 1024x1024 measured fastest (round 5, probe_aniso_tiles.py).
+        # Chip-validated m <= 32 only: m >= 40 crashes the compiler at
+        # 1024x1024 while 512x512 compiles (round-5 route audit) — large
+        # m falls through to the conservative ladder.
         return 1024, 1024
     for ti, tj in ((1024, 1024), (512, 512), (256, 512), (256, 256),
                    (128, 256), (128, 128)):
@@ -3192,7 +3195,7 @@ def aniso_sym_eligible(n: int, m: int, n_aniso: int, has_iso: bool,
     if n_w > _ANISO_MAX_W:
         return False
     if tile_j is None:
-        tile_j = _aniso_default_tiles(n_w)[1]
+        tile_j = _aniso_default_tiles(n_w, m)[1]
     n_pad = ((n + tile_j - 1) // tile_j) * tile_j
     band = -(-(m + 1) // 8) * 8
     rows = m + n_w * band
@@ -3540,7 +3543,7 @@ def phi_rbf_aniso_terms_fused_pallas(coords, scores, iso_gammas, iso_signs,
         interpret = _default_interpret()
     if tile_i is None or tile_j is None:
         n_w = (1 if iso_gammas else 0) + len(aniso_ps)
-        d_i, d_j = _aniso_default_tiles(n_w)
+        d_i, d_j = _aniso_default_tiles(n_w, int(coords.shape[1]))
         tile_i = d_i if tile_i is None else tile_i
         tile_j = d_j if tile_j is None else tile_j
     return _phi_rbf_aniso_terms_fused_pallas_sym_impl(
