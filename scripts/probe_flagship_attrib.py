@@ -268,5 +268,161 @@ def main():
                       f"{str(e)[:140]}", flush=True)
 
 
+# Two-call mask split for the SINGLE-term sym kernel (flagship family).
+def _kernel_nomask(flags, num_t, ri, cj, big, n_real, masked, bi_ref,
+                   bj_ref, g_ref, thr_ref, x_ref, qi_ref, xjt_ref, qjt_ref,
+                   btj_ref, bti_ref, acc_ref, cnt_ref, acc_sc, cnt_sc):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+    bi = bi_ref[t]
+    bj = bj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        cnt_sc[:] = jnp.zeros_like(cnt_sc)
+
+    sq = None
+    for k in range(M):
+        d = x_ref[:, k : k + 1] - xjt_ref[k : k + 1, :]
+        sq = d * d if sq is None else sq + d * d
+    if masked:
+        gi = bi * ri + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 0)
+        gj = bj * cj + jax.lax.broadcasted_iota(jnp.int32, (ri, cj), 1)
+        sq = jnp.where(gj >= gi, sq, big)
+
+    gamma2 = g_ref[0, 0] * _LOG2E
+    k_tile = jnp.exp2(-gamma2 * sq)
+    acc_sc[:, pl.ds(bi * ri, ri)] += jax.lax.dot_general(
+        btj_ref[:], k_tile, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_sc[:, pl.ds(bj * cj, cj)] += jnp.dot(
+        bti_ref[:], k_tile, preferred_element_type=jnp.float32
+    )
+    _lane_counts(cnt_sc, sq, thr_ref, num_t)
+
+    @pl.when(t == nt - 1)
+    def _():
+        acc_ref[:] = acc_sc[:]
+        cnt_ref[:] = cnt_sc[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_i", "tile_j"))
+def run_split_single(coords, scores, gamma, thresholds_sq, tile_i, tile_j):
+    n, m = coords.shape
+    center = jnp.mean(coords.astype(jnp.float32), axis=0)
+    coords32 = coords.astype(jnp.float32) - center
+    gamma32 = jnp.reshape(jnp.asarray(gamma, jnp.float32), (1, 1))
+    q = jnp.sum(coords32 * coords32, axis=1)
+    b = jnp.concatenate(
+        [scores.astype(jnp.float32), coords32, jnp.ones((n, 1), jnp.float32)],
+        axis=1,
+    )
+    big = float(jnp.finfo(jnp.float32).max / 4)
+    x_p = _pad_rows(coords32, tile_j, value=_PAD_C)
+    qi_p = _pad_rows(q[:, None], tile_j, value=big)
+    xjt_p = _pad_cols(coords32.T, tile_j, value=-_PAD_C)
+    qjt_p = _pad_cols(q[None, :], tile_j, value=big)
+    bt_p = _pad_cols(b.T, tile_j)
+    n_pad = x_p.shape[0]
+    bw = 2 * m + 1
+    thr = jnp.reshape(thresholds_sq.astype(jnp.float32), (1, NUM_T))
+
+    r = tile_j // tile_i
+    nbi, nbj = n_pad // tile_i, n_pad // tile_j
+    pure = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+            if j * r > i]
+    mixed = [(i, j) for i in range(nbi) for j in range(i // r, nbj)
+             if j * r <= i]
+
+    def call(pairs, masked):
+        bi_arr = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        bj_arr = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(len(pairs),),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, NUM_T), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, m), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 1), lambda t, bi, bj: (bi[t], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((m, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_j), lambda t, bi, bj: (0, bj[t]),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bw, tile_i), lambda t, bi, bj: (0, bi[t]),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bw, n_pad), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((NUM_T, tile_j), lambda t, bi, bj: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bw, n_pad), jnp.float32),
+                pltpu.VMEM((NUM_T, tile_j), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_kernel_nomask, None, NUM_T, tile_i, tile_j,
+                              big, n, masked),
+            grid_spec=grid_spec,
+            out_shape=(
+                jax.ShapeDtypeStruct((bw, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((NUM_T, tile_j), jnp.float32),
+            ),
+        )(bi_arr, bj_arr, gamma32, thr, x_p, qi_p, xjt_p, qjt_p, bt_p,
+          bt_p)
+
+    a1, l1 = call(mixed, True)
+    if pure:
+        a2, l2 = call(pure, False)
+        a1 = a1 + a2
+        l1 = l1 + l2
+
+    a = a1[:, :n].T - b
+    ks = a[:, :m]
+    kx = a[:, m : 2 * m]
+    rowsum = a[:, 2 * m]
+    gamma_f = jnp.asarray(gamma, jnp.float32)
+    phi = (ks - 2.0 * gamma_f * (kx - rowsum[:, None] * coords32)) / n
+    counts = 2.0 * jnp.sum(l1, axis=1) - jnp.float32(n)
+    return phi, counts
+
+
+def main_split_single():
+    rng = np.random.default_rng(0)
+    thr = jnp.asarray([0.5, 4.0, 30.0], jnp.float32)
+    for n in (10240, 20480):
+        x = jnp.asarray(rng.normal(size=(n, M)) * 2, jnp.float32)
+        s = jnp.asarray(rng.normal(size=(n, M)), jnp.float32)
+        g = jnp.float32(np.log(n) / 4.0)
+        phi_ref, counts_ref = phi_rbf_fused_counts(x, s, g, thr)
+        phi_ref = np.asarray(phi_ref)
+        scale = np.abs(phi_ref).max()
+
+        ms_ship = scan_time(
+            lambda xx: phi_rbf_fused_pallas(xx, s, g, thr, sym=True), x)
+        run = lambda xx: run_split_single(xx, s, g, thr, 512, 2048)
+        phi, counts = run(x)
+        rel = np.abs(np.asarray(phi) - phi_ref).max() / scale
+        cerr = np.abs(np.asarray(counts) - np.asarray(counts_ref)).max()
+        ms = scan_time(run, x)
+        print(f"n={n}: ship {ms_ship:7.4f} vs split {ms:7.4f} ms "
+              f"({ms_ship / ms:4.2f}x)  rel={rel:.2e} cnt_err={cerr:.0f}",
+              flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--split" in sys.argv:
+        main_split_single()
+    else:
+        main()
